@@ -1,0 +1,180 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational/OLAP core: TPC-H-shaped queries over the driver testdata.
+  *
+  * Correctness-by-construction against the DuckDB oracle:
+  *   - money/quantity aggregations go through DECIMAL casts (exact,
+  *     order-independent) and are converted to DOUBLE only at the end, so
+  *     the result is bit-identical regardless of partial-agg ordering;
+  *   - timestamps in outputs are formatted to `yyyy-MM-dd` strings to dodge
+  *     parquet timestamp-unit / timezone representation drift;
+  *   - every result carries a total ORDER BY for deterministic top-k.
+  *
+  * Scale notes: each query is a declarative plan — filters and projections
+  * reach the parquet scan (verified via explain), dimension sides of joins
+  * are broadcast, aggregations get map-side partial combine for free.
+  */
+object Tpch {
+
+  private val D12_2 = DecimalType(12, 2)
+  private val D12_4 = DecimalType(12, 4)
+
+  /** TPC-H Q1 shape: scan + filter + groupBy with exact decimal sums. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1999-06-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity".cast(D12_2)), 2).cast("double").as("sum_qty"),
+        round(sum($"l_extendedprice".cast(D12_2)), 2).cast("double").as("sum_base_price"),
+        round(sum($"l_extendedprice".cast(D12_4) * (lit(1.0) - $"l_discount").cast(D12_4)), 2)
+          .cast("double").as("sum_disc_price"),
+        round(sum($"l_extendedprice".cast(D12_4) * (lit(1.0) - $"l_discount").cast(D12_4)
+          * (lit(1.0) + $"l_tax").cast(D12_4)), 2).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3 shape: selective 3-way join + agg + deterministic top-10. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1998-06-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1998-06-01").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice".cast(D12_4) * (lit(1.0) - $"l_discount").cast(D12_4)), 2)
+        .cast("double").as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"), $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: 6-way join; all dimension tables broadcast. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice".cast(D12_4) * (lit(1.0) - $"l_discount").cast(D12_4)), 2)
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Window functions: deterministic top-3 parts by retail price per brand. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    Tables.part(spark, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 3)
+      .select($"p_brand", $"p_partkey", $"p_retailprice", $"rnk")
+      .orderBy($"p_brand", $"rnk")
+  }
+
+  /** Sessionization over the events stream table (batch form): a session
+    * breaks after a 30-minute gap. Timestamps are truncated to epoch
+    * seconds before differencing so parquet ns-vs-us precision cannot
+    * shift a boundary. Scale: single shuffle on user_id; both windows
+    * reuse the same partitioning.
+    */
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_sec", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("ts_sec", unix_timestamp($"ts"))
+      .withColumn("prev_sec", lag($"ts_sec", 1).over(byUser))
+      .withColumn("is_new",
+        when($"prev_sec".isNull || $"ts_sec" - $"prev_sec" > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum($"is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_sec").as("start_sec"), max($"ts_sec").as("end_sec"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_disc_price,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4)) * CAST(1.0 + l_tax AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_charge,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
+         strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_window_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
+           FROM part) t WHERE rnk <= 3 ORDER BY p_brand, rnk""",
+    "q_events_sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+             CASE WHEN LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                    OR CAST(FLOOR(epoch(ts)) AS BIGINT) - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER w > 1800
+                  THEN 1 ELSE 0 END AS is_new
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)),
+         sessions AS (
+           SELECT user_id, ts_sec,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec
+         FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"   -> q1PricingSummary _,
+    "q3_shipping_priority" -> q3ShippingPriority _,
+    "q5_local_supplier"    -> q5LocalSupplier _,
+    "q_window_rank"        -> qWindowRank _,
+    "q_events_sessionize"  -> qEventsSessionize _,
+  )
+}
