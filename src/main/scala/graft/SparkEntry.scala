@@ -8,6 +8,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (relational.Tpch.queries, relational.Tpch.oracle),
+      (graph.Clouds.queries, graph.Clouds.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,293 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's query surface, re-expressed Spark-first over the
+  * [[TestGraph]] mapping. Each entry cites the Cypher it re-implements.
+  *
+  * Oracle SQL shares one CTE prelude ([[Clouds.OracleCte]]) that
+  * recomputes the TestGraph verbatim, so the DuckDB gate checks the
+  * whole pipeline — graph construction included.
+  */
+object Clouds {
+  import TestGraph._
+
+  private def seeds(spark: SparkSession, dir: String, taxon: String): DataFrame =
+    phageNodes(spark, dir)
+      .filter(col("source") === Ncbi && col("taxonomy").contains(taxon))
+
+  /** gdb.py:56-58 — `MATCH (a:PhageGenome {source:'NCBI'})-[r:sharesDNA]->(b)
+    * WHERE a.taxonomy CONTAINS t AND r.distance <= d RETURN a,b`. */
+  def taxonCloud(spark: SparkSession, dir: String): DataFrame =
+    graph(spark, dir)
+      .expandFrom(seeds(spark, dir, Taxon), col("distance") <= QueryThreshold)
+      .select(col("id").as("seed_phage"), col("dst").as("target_phage"))
+      .orderBy(col("seed_phage"), col("target_phage"))
+
+  /** The cloud's node-id set (union of both endpoints, gdb.py:62). */
+  private def taxonCloudIds(spark: SparkSession, dir: String): DataFrame = {
+    val cloud = graph(spark, dir)
+      .expandFrom(seeds(spark, dir, Taxon), col("distance") <= QueryThreshold)
+    cloud.select(col("id")).union(cloud.select(col("dst").as("id"))).distinct()
+  }
+
+  /** gdb.py:71-100 — induced node metadata + viz colour/size enrichment. */
+  def cloudNodes(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).inducedSubgraph(taxonCloudIds(spark, dir))
+    g.nodes.select(
+      col("id").as("phage"), col("source"), col("genome_size"),
+      col("taxonomy").contains(Taxon).as("is_taxon"),
+      when(col("source") === Ncbi && col("taxonomy").contains(Taxon), "green")
+        .when(col("source") === Ncbi, "red")
+        .when(col("source") === Tara, "cyan")
+        .when(col("source") === GpdIsolate, "pink")
+        .when(col("source") === GpdMetagenome, "purple")
+        .otherwise("yellow").as("color"),
+      floor(col("genome_size") / SizeScaleFactor).cast("long").as("size"))
+      .orderBy(col("phage"))
+  }
+
+  /** gdb.py:64-67 + 112-116 — induced-subgraph edges at the threshold,
+    * with the pyvis edge value `thres − distance + 0.1`. */
+  def cloudEdges(spark: SparkSession, dir: String): DataFrame =
+    graph(spark, dir)
+      .filterEdges(col("distance") <= QueryThreshold)
+      .inducedSubgraph(taxonCloudIds(spark, dir))
+      .edges
+      .select(col("src"), col("dst"), col("distance"),
+        (lit(QueryThreshold) - col("distance") + lit(0.1)).as("value"))
+      .orderBy(col("src"), col("dst"))
+
+  /** family.py:94 — OPTIONAL MATCH + collect-union-dedup:
+    * `MATCH (p {source:'NCBI'}) WHERE p.taxonomy CONTAINS f
+    *  OPTIONAL MATCH (p)-[r]->(q) WHERE r.distance <= d
+    *  RETURN target_phages + [x IN connected WHERE NOT x IN target]`. */
+  def familyCloud(spark: SparkSession, dir: String): DataFrame = {
+    val s = seeds(spark, dir, Family)
+    val expanded = graph(spark, dir)
+      .optionalExpandFrom(s, col("distance") <= QueryThreshold)
+    s.select(col("id"))
+      .union(expanded.filter(col("dst").isNotNull).select(col("dst").as("id")))
+      .distinct()
+      .select(col("id").as("phage_node"))
+      .orderBy(col("phage_node"))
+  }
+
+  /** host.py:57-63 — seed = phages with `(a)-[:infects]->(:Host {genus})`
+    * (pattern existence = semi join through the FK), threshold expand,
+    * union node set, then node metadata incl. the host genus
+    * (OPTIONAL MATCH (a)-[:infects]->(h) → left outer join). */
+  def hostCloud(spark: SparkSession, dir: String, harsh: Boolean): DataFrame = {
+    val g = graph(spark, dir)
+    val host = hosts(spark, dir).filter(col("genus") === HostGenus)
+    val infecting = g.nodes
+      .join(broadcast(host), col("hostkey") === col("host_id"), "left_semi")
+    val seedSet = if (harsh) infecting.filter(col("source") =!= GpdMetagenome) else infecting
+    val expanded = g.expandFrom(seedSet, col("distance") <= QueryThreshold)
+    val ids = expanded.select(col("id"))
+      .union(expanded.select(col("dst").as("id"))).distinct()
+    g.nodes.join(broadcast(ids), Seq("id"), "left_semi")
+      .join(broadcast(hosts(spark, dir)), col("hostkey") === col("host_id"), "left_outer")
+      .select(col("id").as("phage"), col("source"), col("genome_size"),
+        col("genus").as("host_genus"))
+      .orderBy(col("phage"))
+  }
+
+  def edgesBuild(spark: SparkSession, dir: String): DataFrame =
+    sharesDna(spark, dir).orderBy(col("src"), col("dst"))
+
+  def degrees(spark: SparkSession, dir: String): DataFrame =
+    graph(spark, dir).degrees.orderBy(col("id"))
+
+  def twoHop(spark: SparkSession, dir: String): DataFrame =
+    graph(spark, dir)
+      .hopFrontier(seeds(spark, dir, Taxon), 2, col("distance") <= QueryThreshold)
+      .select(col("id").as("node"))
+      .orderBy(col("node"))
+
+  def patternChain(spark: SparkSession, dir: String): DataFrame =
+    graph(spark, dir).chain2(col("distance") <= QueryThreshold)
+      .orderBy(col("a"), col("b"), col("c"))
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame =
+    graph(spark, dir).triangleCount(col("distance") <= QueryThreshold)
+
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    Algorithms.connectedComponents(g.nodes, g.edges)
+      .select(col("id").as("node"), col("comp").as("component"))
+      .orderBy(col("node"))
+  }
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    Algorithms.pageRank(g.nodes, g.edges.filter(col("distance") <= QueryThreshold))
+      .orderBy(col("id"))
+  }
+
+  def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val sym = g.copy(edges =
+      g.symmetrizedEdges.filter(col("distance") <= QueryThreshold)
+        .withColumnRenamed("distance", "weight"))
+    Algorithms.shortestPaths(sym.nodes, sym.edges, seeds(spark, dir, Taxon))
+      .filter(col("dist").isNotNull)
+      .orderBy(col("id"))
+  }
+
+  /** pyvis-equivalent viz export (gdb.py:97-116): one JSON attribute blob
+    * per node of the taxon cloud. */
+  def vizExport(spark: SparkSession, dir: String): DataFrame =
+    cloudNodes(spark, dir).select(
+      col("phage"),
+      to_json(struct(
+        col("size"),
+        struct(lit("#000000").as("border"), col("color").as("background")).as("color")
+      )).as("attrs"))
+      .orderBy(col("phage"))
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle — identical graph recomputed as a CTE prelude.
+  // ---------------------------------------------------------------------
+
+  val OracleCte: String =
+    """WITH RECURSIVE edges AS (
+         SELECT a.c_custkey AS src, b.c_custkey AS dst,
+                ABS(a.c_acctbal - b.c_acctbal)/11000.0 AS distance
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         WHERE ABS(a.c_acctbal - b.c_acctbal)/11000.0 <= 0.15),
+       nodes AS (
+         SELECT c_custkey AS id, c_mktsegment AS source,
+                CAST(FLOOR(ABS(c_acctbal)*10) AS BIGINT) AS genome_size,
+                c_name AS taxonomy, c_nationkey AS hostkey
+         FROM customer),
+       cloud AS (
+         SELECT a.id AS s, r.dst AS t
+         FROM nodes a JOIN edges r ON r.src = a.id
+         WHERE a.source = 'BUILDING' AND contains(a.taxonomy, '4')
+           AND r.distance <= 0.10),
+       cloud_ids AS (SELECT s AS id FROM cloud UNION SELECT t FROM cloud)"""
+
+  private def hostOracle(harsh: Boolean): String = {
+    val harshPred = if (harsh) " AND a.source <> 'HOUSEHOLD'" else ""
+    s"""$OracleCte,
+       hostset AS (
+         SELECT e.src AS id FROM edges e
+           JOIN nodes a ON a.id = e.src
+           JOIN nation h ON a.hostkey = h.n_nationkey
+         WHERE h.n_name = 'NATION_7' AND e.distance <= 0.10$harshPred
+         UNION
+         SELECT e.dst FROM edges e
+           JOIN nodes a ON a.id = e.src
+           JOIN nation h ON a.hostkey = h.n_nationkey
+         WHERE h.n_name = 'NATION_7' AND e.distance <= 0.10$harshPred)
+       SELECT n.id AS phage, n.source AS source, n.genome_size AS genome_size,
+              h.n_name AS host_genus
+       FROM nodes n JOIN hostset ON n.id = hostset.id
+       LEFT JOIN nation h ON n.hostkey = h.n_nationkey
+       ORDER BY phage"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "g_edges_build" ->
+      s"$OracleCte SELECT src, dst, distance FROM edges ORDER BY src, dst",
+    "g_taxon_cloud" ->
+      s"""$OracleCte
+         SELECT s AS seed_phage, t AS target_phage FROM cloud
+         ORDER BY seed_phage, target_phage""",
+    "g_cloud_nodes" ->
+      s"""$OracleCte
+         SELECT n.id AS phage, n.source AS source, n.genome_size AS genome_size,
+                contains(n.taxonomy, '4') AS is_taxon,
+                CASE WHEN n.source='BUILDING' AND contains(n.taxonomy,'4') THEN 'green'
+                     WHEN n.source='BUILDING' THEN 'red'
+                     WHEN n.source='AUTOMOBILE' THEN 'cyan'
+                     WHEN n.source='MACHINERY' THEN 'pink'
+                     WHEN n.source='HOUSEHOLD' THEN 'purple'
+                     ELSE 'yellow' END AS color,
+                CAST(FLOOR(n.genome_size/3000) AS BIGINT) AS size
+         FROM nodes n JOIN cloud_ids ci ON n.id = ci.id
+         ORDER BY phage""",
+    "g_cloud_edges" ->
+      s"""$OracleCte
+         SELECT e.src, e.dst, e.distance, 0.1 - e.distance + 0.1 AS value
+         FROM edges e JOIN cloud_ids s1 ON e.src = s1.id
+                      JOIN cloud_ids s2 ON e.dst = s2.id
+         WHERE e.distance <= 0.10
+         ORDER BY src, dst""",
+    "g_family_cloud" ->
+      s"""$OracleCte
+         SELECT id AS phage_node FROM (
+           SELECT id FROM nodes WHERE source='BUILDING' AND contains(taxonomy,'1')
+           UNION
+           SELECT r.dst FROM nodes s JOIN edges r ON r.src = s.id
+           WHERE s.source='BUILDING' AND contains(s.taxonomy,'1')
+             AND r.distance <= 0.10) t
+         ORDER BY phage_node""",
+    "g_host_cloud" -> hostOracle(harsh = false),
+    "g_host_cloud_harsh" -> hostOracle(harsh = true),
+    "g_degrees" ->
+      s"""$OracleCte
+         SELECT n.id,
+                COALESCE(o.out_deg, 0) AS out_deg,
+                COALESCE(i.in_deg, 0) AS in_deg,
+                COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS deg
+         FROM nodes n
+         LEFT JOIN (SELECT src AS id, COUNT(*) AS out_deg FROM edges GROUP BY src) o
+           ON n.id = o.id
+         LEFT JOIN (SELECT dst AS id, COUNT(*) AS in_deg FROM edges GROUP BY dst) i
+           ON n.id = i.id
+         ORDER BY id""",
+    "g_two_hop" ->
+      s"""$OracleCte
+         SELECT DISTINCT e2.dst AS node FROM nodes a
+         JOIN edges e1 ON e1.src = a.id AND e1.distance <= 0.10
+         JOIN edges e2 ON e2.src = e1.dst AND e2.distance <= 0.10
+         WHERE a.source='BUILDING' AND contains(a.taxonomy,'4')
+         ORDER BY node""",
+    "g_pattern_chain" ->
+      s"""$OracleCte
+         SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM edges e1
+         JOIN edges e2 ON e2.src = e1.dst
+         WHERE e1.distance <= 0.10 AND e2.distance <= 0.10
+         ORDER BY a, b, c""",
+    "g_triangle_count" ->
+      s"""$OracleCte
+         SELECT COUNT(*) AS n_triangles FROM edges e1
+         JOIN edges e2 ON e2.src = e1.dst
+         JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+         WHERE e1.distance <= 0.10 AND e2.distance <= 0.10 AND e3.distance <= 0.10""",
+    "g_connected_components" ->
+      s"""$OracleCte,
+         und AS (
+           SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+           UNION ALL
+           SELECT dst, src FROM edges WHERE distance <= 0.10),
+         reach(u, v) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+         SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u
+         ORDER BY node""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g_edges_build"           -> edgesBuild _,
+    "g_taxon_cloud"           -> taxonCloud _,
+    "g_cloud_nodes"           -> cloudNodes _,
+    "g_cloud_edges"           -> cloudEdges _,
+    "g_family_cloud"          -> familyCloud _,
+    "g_host_cloud"            -> ((s: SparkSession, d: String) => hostCloud(s, d, harsh = false)),
+    "g_host_cloud_harsh"      -> ((s: SparkSession, d: String) => hostCloud(s, d, harsh = true)),
+    "g_degrees"               -> degrees _,
+    "g_two_hop"               -> twoHop _,
+    "g_pattern_chain"         -> patternChain _,
+    "g_triangle_count"        -> triangleCount _,
+    "g_connected_components"  -> connectedComponents _,
+    "g_pagerank"              -> pageRank _,
+    "g_shortest_paths"        -> shortestPaths _,
+    "g_viz_export"            -> vizExport _,
+  )
+}

