@@ -17,11 +17,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Fail LOUDLY: a query that cannot run must not silently vanish from
+    // the correctness round (r1 lost g_two_hop this way). Every declared
+    // key is accounted for in manifest.json; any failure flips exit code.
+    val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        emitted += name
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failures += name -> msg.linesIterator.take(3).mkString(" | ")
+        System.err.println(s"[verify] FAILED $name: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +48,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    def arr(xs: Seq[String]): String = xs.sorted.map(q).mkString("[", ",", "]")
+    val manifest =
+      s"""{"declared": ${arr(SparkEntry.queries.keys.toSeq)},
+         | "emitted": ${arr(emitted.toSeq)},
+         | "failed": {${failures.sortBy(_._1).map { case (k, m) => s"${q(k)}: ${q(m)}" }.mkString(",")}}}""".stripMargin
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    println(s"[verify] emitted ${emitted.size}/${SparkEntry.queries.size} queries" +
+      (if (failures.nonEmpty) s"; FAILED: ${failures.map(_._1).mkString(", ")}" else ""))
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -83,7 +83,7 @@ object Clouds {
     val host = hosts(spark, dir).filter(col("genus") === HostGenus)
     val infecting = g.nodes
       .join(broadcast(host), col("hostkey") === col("host_id"), "left_semi")
-    val seedSet = if (harsh) infecting.filter(col("source") =!= GpdMetagenome) else infecting
+    val seedSet = if (harsh) infecting.filter(col("source") =!= Gtdb) else infecting
     val expanded = g.expandFrom(seedSet, col("distance") <= QueryThreshold)
     val ids = expanded.select(col("id"))
       .union(expanded.select(col("dst").as("id"))).distinct()
@@ -151,8 +151,11 @@ object Clouds {
   // DuckDB oracle — identical graph recomputed as a CTE prelude.
   // ---------------------------------------------------------------------
 
+  // Plain WITH: under DuckDB a `WITH RECURSIVE` prelude makes UNION inside
+  // the non-recursive CTEs stop deduplicating; only the CC oracle needs
+  // RECURSIVE and gets its own prelude below.
   val OracleCte: String =
-    """WITH RECURSIVE edges AS (
+    """WITH edges AS (
          SELECT a.c_custkey AS src, b.c_custkey AS dst,
                 ABS(a.c_acctbal - b.c_acctbal)/11000.0 AS distance
          FROM customer a JOIN customer b
@@ -171,7 +174,7 @@ object Clouds {
        cloud_ids AS (SELECT s AS id FROM cloud UNION SELECT t FROM cloud)"""
 
   private def hostOracle(harsh: Boolean): String = {
-    val harshPred = if (harsh) " AND a.source <> 'HOUSEHOLD'" else ""
+    val harshPred = if (harsh) " AND a.source <> 'FURNITURE'" else ""
     s"""$OracleCte,
        hostset AS (
          SELECT e.src AS id FROM edges e
@@ -239,7 +242,7 @@ object Clouds {
            ON n.id = o.id
          LEFT JOIN (SELECT dst AS id, COUNT(*) AS in_deg FROM edges GROUP BY dst) i
            ON n.id = i.id
-         ORDER BY id""",
+         ORDER BY n.id""",
     "g_two_hop" ->
       s"""$OracleCte
          SELECT DISTINCT e2.dst AS node FROM nodes a
@@ -260,7 +263,7 @@ object Clouds {
          JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
          WHERE e1.distance <= 0.10 AND e2.distance <= 0.10 AND e3.distance <= 0.10""",
     "g_connected_components" ->
-      s"""$OracleCte,
+      s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          und AS (
            SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
            UNION ALL

@@ -77,8 +77,10 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     val e = edges.filter(edgeCond).select(col("src"), col("dst"))
     var frontier = seedIds.select(col("id")).distinct()
     for (_ <- 1 to hops) {
-      frontier = frontier.join(e, frontier("id") === e("src"))
-        .select(e("dst").as("id")).distinct()
+      // fresh aliases per iteration: after hop 1 the frontier descends from
+      // `e` itself and an unaliased self-join is ambiguous (AMBIGUOUS_SELF_JOIN)
+      frontier = frontier.as("f").join(e.as("e"), col("f.id") === col("e.src"))
+        .select(col("e.dst").as("id")).distinct()
     }
     frontier
   }

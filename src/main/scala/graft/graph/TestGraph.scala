@@ -39,6 +39,10 @@ object TestGraph {
   val Tara = "AUTOMOBILE"
   val GpdIsolate = "MACHINERY"
   val GpdMetagenome = "HOUSEHOLD"
+  // The 5th mktsegment — the reference's --harsh flag excludes this corpus
+  // (phageclouds_gdb_host.py:57 `a.source <> 'GTDB_predicted_prophages'`),
+  // which under this mapping is the otherwise/yellow bucket.
+  val Gtdb = "FURNITURE"
 
   val Taxon = "4"          // gdb.py     -t <taxon>   (taxonomy CONTAINS)
   val Family = "1"         // family.py  -f <family>
