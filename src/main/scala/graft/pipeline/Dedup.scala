@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM training-data pipeline, over the
+  * `documents` table. Spark-first designs:
+  *
+  *   - exact dedup = one hash-groupBy (map-side combine, single shuffle);
+  *   - MinHash+LSH = shingle → xxhash64 → k affine permutations → band
+  *     bucket-join. NEVER all-pairs: only same-(band, band-hash) rows
+  *     meet, so the shuffle is on the band key and the pair count is
+  *     bounded by bucket sizes (AQE splits skewed buckets);
+  *   - SimHash = tf-weighted ±1 bit sums per token hash, reassembled with
+  *     bitwise OR (no overflow, ANSI-safe);
+  *   - n-gram Jaccard = exact intersection counts via a gram-key join —
+  *     the same bucket-join shape, candidates share ≥1 gram by
+  *     construction.
+  *
+  * All pure column expressions (codegen'd, no UDFs).
+  */
+object Dedup {
+
+  // ---- exact dedup --------------------------------------------------
+
+  /** Exact duplicate groups by content hash. `d_exact_dedup`. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Docs.docs(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_doc_id"))
+
+  // ---- MinHash + LSH ------------------------------------------------
+
+  /** 2^31 − 1, the classic Mersenne-prime modulus: keeps `a*h + b` under
+    * 2^62 so ANSI-mode long arithmetic cannot overflow. */
+  private val P = 2147483647L
+  val NumPerm = 32
+  val NumBands = 8 // × 4 rows/band
+  private val RowsPerBand = NumPerm / NumBands
+
+  /** Deterministic affine-permutation constants (a odd, < 2^31). */
+  private val permA: IndexedSeq[Long] =
+    (0 until NumPerm).map(i => ((1103515245L * (i + 1) + 12345L) % (P - 1)) | 1L)
+  private val permB: IndexedSeq[Long] =
+    (0 until NumPerm).map(i => (12345L * (i + 1) + 1103515245L) % P)
+
+  /** Per-document MinHash signature: one row (doc_id, mh0..mh31).
+    * Explode-then-aggregate: a single shuffle on doc_id with map-side
+    * partial min — the 100 TB-safe shape (vs per-row array traversals
+    * which recompute the gram set k times). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Docs.gramTable(spark, dir)
+      .withColumn("h", pmod(xxhash64(col("gram")), lit(P)))
+    val mins = (0 until NumPerm).map(i =>
+      min(pmod(col("h") * lit(permA(i)) + lit(permB(i)), lit(P))).as(s"mh$i"))
+    grams.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding near-duplicate pairs with estimated Jaccard
+    * ≥ `minSim`. `d_minhash_lsh` (rows-only oracle: xxhash64 has no DuckDB
+    * equivalent; ScalaTest asserts the planted duplicates are recovered). */
+  def minhashLsh(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(spark, dir).localCheckpoint(true)
+    val bandStructs = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val matches = (0 until NumPerm)
+      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .select(col("a"), col("b"), (matches.cast("double") / NumPerm).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minSim)
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ---- SimHash ------------------------------------------------------
+
+  /** 64-bit SimHash fingerprint per document + a 16-bit hamming bucket
+    * (top bits): near-duplicates land in the same bucket with high
+    * probability. `d_simhash` (rows-only oracle). Term frequency weights
+    * fall out of exploding tokens WITHOUT dedup. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Docs.docs(spark, dir)
+      .select(col("doc_id"), explode(Docs.tokens).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
+    val assembled = (0 until 64)
+      .map(j => when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+      .withColumn("bucket", shiftrightunsigned(col("simhash"), 48))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- exact n-gram Jaccard ----------------------------------------
+
+  /** Exact word-3-gram Jaccard similarity for all pairs ≥ `minSim`.
+    * Candidates come from the gram-key join (pairs must share a gram),
+    * so no all-pairs product ever materializes. `d_ngram_jaccard`.
+    * Integer intersection/union counts make the double division
+    * bit-identical to the DuckDB oracle. */
+  def ngramJaccard(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
+    val grams = Docs.gramTable(spark, dir)
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("g1")
+      .join(grams.as("g2"),
+        col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
+      .groupBy(col("g1.doc_id").as("a"), col("g2.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    inter
+      .join(sizes.withColumnRenamed("n_grams", "na").withColumnRenamed("doc_id", "a"), Seq("a"))
+      .join(sizes.withColumnRenamed("n_grams", "nb").withColumnRenamed("doc_id", "b"), Seq("b"))
+      .filter(jac >= minSim)
+      .select(col("a"), col("b"), round(jac, 6).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  // ---- oracles ------------------------------------------------------
+
+  /** DuckDB equivalent of [[Docs.gramTable]] as a CTE body. */
+  private val GramCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (
+         SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' ')))) AS gram
+         FROM toks)"""
+
+  val oracle: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
+                COUNT(*) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
+    "d_ngram_jaccard" ->
+      s"""WITH $GramCte,
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+          inter AS (
+            SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+            FROM grams g1 JOIN grams g2
+              ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+            GROUP BY g1.doc_id, g2.doc_id)
+          SELECT a, b,
+                 ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+          ORDER BY a, b""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact_dedup"   -> (exactDedup _),
+    "d_minhash_lsh"   -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
+    "d_simhash"       -> (simhash _),
+    "d_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+  )
+}
