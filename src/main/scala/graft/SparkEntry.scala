@@ -9,6 +9,11 @@ object SparkEntry {
     Seq(
       (relational.Tpch.queries, relational.Tpch.oracle),
       (graph.Clouds.queries, graph.Clouds.oracle),
+      (pipeline.Dedup.queries, pipeline.Dedup.oracle),
+      (pipeline.Text.queries, pipeline.Text.oracle),
+      (pipeline.Similarity.queries, pipeline.Similarity.oracle),
+      (pipeline.Multimodal.queries, pipeline.Multimodal.oracle),
+      (streaming.Windowed.queries, streaming.Windowed.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed per-media metadata row produced by the (stubbed) decoder. */
+final case class MediaMeta(
+    doc_id: Long,
+    n_bytes: Long,
+    magic: String,
+    width: Int,
+    height: Int,
+    n_frames: Int,
+    feature_checksum: Long)
+
+/** Multimodal-column plumbing: treat media as an opaque `binary` column
+  * and run a partition-batched decode/feature-extract stage over it.
+  *
+  * The Spark-side shape is the real thing — a `binary` payload column,
+  * a typed output schema via a case-class `Encoder`, and `mapPartitions`
+  * batching (one decoder instantiation per partition, streaming over the
+  * rows, never collecting) — exactly how an image/audio decode stage runs
+  * on a cluster. The DECODE ITSELF IS A STUB (this container has no
+  * media libraries): payload bytes are the UTF-8 text and the "decoded"
+  * width/height/frame-count are deterministic functions of the byte
+  * stream, so the stage is fully oracle-checkable end to end.
+  *
+  * Scale: narrow map stage, no shuffle; the binary payload never leaves
+  * the executor that scanned it. `m_multimodal_meta`.
+  */
+object Multimodal {
+
+  /** documents with an opaque binary payload column (UTF-8 bytes here;
+    * parquet BYTE_ARRAY of real media in production). */
+  def withPayload(spark: SparkSession, dir: String): DataFrame =
+    Docs.docs(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // STUB DECODER — a real implementation would open a codec here
+        // (once per partition) and parse container headers per payload.
+        rows.map { case (id, bytes) =>
+          val n = bytes.length.toLong
+          val magic = new String(bytes.take(4), java.nio.charset.StandardCharsets.UTF_8)
+          var checksum = 0L
+          var i = 0
+          while (i < bytes.length) { // rolling byte checksum, mod 1e9+7
+            checksum = (checksum * 131 + (bytes(i) & 0xff)) % 1000000007L
+            i += 1
+          }
+          MediaMeta(id, n, magic,
+            width = (n % 640).toInt, height = (n % 480).toInt,
+            n_frames = (n % 16 + 1).toInt, feature_checksum = checksum)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** The payload is ASCII text, so the oracle can recompute byte length,
+    * magic and the rolling checksum from character codes. */
+  val oracle: Map[String, String] = Map(
+    "m_multimodal_meta" ->
+      """WITH b AS (
+           SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents)
+         SELECT doc_id, n_bytes,
+           substr(text, 1, 4) AS magic,
+           CAST(n_bytes % 640 AS INTEGER) AS width,
+           CAST(n_bytes % 480 AS INTEGER) AS height,
+           CAST(n_bytes % 16 + 1 AS INTEGER) AS n_frames,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, CAST(n_bytes + 1 AS INTEGER)),
+                              i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 1000000007) AS feature_checksum
+         FROM b ORDER BY doc_id""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m_multimodal_meta" -> (multimodalMeta _),
+  )
+}

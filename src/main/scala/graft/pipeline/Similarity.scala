@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity operators over the `embeddings` table
+  * (vec_id, embedding FLOAT[64], label).
+  *
+  * Numeric contract with the DuckDB oracle: every cosine is computed as
+  * dot/(sqrt(na)*sqrt(nb)) over the float values promoted to double,
+  * summed in element order — bit-identical to DuckDB's
+  * `list_cosine_similarity(CAST(v AS DOUBLE[]), ...)` (verified
+  * empirically to 0 ulp), so `round(cos, 4)` hash-matches. Thresholds
+  * and ranks are applied to the ROUNDED value so boundary decisions are
+  * identical in both engines.
+  *
+  * Scale story: the exact operators (`d_embedding_neardup`,
+  * `s_cosine_topk`) are the O(n·m) brute-force baselines — correct at
+  * any scale but quadratic; [[lshAnn]] is the 100 TB path: bucketed
+  * random-hyperplane LSH where the only shuffle is on the (table,
+  * bucket) key and no all-pairs product ever materializes.
+  */
+object Similarity {
+
+  /** Embeddings with doubles + precomputed L2 norm (one pass per vector,
+    * reused by every pair — at scale this is a cheap narrow map). */
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  /** Sequential-order dot product of two double-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Exact embedding near-duplicate pairs with cosine ≥ `minCos`
+    * (on the 4-dp rounded value). `d_embedding_neardup`. */
+  def embeddingNearDup(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame = {
+    val v = vectors(spark, dir)
+    val a = v.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na"))
+    val b = v.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cos_sim", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("a"), col("b"), col("cos_sim"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
+    * the k nearest other vectors. The query side is a fixed small set →
+    * broadcast is size-safe by construction; the candidate side streams.
+    * `s_cosine_topk`. */
+  def cosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 4))
+    // rank on the rounded value (cross-engine deterministic), vec_id tiebreak
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor"), col("cos_sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---- random-hyperplane LSH ANN (the scale path) --------------------
+
+  val Dim = 64          // embedding dimensionality of the corpus
+  val NumTables = 6     // L independent hash tables (recall knob)
+  val BitsPerTable = 8  // k sign bits per table (precision knob)
+
+  /** Deterministic Gaussian hyperplanes, seeded per (table, bit). */
+  private val hyperplanes: IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val rng = new scala.util.Random(42)
+    IndexedSeq.fill(NumTables)(IndexedSeq.fill(BitsPerTable)(
+      Array.fill(Dim)(rng.nextGaussian())))
+  }
+
+  /** Per-vector LSH buckets: (vec_id, table, bucket) where bucket packs
+    * the k sign bits of the hyperplane projections. Narrow map — no
+    * shuffle; the bucket key is what the candidate join shuffles on. */
+  private def buckets(v: DataFrame): DataFrame = {
+    val tableBuckets = (0 until NumTables).map { t =>
+      val bits = (0 until BitsPerTable).map { j =>
+        val h = array(hyperplanes(t)(j).map(lit): _*)
+        when(dot(col("v"), h) > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
+    }
+    v.select(col("vec_id"), col("v"), col("norm"),
+        explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are vectors sharing ≥1
+    * (table, bucket) with the query — the join key is (table, bucket),
+    * so the shuffle is bucket-local and NEVER all-pairs. Exact cosine
+    * re-scoring on the candidate set only. `s_lsh_ann` (rows-only
+    * oracle; ScalaTest asserts recall vs the brute-force baseline). */
+  def lshAnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, dir)
+    val b = buckets(v).localCheckpoint(true)
+    val qb = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"),
+        col("table"), col("bucket"))
+    val cand = qb.join(b, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("vec_id"), col("v"), col("norm"))
+      .distinct()
+    val scored = cand.withColumn("cos_sim",
+      round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor"), col("cos_sim"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---- oracles -------------------------------------------------------
+
+  private val VecCte =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+
+  val oracle: Map[String, String] = Map(
+    "d_embedding_neardup" ->
+      s"""$VecCte,
+         pairs AS (
+           SELECT a.vec_id AS a, b.vec_id AS b,
+                  ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+           FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.4 ORDER BY a, b""",
+    "s_cosine_topk" ->
+      s"""$VecCte,
+         q AS (SELECT * FROM e WHERE vec_id < 10),
+         pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor,
+                  ROUND(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
+           FROM q JOIN e c ON c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor, cos_sim,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor) AS BIGINT) AS rnk
+           FROM pairs)
+         SELECT query_id, neighbor, cos_sim, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
+    "s_cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
+    "s_lsh_ann"           -> ((s: SparkSession, d: String) => lshAnn(s, d)),
+  )
+}

@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table: language ID, quality scoring, token counting and
+  * rolling-hash fingerprinting.
+  *
+  * All four are pure `functions._` column pipelines — single narrow pass
+  * over the scan, no shuffle (the final orderBy exists only for the
+  * deterministic oracle dump), no UDFs, fully inside whole-stage codegen.
+  * At 100 TB these are scan-bound map stages, exactly what you want.
+  *
+  * Every double op is a single division (or one multiply) followed by
+  * `round(_, 4)`, mirrored verbatim in the DuckDB oracle so the gate
+  * hash-matches bit-for-bit.
+  */
+object Text {
+
+  /** Per-language stopword marker lists for the n-gram/stopword
+    * language-ID heuristic. Tie-break priority: en > de > es > fr > zh
+    * (mirrored in the oracle CASE order). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不"),
+  )
+
+  private def toksOf(df: DataFrame): DataFrame =
+    df.withColumn("toks", Docs.tokens)
+
+  private def hits(words: Seq[String]): Column =
+    size(filter(col("toks"), t => t.isin(words: _*)))
+
+  /** Stopword-count argmax language ID. `t_langid`. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Stopwords.foldLeft(toksOf(Docs.docs(spark, dir))) {
+      case (df, (lang, words)) => df.withColumn(s"${lang}_hits", hits(words).cast("long"))
+    }
+    val Seq(en, de, es, fr, zh) = Stopwords.map { case (l, _) => col(s"${l}_hits") }
+    scored.select(
+      col("doc_id"), col("lang"),
+      en, de, es, fr, zh,
+      when(en >= de && en >= es && en >= fr && en >= zh, "en")
+        .when(de >= es && de >= fr && de >= zh, "de")
+        .when(es >= fr && es >= zh, "es")
+        .when(fr >= zh, "fr")
+        .otherwise("zh").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document quality score from length / type-token ratio / stopword
+    * ratio. `t_quality`. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val enWords = Stopwords.head._2
+    toksOf(Docs.docs(spark, dir))
+      .select(col("doc_id"), col("n_chars"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        hits(enWords).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 4).as("chars_per_token"),
+        round(least(lit(1.0), col("n_tokens").cast("double") / 400.0) *
+          (col("n_types").cast("double") / col("n_tokens")), 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish subword estimate
+    * (⌈len/4⌉ pieces per word — the classic chars-per-token heuristic).
+    * `t_tokens`. */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    toksOf(Docs.docs(spark, dir))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_ws_tokens"),
+        aggregate(
+          transform(col("toks"), t => ceil(length(t) / lit(4.0)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_subword_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling polynomial hash over the token stream (mod 2^31−1, so the
+    * accumulator stays < 2^62 and ANSI long arithmetic cannot overflow):
+    * fp := (fp·1000003 + code(tok)) mod P, an order-sensitive document
+    * fingerprint. `t_fingerprint`. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val P = 2147483647L
+    toksOf(Docs.docs(spark, dir))
+      .select(col("doc_id"),
+        aggregate(
+          transform(col("toks"), t => (ascii(t) * lit(31L) + length(t)).cast("long")),
+          lit(0L), (acc, c) => pmod(acc * lit(1000003L) + c, lit(P))).as("fingerprint"))
+      .withColumn("bucket", pmod(col("fingerprint"), lit(1024L)))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- oracles -------------------------------------------------------
+
+  private val ToksCte =
+    """WITH t AS (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS toks
+                  FROM documents)"""
+
+  private def hitsSql(words: Seq[String]): String =
+    s"CAST(len(list_filter(toks, w -> w IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "t_langid" -> {
+      val hs = Stopwords.map { case (l, ws) => s"${hitsSql(ws)} AS ${l}_hits" }.mkString(",\n ")
+      s"""$ToksCte,
+         scored AS (SELECT doc_id, lang, $hs FROM t)
+         SELECT doc_id, lang, en_hits, de_hits, es_hits, fr_hits, zh_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+                WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+                WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+                WHEN fr_hits >= zh_hits THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+         FROM scored ORDER BY doc_id"""
+    },
+    "t_quality" ->
+      s"""$ToksCte,
+         counted AS (
+           SELECT doc_id, n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+             ${hitsSql(Stopwords.head._2)} AS n_stop
+           FROM t)
+         SELECT doc_id, n_chars, n_tokens, n_types,
+           ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token,
+           ROUND(LEAST(1.0, CAST(n_tokens AS DOUBLE) / 400.0) *
+                 (CAST(n_types AS DOUBLE) / n_tokens), 4) AS quality_score
+         FROM counted ORDER BY doc_id""",
+    "t_tokens" ->
+      s"""$ToksCte
+         SELECT doc_id, n_chars,
+           CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+           CAST(list_sum(list_transform(toks,
+                w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens
+         FROM t ORDER BY doc_id""",
+    "t_fingerprint" ->
+      s"""$ToksCte,
+         fp AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks, w -> CAST(ascii(w)*31 + len(w) AS BIGINT))),
+               (acc, c) -> (acc * 1000003 + c) % 2147483647) AS fingerprint
+           FROM t)
+         SELECT doc_id, fingerprint, fingerprint % 1024 AS bucket
+         FROM fp ORDER BY doc_id""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_langid"      -> (langId _),
+    "t_quality"     -> (quality _),
+    "t_tokens"      -> (tokens _),
+    "t_fingerprint" -> (fingerprint _),
+  )
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Watermarked tumbling-window aggregation over the events stream.
+  *
+  * One transform, two execution paths:
+  *   - [[batch]] runs the identical logical plan on the batch events
+  *     table — this is the oracle-checked `st_windowed_agg` entry
+  *     (Structured Streaming's core guarantee is exactly this
+  *     batch/stream equivalence);
+  *   - [[streaming]] applies it to a streaming DataFrame with a 2-hour
+  *     watermark (state eviction bound — without it, window state grows
+  *     forever at 100 TB/day); exercised in ScalaTest via MemoryStream.
+  *
+  * Decimal sums keep the aggregation order-independent, so the result is
+  * identical across micro-batch orderings and hash-matches DuckDB.
+  */
+object Windowed {
+
+  private val D12_2 = DecimalType(12, 2)
+
+  /** Tumbling 1-hour windows × event_type: count + exact value sum. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(D12_2)), 2).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start_sec"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  def batch(spark: SparkSession, dir: String): DataFrame =
+    windowedAgg(Tables.events(spark, dir))
+      .orderBy(col("window_start_sec"), col("event_type"))
+
+  /** Streaming path: same agg under a watermark. Append-mode compatible
+    * (windows close when the watermark passes window end). */
+  def streaming(events: DataFrame): DataFrame =
+    windowedAgg(events.withWatermark("ts", "2 hours"))
+
+  val oracle: Map[String, String] = Map(
+    "st_windowed_agg" ->
+      """WITH e AS (
+           SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value
+           FROM events)
+         SELECT ts_sec - ts_sec % 3600 AS window_start_sec, event_type,
+                COUNT(*) AS n_events,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+         FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_windowed_agg" -> (batch _),
+  )
+}
