@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.Algorithms
+
+/** Hand-computed fixtures for the oracle-less iterative algorithms. */
+class AlgorithmsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nodesDf(ids: Long*) = ids.toDF("id")
+
+  test("connected components on a two-component fixture") {
+    val nodes = nodesDf(1, 2, 3, 4, 5, 6)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val comp = Algorithms.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("connected components converges on a long path (pointer jumping)") {
+    val n = 64L
+    val nodes = nodesDf(1L to n: _*)
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = Algorithms.connectedComponents(nodes, edges).collect()
+    assert(comp.forall(_.getLong(1) == 1L))
+  }
+
+  test("pagerank matches a driver-side reference implementation") {
+    // graph with a dangling node (4) and a hub (1)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val nodes = nodesDf(1, 2, 3, 4)
+    val got = Algorithms.pageRank(nodes, edges, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // reference: same recurrence, driver-side
+    val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L, 4L))
+    var pr = Seq(1L, 2L, 3L, 4L).map(_ -> 0.25).toMap
+    for (_ <- 1 to 10) {
+      val dangling = pr.filterNot(kv => out.contains(kv._1)).values.sum
+      val contrib = out.toSeq.flatMap { case (s, ds) => ds.map(_ -> pr(s) / ds.size) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = pr.keys.map(id => id ->
+        (0.15 / 4 + 0.85 * (contrib.getOrElse(id, 0.0) + dangling / 4))).toMap
+    }
+    got.foreach { case (id, r) => assert(math.abs(r - pr(id)) < 1e-12, s"node $id") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conservation")
+  }
+
+  test("shortest paths match Dijkstra on a weighted fixture") {
+    val edges = Seq(
+      (1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 5.0), (3L, 4L, 1.0), (2L, 4L, 10.0),
+      (5L, 4L, 1.0)).toDF("src", "dst", "weight")
+    val nodes = nodesDf(1, 2, 3, 4, 5, 6)
+    val seeds = nodesDf(1)
+    val got = Algorithms.shortestPaths(nodes, edges, seeds).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(0.0))
+    assert(got(2L).contains(1.0))
+    assert(got(3L).contains(3.0), "1→2→3 beats the direct 5.0 edge")
+    assert(got(4L).contains(4.0), "1→2→3→4 beats 1→2→4")
+    assert(got(5L).isEmpty && got(6L).isEmpty, "unreachable stays null")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.pipeline.Dedup
+
+/** Planted-duplicate recovery for the dedup family (fixture corpus). */
+class DedupSpec extends SparkSpec {
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+    "eta", "theta", "iota", "kappa", "lambda", "mu")
+
+  private def salad(seed: Int, n: Int): String = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+  }
+
+  private val base = salad(1, 60)
+  // near-duplicate: one word changed in the middle
+  private val nearDup = {
+    val toks = base.split(" "); toks(30) = "omega"; toks.mkString(" ")
+  }
+  private lazy val dir = TestSession.docsFixture(Seq(
+    (0L, base, "en", "src0", base.length.toLong),
+    (1L, nearDup, "en", "src0", nearDup.length.toLong),
+    (2L, base, "en", "src1", base.length.toLong), // exact duplicate of 0
+    (3L, salad(7, 60), "en", "src0", 60L),
+    (4L, salad(9, 60), "en", "src1", 60L)))
+
+  test("exact dedup groups identical texts and keeps the min doc_id") {
+    val groups = rowsOf(Dedup.exactDedup(spark, dir))
+    assert(groups.size == 4, "5 docs, one exact-duplicate pair")
+    val dup = groups.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 0L, "keeper is the min doc_id")
+  }
+
+  test("minhash LSH recovers the planted near-duplicate pair and nothing random") {
+    val pairs = rowsOf(Dedup.minhashLsh(spark, dir, minSim = 0.5))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)),
+      s"planted near-dups must be found, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._1 == 4L || p._2 == 4L),
+      "independent salads are not near-duplicates")
+  }
+
+  test("simhash: identical docs share a fingerprint; near-dups are hamming-close") {
+    val fp = rowsOf(Dedup.simhash(spark, dir))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(2L), "exact copies have equal simhash")
+    val hamming = java.lang.Long.bitCount(fp(0L) ^ fp(1L))
+    assert(hamming <= 8, s"one-word edit must stay hamming-close, got $hamming")
+    val far = java.lang.Long.bitCount(fp(0L) ^ fp(3L))
+    assert(far > hamming, "unrelated doc is farther than the near-dup")
+  }
+
+  test("ngram jaccard finds the planted pair with high similarity") {
+    val pairs = rowsOf(Dedup.ngramJaccard(spark, dir, minSim = 0.5))
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs((0L, 1L)) > 0.8, "one edit in 60 tokens ⇒ jaccard ≫ 0.8")
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) == 1.0, "exact copy ⇒ 1.0")
+  }
+
+  test("dedup operators run on the driver corpus with sane shapes") {
+    assert(Dedup.exactDedup(spark, SF).count() > 0)
+    val sig = rowsOf(Dedup.simhash(spark, SF))
+    assert(sig.map(_.getLong(0)).distinct.size == sig.size, "one fingerprint per doc")
+  }
+}

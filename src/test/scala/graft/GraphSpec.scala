@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.graph.{Clouds, TestGraph}
+
+class GraphSpec extends SparkSpec {
+
+  test("edges_build: canonical direction, threshold respected, nation-bucketed") {
+    val e = rowsOf(Clouds.edgesBuild(spark, SF))
+    assert(e.nonEmpty)
+    e.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "src < dst canonicalization")
+      assert(r.getDouble(2) <= TestGraph.BuildThreshold + 1e-12)
+    }
+  }
+
+  test("taxon cloud seeds are NCBI-mapped nodes whose taxonomy contains the taxon") {
+    val cloud = Clouds.taxonCloud(spark, SF)
+    val nodes = TestGraph.phageNodes(spark, SF)
+    val badSeeds = cloud.join(nodes, cloud("seed_phage") === nodes("id"))
+      .filter(col("source") =!= TestGraph.Ncbi ||
+        !col("taxonomy").contains(TestGraph.Taxon))
+    assert(badSeeds.count() == 0)
+    assert(cloud.count() > 0)
+  }
+
+  test("cloud nodes carry only legal viz colours and consistent sizes") {
+    val r = rowsOf(Clouds.cloudNodes(spark, SF))
+    assert(r.nonEmpty)
+    val legal = Set("green", "red", "cyan", "pink", "purple", "yellow")
+    r.foreach { row =>
+      assert(legal(row.getString(row.fieldIndex("color"))))
+      assert(row.getLong(row.fieldIndex("size")) ==
+        row.getLong(row.fieldIndex("genome_size")) / TestGraph.SizeScaleFactor)
+    }
+  }
+
+  test("cloud edges are induced: both endpoints in the cloud node set") {
+    val ids = rowsOf(Clouds.cloudNodes(spark, SF)).map(_.getLong(0)).toSet
+    val edges = rowsOf(Clouds.cloudEdges(spark, SF))
+    assert(edges.nonEmpty)
+    edges.foreach { r =>
+      assert(ids(r.getLong(0)) && ids(r.getLong(1)))
+      assert(r.getDouble(r.fieldIndex("distance")) <= TestGraph.QueryThreshold)
+    }
+  }
+
+  test("family cloud (OPTIONAL MATCH) is a superset of its seed set") {
+    val family = rowsOf(Clouds.familyCloud(spark, SF)).map(_.getLong(0)).toSet
+    val seeds = rowsOf(TestGraph.phageNodes(spark, SF)
+      .filter(col("source") === TestGraph.Ncbi &&
+        col("taxonomy").contains(TestGraph.Family))).map(_.getLong(0)).toSet
+    assert(seeds.subsetOf(family), "left-outer expand must keep edge-less seeds")
+  }
+
+  test("host cloud nodes resolve a host genus via the infects FK") {
+    val r = rowsOf(Clouds.hostCloud(spark, SF, harsh = false))
+    assert(r.nonEmpty)
+    assert(r.forall(!_.isNullAt(r.head.fieldIndex("host_genus"))))
+    val harsh = rowsOf(Clouds.hostCloud(spark, SF, harsh = true))
+    assert(harsh.size <= r.size, "harsh mode only removes nodes")
+  }
+
+  test("degrees: out-degree total equals edge count; deg = in + out") {
+    val edgeCount = Clouds.edgesBuild(spark, SF).count()
+    val d = rowsOf(Clouds.degrees(spark, SF))
+    assert(d.map(_.getLong(1)).sum == edgeCount)
+    assert(d.map(_.getLong(2)).sum == edgeCount)
+    d.foreach(r => assert(r.getLong(3) == r.getLong(1) + r.getLong(2)))
+  }
+
+  test("two-hop frontier equals the driver-side recomputed 2-step reachability") {
+    val thresholdEdges = rowsOf(TestGraph.sharesDna(spark, SF)
+      .filter(col("distance") <= TestGraph.QueryThreshold))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val seeds = rowsOf(TestGraph.phageNodes(spark, SF)
+      .filter(col("source") === TestGraph.Ncbi &&
+        col("taxonomy").contains(TestGraph.Taxon))).map(_.getLong(0)).toSet
+    val bySrc = thresholdEdges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val hop1 = seeds.flatMap(s => bySrc.getOrElse(s, Nil))
+    val expected = hop1.flatMap(m => bySrc.getOrElse(m, Nil))
+    val got = rowsOf(Clouds.twoHop(spark, SF)).map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("pattern chain rows are two joined threshold edges") {
+    val edges = rowsOf(TestGraph.sharesDna(spark, SF)
+      .filter(col("distance") <= TestGraph.QueryThreshold))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chains = rowsOf(Clouds.patternChain(spark, SF))
+    assert(chains.nonEmpty)
+    chains.take(200).foreach { r =>
+      assert(edges((r.getLong(0), r.getLong(1))) && edges((r.getLong(1), r.getLong(2))))
+    }
+  }
+
+  test("connected components: every threshold edge joins same-component nodes; label ≤ id") {
+    val comp = rowsOf(Clouds.connectedComponents(spark, SF))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp.foreach { case (id, c) => assert(c <= id) }
+    rowsOf(TestGraph.sharesDna(spark, SF)
+      .filter(col("distance") <= TestGraph.QueryThreshold))
+      .foreach(r => assert(comp(r.getLong(0)) == comp(r.getLong(1))))
+  }
+
+  test("viz export round-trips as JSON with the cloud node attributes") {
+    val export = Clouds.vizExport(spark, SF)
+    val schema = StructType(Seq(
+      StructField("size", org.apache.spark.sql.types.LongType),
+      StructField("color", StructType(Seq(
+        StructField("border", StringType), StructField("background", StringType))))))
+    val parsed = export.select(col("phage"), from_json(col("attrs"), schema).as("a"))
+    val nodes = Clouds.cloudNodes(spark, SF)
+    val joined = parsed.join(nodes, parsed("phage") === nodes("phage"))
+      .filter(col("a.size") =!= col("size") || col("a.color.background") =!= col("color"))
+    assert(joined.count() == 0, "JSON attrs must match cloudNodes")
+    assert(parsed.filter(col("a").isNull).count() == 0, "all attrs parse")
+  }
+}

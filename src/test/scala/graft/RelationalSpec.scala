@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.relational.Tpch
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1 aggregates every (returnflag, linestatus) group with positive sums") {
+    val r = rowsOf(Tpch.q1PricingSummary(spark, SF))
+    assert(r.nonEmpty && r.size <= 6)
+    r.foreach { row =>
+      assert(row.getDouble(row.fieldIndex("sum_qty")) > 0)
+      assert(row.getDouble(row.fieldIndex("sum_charge")) >=
+        row.getDouble(row.fieldIndex("sum_disc_price")))
+      assert(row.getLong(row.fieldIndex("count_order")) > 0)
+    }
+  }
+
+  test("q3 returns at most 10 rows in descending revenue order") {
+    val rev = rowsOf(Tpch.q3ShippingPriority(spark, SF))
+      .map(_.getDouble(1))
+    assert(rev.size <= 10)
+    assert(rev == rev.sorted.reverse)
+  }
+
+  test("q5 revenue per nation is positive and sorted desc") {
+    val r = rowsOf(Tpch.q5LocalSupplier(spark, SF))
+    assert(r.nonEmpty)
+    val rev = r.map(_.getDouble(1))
+    assert(rev == rev.sorted.reverse)
+    assert(rev.forall(_ > 0))
+  }
+
+  test("window rank never exceeds 3 and restarts per brand") {
+    val r = rowsOf(Tpch.qWindowRank(spark, SF))
+    assert(r.nonEmpty)
+    val byBrand = r.groupBy(_.getString(0))
+    byBrand.values.foreach { rows =>
+      assert(rows.map(_.getLong(rows.head.fieldIndex("rnk"))).sorted ==
+        (1L to rows.size.toLong))
+    }
+  }
+
+  test("sessionization: no intra-session gap exceeds 30 minutes and sessions are ordered") {
+    val s = Tpch.qEventsSessionize(spark, SF)
+    // session spans must not overlap for the same user, and ids are 1..n
+    val perUser = rowsOf(s).groupBy(_.getLong(0))
+    perUser.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)) == (1L to rows.size.toLong))
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          val gap = b.getLong(b.fieldIndex("start_sec")) - a.getLong(a.fieldIndex("end_sec"))
+          assert(gap > 1800, s"sessions closer than the 30-min break: $gap")
+        case _ =>
+      }
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.pipeline.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  /** 30 fixture vectors: queries 0..9, their planted near-duplicates
+    * 10..19 (tiny perturbation ⇒ cosine ≈ 1), decoys 20..29. */
+  private lazy val dir: String = {
+    val rng = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val qs = (0 until 10).map(_ => unit())
+    val twins = qs.map(v => v.map(x => (x + 0.01 * rng.nextGaussian()).toFloat))
+    val decoys = (0 until 10).map(_ => unit())
+    val rows = (qs ++ twins ++ decoys).zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toSeq, i % 3)
+    }
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "emb").toString
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("brute-force top-k ranks each planted twin first") {
+    val top1 = rowsOf(Similarity.cosineTopK(spark, dir))
+      .filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach(q => assert(top1(q) == q + 10,
+      s"query $q: nearest must be its twin, got ${top1(q)}"))
+  }
+
+  test("LSH ANN recovers every planted twin (high-cosine recall)") {
+    val byQuery = rowsOf(Similarity.lshAnn(spark, dir))
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0L until 10L).foreach { q =>
+      assert(byQuery.getOrElse(q, Set.empty).contains(q + 10),
+        s"query $q: twin must appear in LSH candidates")
+    }
+  }
+
+  test("near-dup pairs on the fixture are exactly the planted twins") {
+    val pairs = rowsOf(Similarity.embeddingNearDup(spark, dir, minCos = 0.9))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 10L).map(q => (q, q + 10)).toSet)
+  }
+
+  test("LSH ANN on the driver corpus emits k rows per query with valid ranks") {
+    val rows = rowsOf(Similarity.lshAnn(spark, SF))
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ranks = rs.map(_.getLong(3)).sorted
+      assert(ranks == (1L to rs.size.toLong), "dense ranks from 1")
+      assert(rs.size <= 5)
+    }
+  }
+}

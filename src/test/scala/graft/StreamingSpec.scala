@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Windowed
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(hour: Int, min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+
+  test("streaming windowed agg equals the batch plan once the watermark closes windows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val events = stream.toDF.toDF("ts", "event_type", "value")
+
+    val query = Windowed.streaming(events).writeStream
+      .format("memory").queryName("windowed_sink").outputMode("append").start()
+    try {
+      val batch1 = Seq(
+        (ts(0, 10), "click", 1.5), (ts(0, 20), "click", 2.5),
+        (ts(0, 40), "error", 4.0), (ts(1, 15), "click", 8.0))
+      stream.addData(batch1: _*)
+      query.processAllAvailable()
+      // watermark = 01:15 − 2 h < hour-0 window end ⇒ nothing emitted yet
+      assert(spark.table("windowed_sink").count() == 0)
+
+      // advance event time far enough to close the hour-0 and hour-1 windows
+      stream.addData((ts(5, 0), "click", 1.0))
+      query.processAllAvailable()
+      stream.addData((ts(9, 0), "click", 1.0))
+      query.processAllAvailable()
+
+      val got = spark.table("windowed_sink")
+        .select("window_start_sec", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val expect = Windowed.windowedAgg(
+        (batch1 :+ ((ts(5, 0), "click", 1.0))).toDF("ts", "event_type", "value"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      // every window the watermark has passed must match the batch plan
+      got.foreach { case (k, v) =>
+        assert(expect(k) == v, s"window $k: stream=$v batch=${expect(k)}")
+      }
+      val hour0 = ts(0, 0).getTime / 1000
+      assert(got.contains((hour0, "click")) && got.contains((hour0, "error")),
+        "hour-0 windows emitted after watermark passed")
+      assert(got((hour0, "click")) == ((2L, 4.0)))
+    } finally query.stop()
+  }
+
+  test("batch entry aggregates the events table per hour and type") {
+    val r = rowsOf(Windowed.batch(spark, SF))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(0) % 3600 == 0, "window starts on the hour")
+      assert(row.getLong(row.fieldIndex("n_events")) > 0)
+    }
+    val keys = r.map(row => (row.getLong(0), row.getString(1)))
+    assert(keys == keys.distinct, "one row per (window, type)")
+  }
+}

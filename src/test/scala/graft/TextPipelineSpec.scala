@@ -1,0 +1,57 @@
+package graft
+
+import graft.pipeline.Text
+
+class TextPipelineSpec extends SparkSpec {
+
+  private lazy val dir = TestSession.docsFixture(Seq(
+    (0L, "the cat and the dog of a house is big", "en", "s", 37L),
+    (1L, "der hund und die katze ist ein tier", "de", "s", 35L),
+    (2L, "le chat et la maison est une idée les amis", "fr", "s", 42L),
+    (3L, "word word word", "xx", "s", 14L)))
+
+  test("language ID picks the language whose stopwords dominate") {
+    val pred = rowsOf(Text.langId(spark, dir))
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("pred_lang"))).toMap
+    assert(pred(0L) == "en")
+    assert(pred(1L) == "de")
+    assert(pred(2L) == "fr")
+    assert(pred(3L) == "en", "no stopword hits ⇒ tie broken toward en")
+  }
+
+  test("quality metrics: counts, ratios and score bounds") {
+    val r = rowsOf(Text.quality(spark, dir)).map(r => r.getLong(0) -> r).toMap
+    val doc0 = r(0L)
+    assert(doc0.getLong(doc0.fieldIndex("n_tokens")) == 10)
+    assert(doc0.getLong(doc0.fieldIndex("n_types")) == 9, "'the' repeats")
+    val rep = r(3L)
+    assert(rep.getDouble(rep.fieldIndex("ttr")) < doc0.getDouble(doc0.fieldIndex("ttr")),
+      "pure repetition scores a lower type-token ratio")
+    r.values.foreach { row =>
+      val q = row.getDouble(row.fieldIndex("quality_score"))
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("token counting: whitespace and ceil(len/4) subword estimates") {
+    val r = rowsOf(Text.tokens(spark, dir)).map(r => r.getLong(0) -> r).toMap
+    val doc3 = r(3L) // "word word word": 3 tokens of length 4 ⇒ 3 subwords
+    assert(doc3.getLong(doc3.fieldIndex("n_ws_tokens")) == 3)
+    assert(doc3.getLong(doc3.fieldIndex("n_subword_tokens")) == 3)
+    val doc1 = r(1L) // lens 3,4,3,3,5,3,3,4 ⇒ ceil/4 = 1,1,1,1,2,1,1,1 = 9
+    assert(doc1.getLong(doc1.fieldIndex("n_subword_tokens")) == 9)
+  }
+
+  test("rolling fingerprint is order-sensitive and deterministic") {
+    val swapped = TestSession.docsFixture(Seq(
+      (0L, "alpha beta gamma", "en", "s", 16L),
+      (1L, "gamma beta alpha", "en", "s", 16L),
+      (2L, "alpha beta gamma", "en", "s", 16L)))
+    val fp = rowsOf(Text.fingerprint(spark, swapped))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(2L), "same text ⇒ same fingerprint")
+    assert(fp(0L) != fp(1L), "rolling hash is order-sensitive")
+    val P = 2147483647L
+    fp.values.foreach(v => assert(v >= 0 && v < P))
+  }
+}
