@@ -9,8 +9,16 @@ import org.apache.spark.sql.functions._
   * of the distance-thresholded sharesDNA graph. Neo4j walks them; at
   * 100 TB the Spark-native answer is an O(log n)-round alternating
   * min-label/pointer-jumping loop with per-iteration `localCheckpoint`
-  * to cut lineage. Every iteration is two shuffles on the node id —
-  * the working set stays (id, comp), never the whole property payload.
+  * to cut lineage.
+  *
+  * Loop discipline (the 100 TB rules this file follows):
+  *   - the edge input is checkpointed ONCE — upstream plans (e.g. the
+  *     similarity self-join) must never re-execute inside the loop;
+  *   - exactly one Spark action per iteration (the eager checkpoint);
+  *     any convergence probe or scalar aggregate reads the checkpointed
+  *     result, or is folded into the plan as a broadcast 1-row join;
+  *   - the working set per iteration is the minimal (id, label/dist)
+  *     projection, never the property payload.
   */
 object Algorithms {
 
@@ -20,13 +28,17 @@ object Algorithms {
     * of a node's neighbours' labels, then jumps labels through themselves
     * (comp := comp(comp)), halving chain lengths — convergence in
     * O(log diameter) rounds vs O(diameter) for plain propagation.
-    * Convergence is checked on sum(comp), which strictly decreases until
-    * the fixpoint (labels only ever decrease).
-    */
+    * Convergence is checked on sum(comp) — it strictly decreases until
+    * the fixpoint (labels only ever decrease) — computed from the
+    * already-checkpointed iterate, so it costs a cached scan, not a
+    * recompute. The symmetrized edge list is NOT deduplicated (a min
+    * aggregate is idempotent under duplicates; a distinct would add a
+    * full shuffle of the biggest table in the job) and is pre-partitioned
+    * on the join key so only the label side shuffles per round. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
-      .distinct()
+      .repartition(col("v"))
       .localCheckpoint(true)
 
     var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(true)
@@ -57,63 +69,69 @@ object Algorithms {
     labels
   }
 
-  /** PageRank, fixed iteration count, damping d. Dangling-node mass is
-    * redistributed uniformly (one scalar aggregate per iteration — an
-    * O(1) driver value, not a collect of data). */
+  /** PageRank, fixed iteration count, damping d. The edge list is
+    * checkpointed once so upstream plans run exactly once; each iteration
+    * is ONE action. Dangling-node mass is folded back in as a broadcast
+    * 1-row aggregate join — never a separate driver action. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
-    val ids = nodes.select(col("id")).distinct().localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("odeg"))
+    val ids = nodes.select(col("id")).distinct()
+      .join(outDeg, Seq("id"), "left_outer")
+      .localCheckpoint(true) // (id, odeg|null) — carried through every iterate
     val n = ids.count().toDouble
-    val outDeg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("odeg"))
+    var pr = ids.select(col("id"), col("odeg"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
-    var pr = ids.select(col("id"), lit(1.0 / n).as("rank")).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val withDeg = pr.join(outDeg, Seq("id"), "left_outer")
-      val dangling = withDeg.filter(col("odeg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val contribs = withDeg.filter(col("odeg").isNotNull)
-        .join(edges.select(col("src").as("id"), col("dst")), Seq("id"))
+      val dangling = pr.filter(col("odeg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
+      val contribs = pr.filter(col("odeg").isNotNull)
+        .join(e, pr("id") === e("src"))
         .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
-      pr = ids.join(contribs, Seq("id"), "left_outer")
-        .select(col("id"),
+      pr = pr.select(col("id"), col("odeg"))
+        .join(contribs, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("odeg"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n))).as("rank"))
+            (coalesce(col("contrib"), lit(0.0)) + col("dang") / n)).as("rank"))
         .localCheckpoint(true)
     }
-    pr
+    pr.select(col("id"), col("rank"))
   }
 
   /** Weighted single-source (or multi-source) shortest paths from a seed
-    * id set over directed edges with a `weight` column — Bellman-Ford on
-    * DataFrames: iterate relax-all until no distance improves. Converges
-    * in at most |longest shortest path| rounds; each round is one shuffle
-    * join on the frontier. */
+    * id set over directed edges with a `weight` column — delta-stepping
+    * Bellman-Ford: only the FRONTIER (nodes whose distance improved last
+    * round) joins the edge list, so per-round cost tracks the wavefront,
+    * not O(E); that is also what makes convergence cheap at scale. One
+    * checkpoint action per round; the emptiness probe reads the
+    * checkpointed result. */
   def shortestPaths(nodes: DataFrame, edges: DataFrame, seedIds: DataFrame,
-                    maxIter: Int = 20): DataFrame = {
+                    maxIter: Int = 50): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight")).localCheckpoint(true)
     var dist = nodes.select(col("id"))
       .join(seedIds.select(col("id"), lit(0.0).as("dist0")), Seq("id"), "left_outer")
       .select(col("id"), col("dist0").as("dist"))   // null = unreachable (yet)
       .localCheckpoint(true)
+    var frontier = dist.filter(col("dist").isNotNull)
     var iter = 0
-    var improved = true
-    while (improved && iter < maxIter) {
-      val cand = dist.filter(col("dist").isNotNull)
-        .join(e, dist("id") === e("src"))
+    while (iter < maxIter && frontier.limit(1).count() > 0) {
+      val cand = frontier
+        .join(e, frontier("id") === e("src"))
         .select(col("dst").as("id"), (col("dist") + col("weight")).as("cand"))
         .groupBy(col("id")).agg(min(col("cand")).as("cand"))
-      val next = dist.join(cand, Seq("id"), "left_outer")
-        .select(col("id"),
-          when(col("dist").isNull, col("cand"))
-            .when(col("cand").isNull, col("dist"))
-            .otherwise(least(col("dist"), col("cand"))).as("dist"))
+      val joined = dist.join(cand, Seq("id"), "left_outer")
+        .select(col("id"), col("dist"), col("cand"),
+          (col("cand").isNotNull &&
+            (col("dist").isNull || col("cand") < col("dist"))).as("improved"))
         .localCheckpoint(true)
-      improved = next.join(dist.withColumnRenamed("dist", "old"), Seq("id"))
-        .filter(col("old").isNull && col("dist").isNotNull || col("dist") < col("old"))
-        .limit(1).count() > 0
-      dist = next
+      dist = joined.select(col("id"),
+        when(col("improved"), col("cand")).otherwise(col("dist")).as("dist"))
+      frontier = joined.filter(col("improved"))
+        .select(col("id"), col("cand").as("dist"))
       iter += 1
     }
-    dist
+    dist.select(col("id"), col("dist"))
   }
 }

@@ -85,9 +85,11 @@ object Clouds {
       .join(broadcast(host), col("hostkey") === col("host_id"), "left_semi")
     val seedSet = if (harsh) infecting.filter(col("source") =!= Gtdb) else infecting
     val expanded = g.expandFrom(seedSet, col("distance") <= QueryThreshold)
+    // cloud id set is unbounded → shuffled semi-join (AQE may still pick
+    // broadcast at runtime); the nation-shaped host table IS a dimension.
     val ids = expanded.select(col("id"))
       .union(expanded.select(col("dst").as("id"))).distinct()
-    g.nodes.join(broadcast(ids), Seq("id"), "left_semi")
+    g.nodes.join(ids, Seq("id"), "left_semi")
       .join(broadcast(hosts(spark, dir)), col("hostkey") === col("host_id"), "left_outer")
       .select(col("id").as("phage"), col("source"), col("genome_size"),
         col("genus").as("host_genus"))
@@ -111,7 +113,8 @@ object Clouds {
       .orderBy(col("a"), col("b"), col("c"))
 
   def triangleCount(spark: SparkSession, dir: String): DataFrame =
-    graph(spark, dir).triangleCount(col("distance") <= QueryThreshold)
+    graph(spark, dir).triangleCounts(col("distance") <= QueryThreshold)
+      .orderBy(col("node"))
 
   def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
@@ -257,11 +260,20 @@ object Clouds {
          WHERE e1.distance <= 0.10 AND e2.distance <= 0.10
          ORDER BY a, b, c""",
     "g_triangle_count" ->
-      s"""$OracleCte
-         SELECT COUNT(*) AS n_triangles FROM edges e1
-         JOIN edges e2 ON e2.src = e1.dst
-         JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
-         WHERE e1.distance <= 0.10 AND e2.distance <= 0.10 AND e3.distance <= 0.10""",
+      s"""$OracleCte,
+         te AS (SELECT src, dst FROM edges WHERE distance <= 0.10),
+         tri AS (
+           SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM te e1
+           JOIN te e2 ON e2.src = e1.dst
+           JOIN te e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         pernode AS (
+           SELECT x AS node, COUNT(*) AS tri FROM (
+             SELECT a AS x FROM tri UNION ALL
+             SELECT b FROM tri UNION ALL
+             SELECT c FROM tri) u GROUP BY x)
+         SELECT n.id AS node, COALESCE(p.tri, 0) AS n_triangles
+         FROM nodes n LEFT JOIN pernode p ON p.node = n.id
+         ORDER BY node""",
     "g_connected_components" ->
       s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          und AS (

@@ -32,27 +32,41 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
 
   /** 1-hop expand: `MATCH (a)-[r]->(b)` from a seed node set. `seeds` must
     * carry `id`; result has all seed columns plus the edge columns.
-    * Seeds are typically a tiny filtered set → broadcast them.
-    */
-  def expandFrom(seeds: DataFrame, edgeCond: Column = lit(true)): DataFrame =
-    broadcast(seeds).join(edges.filter(edgeCond), seeds("id") === col("src"))
+    *
+    * Broadcast policy: NOT forced. A cloud seed set is unbounded (a
+    * popular cloud at 100 TB is millions of ids — an unconditional
+    * broadcast OOMs the executors), so the default is a shuffled join
+    * and AQE upgrades it to broadcast at runtime when the built side
+    * is actually small. Callers that KNOW the seed set is bounded
+    * (e.g. a fixed query list) pass `broadcastSeeds = true`. */
+  def expandFrom(seeds: DataFrame, edgeCond: Column = lit(true),
+                 broadcastSeeds: Boolean = false): DataFrame = {
+    val s = if (broadcastSeeds) broadcast(seeds) else seeds
+    s.join(edges.filter(edgeCond), s("id") === col("src"))
+  }
 
   /** OPTIONAL MATCH flavour of [[expandFrom]]: keeps seeds with no
     * qualifying edge (edge columns null) — reference family.py:94. */
-  def optionalExpandFrom(seeds: DataFrame, edgeCond: Column = lit(true)): DataFrame =
-    broadcast(seeds).join(edges.filter(edgeCond), seeds("id") === col("src"), "left_outer")
+  def optionalExpandFrom(seeds: DataFrame, edgeCond: Column = lit(true),
+                         broadcastSeeds: Boolean = false): DataFrame = {
+    val s = if (broadcastSeeds) broadcast(seeds) else seeds
+    s.join(edges.filter(edgeCond), s("id") === col("src"), "left_outer")
+  }
 
   /** Subgraph induced by a node-id set (`ids` has a single `id` column):
     * keeps edges whose BOTH endpoints are in the set — the reference's
     * second query in every script (gdb.py:64-67). Left-semi joins: no
-    * payload duplication, no row explosion. */
-  def inducedSubgraph(ids: DataFrame): PropertyGraph = {
+    * payload duplication, no row explosion. Same broadcast policy as
+    * [[expandFrom]]: the id set is unbounded, so shuffle by default and
+    * let AQE pick broadcast when the set is measured small. */
+  def inducedSubgraph(ids: DataFrame, broadcastIds: Boolean = false): PropertyGraph = {
     val idsOnly = ids.select(col("id"))
+    def side(d: DataFrame) = if (broadcastIds) broadcast(d) else d
     PropertyGraph(
-      nodes.join(broadcast(idsOnly), Seq("id"), "left_semi"),
+      nodes.join(side(idsOnly), Seq("id"), "left_semi"),
       edges
-        .join(broadcast(idsOnly.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
-        .join(broadcast(idsOnly.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi"))
+        .join(side(idsOnly.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+        .join(side(idsOnly.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi"))
   }
 
   /** Per-node out/in/total degree, including isolated nodes (degree 0).
@@ -93,19 +107,39 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
     e1.join(e2, col("b") === col("b2")).select(col("a"), col("b"), col("c"))
   }
 
-  /** Total triangle count. Edges are canonicalized to src<dst so each
-    * triangle {u<v<w} is counted exactly once: e1=(u,v), e2=(v,w), e3=(u,w).
-    * Two shuffle joins; at scale this is the standard distributed triangle
-    * join (pre-filter by degree ordering keeps the join sides skew-free). */
-  def triangleCount(edgeCond: Column = lit(true)): DataFrame = {
+  /** Per-node triangle counts (0 for triangle-free nodes); the global
+    * count is sum/3. Wedges are built from the DEGREE-ORIENTED edge set
+    * (each edge points from its lower-degree endpoint, ties by id): every
+    * triangle then has exactly one apex with two out-edges, so it is
+    * enumerated once, and the wedge count per node is bounded by the
+    * graph arboricity instead of exploding quadratically in the densest
+    * similarity bucket — the difference between a plan that survives a
+    * 100× scale-up and one that doesn't. */
+  def triangleCounts(edgeCond: Column = lit(true)): DataFrame = {
     val canon = edges.filter(edgeCond)
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val e1 = canon.select(col("u").as("a"), col("v").as("b"))
-    val e2 = canon.select(col("u").as("b2"), col("v").as("c"))
-    val e3 = canon.select(col("u").as("a3"), col("v").as("c3"))
-    e1.join(e2, col("b") === col("b2"))
-      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val deg = canon.select(col("u").as("id")).union(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val withDeg = canon
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"))
+    // wedge (a; b, c) with b < c as ids; close it with the canonical edge (b, c)
+    val wedges = oriented.select(col("a"), col("b"))
+      .join(oriented.select(col("a").as("a2"), col("b").as("c")),
+        col("a") === col("a2") && col("b") < col("c"))
+    val triangles = wedges
+      .join(canon.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    nodes.select(col("id"))
+      .join(perNode, Seq("id"), "left_outer")
+      .select(col("id").as("node"), coalesce(col("tri"), lit(0L)).as("n_triangles"))
   }
 }

@@ -61,7 +61,10 @@ object Tpch {
       .limit(10)
   }
 
-  /** TPC-H Q5 shape: 6-way join; all dimension tables broadcast. */
+  /** TPC-H Q5 shape: 6-way join. True dimensions (region/nation/supplier)
+    * are broadcast; CUSTOMER is scale-factor-proportional (15 M rows at
+    * sf100 — far past broadcast range), so it takes a shuffled join and
+    * AQE is free to downgrade it to broadcast at small SF. */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val region = Tables.region(spark, dir)
@@ -73,7 +76,7 @@ object Tpch {
         $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .join(broadcast(supp),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")

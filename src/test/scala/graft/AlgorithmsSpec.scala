@@ -46,6 +46,16 @@ class AlgorithmsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conservation")
   }
 
+  test("per-node triangle counts on K4 plus an isolated node") {
+    val nodes = nodesDf(1, 2, 3, 4, 5)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = graph.PropertyGraph(nodes, edges).triangleCounts().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L),
+      "each K4 node closes 3 triangles; global = sum/3 = 4")
+  }
+
   test("shortest paths match Dijkstra on a weighted fixture") {
     val edges = Seq(
       (1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 5.0), (3L, 4L, 1.0), (2L, 4L, 10.0),
