@@ -13,32 +13,40 @@ import org.apache.spark.sql.functions._
 object Clouds {
   import TestGraph._
 
+  // Every operator takes the seed taxon/genus and distance threshold as
+  // parameters (the reference scripts take them as CLI args,
+  // phageclouds_gdb.py:46-47); the defaults are the oracle-checked
+  // instance the driver gate runs.
   private def seeds(spark: SparkSession, dir: String, taxon: String): DataFrame =
     phageNodes(spark, dir)
       .filter(col("source") === Ncbi && col("taxonomy").contains(taxon))
 
   /** gdb.py:56-58 — `MATCH (a:PhageGenome {source:'NCBI'})-[r:sharesDNA]->(b)
     * WHERE a.taxonomy CONTAINS t AND r.distance <= d RETURN a,b`. */
-  def taxonCloud(spark: SparkSession, dir: String): DataFrame =
+  def taxonCloud(spark: SparkSession, dir: String,
+                 taxon: String = Taxon, threshold: Double = QueryThreshold): DataFrame =
     graph(spark, dir)
-      .expandFrom(seeds(spark, dir, Taxon), col("distance") <= QueryThreshold)
+      .expandFrom(seeds(spark, dir, taxon), col("distance") <= threshold)
       .select(col("id").as("seed_phage"), col("dst").as("target_phage"))
       .orderBy(col("seed_phage"), col("target_phage"))
 
   /** The cloud's node-id set (union of both endpoints, gdb.py:62). */
-  private def taxonCloudIds(spark: SparkSession, dir: String): DataFrame = {
+  private def taxonCloudIds(spark: SparkSession, dir: String,
+                            taxon: String, threshold: Double): DataFrame = {
     val cloud = graph(spark, dir)
-      .expandFrom(seeds(spark, dir, Taxon), col("distance") <= QueryThreshold)
+      .expandFrom(seeds(spark, dir, taxon), col("distance") <= threshold)
     cloud.select(col("id")).union(cloud.select(col("dst").as("id"))).distinct()
   }
 
   /** gdb.py:71-100 — induced node metadata + viz colour/size enrichment. */
-  def cloudNodes(spark: SparkSession, dir: String): DataFrame = {
-    val g = graph(spark, dir).inducedSubgraph(taxonCloudIds(spark, dir))
+  def cloudNodes(spark: SparkSession, dir: String,
+                 taxon: String = Taxon, threshold: Double = QueryThreshold): DataFrame = {
+    val g = graph(spark, dir)
+      .inducedSubgraph(taxonCloudIds(spark, dir, taxon, threshold))
     g.nodes.select(
       col("id").as("phage"), col("source"), col("genome_size"),
-      col("taxonomy").contains(Taxon).as("is_taxon"),
-      when(col("source") === Ncbi && col("taxonomy").contains(Taxon), "green")
+      col("taxonomy").contains(taxon).as("is_taxon"),
+      when(col("source") === Ncbi && col("taxonomy").contains(taxon), "green")
         .when(col("source") === Ncbi, "red")
         .when(col("source") === Tara, "cyan")
         .when(col("source") === GpdIsolate, "pink")
@@ -50,23 +58,25 @@ object Clouds {
 
   /** gdb.py:64-67 + 112-116 — induced-subgraph edges at the threshold,
     * with the pyvis edge value `thres − distance + 0.1`. */
-  def cloudEdges(spark: SparkSession, dir: String): DataFrame =
+  def cloudEdges(spark: SparkSession, dir: String,
+                 taxon: String = Taxon, threshold: Double = QueryThreshold): DataFrame =
     graph(spark, dir)
-      .filterEdges(col("distance") <= QueryThreshold)
-      .inducedSubgraph(taxonCloudIds(spark, dir))
+      .filterEdges(col("distance") <= threshold)
+      .inducedSubgraph(taxonCloudIds(spark, dir, taxon, threshold))
       .edges
       .select(col("src"), col("dst"), col("distance"),
-        (lit(QueryThreshold) - col("distance") + lit(0.1)).as("value"))
+        (lit(threshold) - col("distance") + lit(0.1)).as("value"))
       .orderBy(col("src"), col("dst"))
 
   /** family.py:94 — OPTIONAL MATCH + collect-union-dedup:
     * `MATCH (p {source:'NCBI'}) WHERE p.taxonomy CONTAINS f
     *  OPTIONAL MATCH (p)-[r]->(q) WHERE r.distance <= d
     *  RETURN target_phages + [x IN connected WHERE NOT x IN target]`. */
-  def familyCloud(spark: SparkSession, dir: String): DataFrame = {
-    val s = seeds(spark, dir, Family)
+  def familyCloud(spark: SparkSession, dir: String,
+                  family: String = Family, threshold: Double = QueryThreshold): DataFrame = {
+    val s = seeds(spark, dir, family)
     val expanded = graph(spark, dir)
-      .optionalExpandFrom(s, col("distance") <= QueryThreshold)
+      .optionalExpandFrom(s, col("distance") <= threshold)
     s.select(col("id"))
       .union(expanded.filter(col("dst").isNotNull).select(col("dst").as("id")))
       .distinct()
@@ -74,27 +84,69 @@ object Clouds {
       .orderBy(col("phage_node"))
   }
 
+  /** family.py:97-105 — the family cloud's node metadata, enriched with
+    * the two-level taxonomic lineage lookup (accession→taxid→rank in the
+    * reference, hostkey→nation→region here) and the reference's
+    * two-level colouring: NCBI nodes get a palette id per family-level
+    * lineage bucket (`color_phage_tax`), everything else is white. */
+  def familyNodes(spark: SparkSession, dir: String,
+                  family: String = Family, threshold: Double = QueryThreshold): DataFrame = {
+    val ids = familyCloud(spark, dir, family, threshold)
+      .select(col("phage_node").as("id"))
+    phageNodes(spark, dir)
+      .join(ids, Seq("id"), "left_semi")
+      .join(broadcast(lineage(spark, dir)), col("hostkey") === col("host_id"), "left_outer")
+      .select(
+        col("id").as("phage"), col("source"), col("genome_size"),
+        col("taxonomy").as("lineage"),
+        col("genus_name").as("target_taxon"),
+        when(col("source") === Ncbi,
+          concat(lit("C"), col("family_key").cast("string")))
+          .otherwise("#FFFFFF").as("color"))
+      .orderBy(col("phage"))
+  }
+
   /** host.py:57-63 — seed = phages with `(a)-[:infects]->(:Host {genus})`
     * (pattern existence = semi join through the FK), threshold expand,
     * union node set, then node metadata incl. the host genus
     * (OPTIONAL MATCH (a)-[:infects]->(h) → left outer join). */
-  def hostCloud(spark: SparkSession, dir: String, harsh: Boolean): DataFrame = {
+  /** The host cloud's node-id set (host.py:57-59 collect-union). */
+  private def hostCloudIds(spark: SparkSession, dir: String, harsh: Boolean,
+                           hostGenus: String, threshold: Double): DataFrame = {
     val g = graph(spark, dir)
-    val host = hosts(spark, dir).filter(col("genus") === HostGenus)
+    val host = hosts(spark, dir).filter(col("genus") === hostGenus)
     val infecting = g.nodes
       .join(broadcast(host), col("hostkey") === col("host_id"), "left_semi")
     val seedSet = if (harsh) infecting.filter(col("source") =!= Gtdb) else infecting
-    val expanded = g.expandFrom(seedSet, col("distance") <= QueryThreshold)
+    val expanded = g.expandFrom(seedSet, col("distance") <= threshold)
+    expanded.select(col("id"))
+      .union(expanded.select(col("dst").as("id"))).distinct()
+  }
+
+  def hostCloud(spark: SparkSession, dir: String, harsh: Boolean,
+                hostGenus: String = HostGenus, threshold: Double = QueryThreshold): DataFrame = {
+    val g = graph(spark, dir)
     // cloud id set is unbounded → shuffled semi-join (AQE may still pick
     // broadcast at runtime); the nation-shaped host table IS a dimension.
-    val ids = expanded.select(col("id"))
-      .union(expanded.select(col("dst").as("id"))).distinct()
+    val ids = hostCloudIds(spark, dir, harsh, hostGenus, threshold)
     g.nodes.join(ids, Seq("id"), "left_semi")
-      .join(broadcast(hosts(spark, dir)), col("hostkey") === col("host_id"), "left_outer")
+      .join(broadcast(hosts(spark, dir)
+          .select(col("host_id"), col("genus").as("host_genus"))),
+        col("hostkey") === col("host_id"), "left_outer")
       .select(col("id").as("phage"), col("source"), col("genome_size"),
-        col("genus").as("host_genus"))
+        col("genus").as("phage_genus"), col("host_genus"))
       .orderBy(col("phage"))
   }
+
+  /** host.py:64 — the induced edge list among the host-cloud nodes. */
+  def hostEdges(spark: SparkSession, dir: String, harsh: Boolean = false,
+                hostGenus: String = HostGenus, threshold: Double = QueryThreshold): DataFrame =
+    graph(spark, dir)
+      .filterEdges(col("distance") <= threshold)
+      .inducedSubgraph(hostCloudIds(spark, dir, harsh, hostGenus, threshold))
+      .edges
+      .select(col("src"), col("dst"), col("distance"))
+      .orderBy(col("src"), col("dst"))
 
   def edgesBuild(spark: SparkSession, dir: String): DataFrame =
     sharesDna(spark, dir).orderBy(col("src"), col("dst"))
@@ -150,6 +202,19 @@ object Clouds {
       )).as("attrs"))
       .orderBy(col("phage"))
 
+  /** Edge-side viz export (gdb.py:107-116 / host.py:86-89): per-edge
+    * pyvis attrs — value = thres − distance + 0.1, lightgray colour,
+    * distance as hover title. */
+  def vizExportEdges(spark: SparkSession, dir: String,
+                     threshold: Double = QueryThreshold): DataFrame =
+    cloudEdges(spark, dir, threshold = threshold).select(
+      col("src"), col("dst"),
+      to_json(struct(
+        col("value"),
+        lit("lightgray").as("color"),
+        col("distance").as("title"))).as("attrs"))
+      .orderBy(col("src"), col("dst"))
+
   // ---------------------------------------------------------------------
   // DuckDB oracle — identical graph recomputed as a CTE prelude.
   // ---------------------------------------------------------------------
@@ -167,7 +232,8 @@ object Clouds {
        nodes AS (
          SELECT c_custkey AS id, c_mktsegment AS source,
                 CAST(FLOOR(ABS(c_acctbal)*10) AS BIGINT) AS genome_size,
-                c_name AS taxonomy, c_nationkey AS hostkey
+                c_name AS taxonomy, c_nationkey AS hostkey,
+                'G' || CAST(c_custkey % 7 AS VARCHAR) AS genus
          FROM customer),
        cloud AS (
          SELECT a.id AS s, r.dst AS t
@@ -190,11 +256,24 @@ object Clouds {
            JOIN nation h ON a.hostkey = h.n_nationkey
          WHERE h.n_name = 'NATION_7' AND e.distance <= 0.10$harshPred)
        SELECT n.id AS phage, n.source AS source, n.genome_size AS genome_size,
-              h.n_name AS host_genus
+              n.genus AS phage_genus, h.n_name AS host_genus
        FROM nodes n JOIN hostset ON n.id = hostset.id
        LEFT JOIN nation h ON n.hostkey = h.n_nationkey
        ORDER BY phage"""
   }
+
+  /** Shared hostset CTE body for the host-cloud edge oracle. */
+  private val HostSetCte: String =
+    """hostset AS (
+         SELECT e.src AS id FROM edges e
+           JOIN nodes a ON a.id = e.src
+           JOIN nation h ON a.hostkey = h.n_nationkey
+         WHERE h.n_name = 'NATION_7' AND e.distance <= 0.10
+         UNION
+         SELECT e.dst FROM edges e
+           JOIN nodes a ON a.id = e.src
+           JOIN nation h ON a.hostkey = h.n_nationkey
+         WHERE h.n_name = 'NATION_7' AND e.distance <= 0.10)"""
 
   val oracle: Map[String, String] = Map(
     "g_edges_build" ->
@@ -234,6 +313,31 @@ object Clouds {
          ORDER BY phage_node""",
     "g_host_cloud" -> hostOracle(harsh = false),
     "g_host_cloud_harsh" -> hostOracle(harsh = true),
+    "g_host_edges" ->
+      s"""$OracleCte, $HostSetCte
+         SELECT e.src, e.dst, e.distance
+         FROM edges e JOIN hostset s1 ON e.src = s1.id
+                      JOIN hostset s2 ON e.dst = s2.id
+         WHERE e.distance <= 0.10
+         ORDER BY src, dst""",
+    "g_family_nodes" ->
+      s"""$OracleCte,
+         fam AS (
+           SELECT id FROM nodes WHERE source='BUILDING' AND contains(taxonomy,'1')
+           UNION
+           SELECT r.dst FROM nodes s JOIN edges r ON r.src = s.id
+           WHERE s.source='BUILDING' AND contains(s.taxonomy,'1')
+             AND r.distance <= 0.10)
+         SELECT n.id AS phage, n.source AS source, n.genome_size AS genome_size,
+                n.taxonomy AS lineage,
+                na.n_name AS target_taxon,
+                CASE WHEN n.source='BUILDING'
+                     THEN 'C' || CAST(re.r_regionkey AS VARCHAR)
+                     ELSE '#FFFFFF' END AS color
+         FROM nodes n JOIN fam ON n.id = fam.id
+         LEFT JOIN nation na ON n.hostkey = na.n_nationkey
+         LEFT JOIN region re ON na.n_regionkey = re.r_regionkey
+         ORDER BY phage""",
     "g_degrees" ->
       s"""$OracleCte
          SELECT n.id,
@@ -290,12 +394,15 @@ object Clouds {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g_edges_build"           -> edgesBuild _,
-    "g_taxon_cloud"           -> taxonCloud _,
-    "g_cloud_nodes"           -> cloudNodes _,
-    "g_cloud_edges"           -> cloudEdges _,
-    "g_family_cloud"          -> familyCloud _,
+    "g_taxon_cloud"           -> ((s: SparkSession, d: String) => taxonCloud(s, d)),
+    "g_cloud_nodes"           -> ((s: SparkSession, d: String) => cloudNodes(s, d)),
+    "g_cloud_edges"           -> ((s: SparkSession, d: String) => cloudEdges(s, d)),
+    "g_family_cloud"          -> ((s: SparkSession, d: String) => familyCloud(s, d)),
     "g_host_cloud"            -> ((s: SparkSession, d: String) => hostCloud(s, d, harsh = false)),
     "g_host_cloud_harsh"      -> ((s: SparkSession, d: String) => hostCloud(s, d, harsh = true)),
+    "g_host_edges"            -> ((s: SparkSession, d: String) => hostEdges(s, d)),
+    "g_family_nodes"          -> ((s: SparkSession, d: String) => familyNodes(s, d)),
+    "g_viz_export_edges"      -> ((s: SparkSession, d: String) => vizExportEdges(s, d)),
     "g_degrees"               -> degrees _,
     "g_two_hop"               -> twoHop _,
     "g_pattern_chain"         -> patternChain _,

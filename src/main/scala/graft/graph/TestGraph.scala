@@ -48,14 +48,31 @@ object TestGraph {
   val Family = "1"         // family.py  -f <family>
   val HostGenus = "NATION_7" // host.py  -g <genus>
 
-  /** PhageGenome-shaped node table. */
+  /** PhageGenome-shaped node table. `genus` mirrors the reference's
+    * per-phage genus property (phageclouds_gdb_host.py:62 `a.genus`) —
+    * a deterministic categorical derived from the key. */
   def phageNodes(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir).select(
       col("c_custkey").as("id"),
       col("c_mktsegment").as("source"),
       floor(abs(col("c_acctbal")) * 10).cast("long").as("genome_size"),
       col("c_name").as("taxonomy"),
-      col("c_nationkey").as("hostkey"))
+      col("c_nationkey").as("hostkey"),
+      concat(lit("G"), (col("c_custkey") % 7).cast("string")).as("genus"))
+
+  /** Two-level taxonomic lineage lookup — the analogue of the reference's
+    * `phages.accessions.txt.taxid` → NCBI lineage chain
+    * (phageclouds_gdb_family.py:102-104): hostkey → nation (genus level)
+    * → region (family level). Both are dimensions → broadcast-safe. */
+  def lineage(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("host_id"), col("n_name").as("genus_name"),
+        col("n_regionkey"))
+      .join(broadcast(Tables.region(spark, dir)
+          .select(col("r_regionkey"), col("r_name").as("family_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("host_id"), col("genus_name"), col("r_regionkey").as("family_key"),
+        col("family_name"))
 
   /** sharesDNA-shaped weighted similarity edges (see class doc). */
   def sharesDna(spark: SparkSession, dir: String): DataFrame = {

@@ -104,6 +104,51 @@ class GraphSpec extends SparkSpec {
       .foreach(r => assert(comp(r.getLong(0)) == comp(r.getLong(1))))
   }
 
+  test("family nodes carry the two-level lineage enrichment and colouring") {
+    val ids = rowsOf(Clouds.familyCloud(spark, SF)).map(_.getLong(0)).toSet
+    val rows = rowsOf(Clouds.familyNodes(spark, SF))
+    assert(rows.map(_.getLong(0)).toSet == ids, "metadata covers exactly the cloud")
+    rows.foreach { r =>
+      val color = r.getString(r.fieldIndex("color"))
+      if (r.getString(r.fieldIndex("source")) == TestGraph.Ncbi)
+        assert(color.matches("C\\d+"), "NCBI nodes take a lineage palette id")
+      else assert(color == "#FFFFFF", "non-NCBI nodes are white (family.py:66)")
+      assert(!r.isNullAt(r.fieldIndex("target_taxon")), "lineage lookup resolves")
+    }
+  }
+
+  test("host edges are induced on the host-cloud node set") {
+    val cloud = rowsOf(Clouds.hostCloud(spark, SF, harsh = false)).map(_.getLong(0)).toSet
+    val edges = rowsOf(Clouds.hostEdges(spark, SF))
+    edges.foreach { r =>
+      assert(cloud(r.getLong(0)) && cloud(r.getLong(1)))
+      assert(r.getDouble(2) <= TestGraph.QueryThreshold)
+    }
+  }
+
+  test("host cloud exposes the reference's node-title payload (phage + host genus)") {
+    val r = rowsOf(Clouds.hostCloud(spark, SF, harsh = false))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getString(row.fieldIndex("phage_genus"))
+        == s"G${row.getLong(0) % 7}")
+    }
+  }
+
+  test("edge viz export: attrs JSON carries value = thres − distance + 0.1") {
+    val schema = StructType(Seq(
+      StructField("value", org.apache.spark.sql.types.DoubleType),
+      StructField("color", StringType),
+      StructField("title", org.apache.spark.sql.types.DoubleType)))
+    val parsed = Clouds.vizExportEdges(spark, SF)
+      .select(col("src"), col("dst"), from_json(col("attrs"), schema).as("a"))
+    val bad = parsed.filter(col("a").isNull ||
+      abs(col("a.value") - (lit(TestGraph.QueryThreshold) - col("a.title") + 0.1)) > 1e-12 ||
+      col("a.color") =!= "lightgray")
+    assert(bad.count() == 0)
+    assert(parsed.count() == Clouds.cloudEdges(spark, SF).count())
+  }
+
   test("viz export round-trips as JSON with the cloud node attributes") {
     val export = Clouds.vizExport(spark, SF)
     val schema = StructType(Seq(
