@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression: sequential-order dot product of two
+  * `array<double>` columns.
+  *
+  * Why a custom `Expression` and not `aggregate(zip_with(...))` or a
+  * UDF: the built-in higher-order array functions are evaluated
+  * interpreted per row (lambda dispatch + boxed accumulator — measured
+  * ~10 µs per 64-dim pair, which dominates any pairwise-scoring join),
+  * and a Scala UDF additionally pays serialization in and out of the
+  * row format. This expression reads the unsafe array data in place and
+  * `doGenCode` emits a primitive `for` loop straight into whole-stage
+  * codegen, so pair scoring stays inside the generated stage.
+  *
+  * The summation is left-to-right in element order — bit-identical to
+  * DuckDB's `list_inner_product`/`list_cosine_similarity` on DOUBLE[],
+  * which the correctness oracles rely on.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> inputs, got ${l.sql} and ${r.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "array_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDotProduct {
+  import org.apache.spark.sql.graft.bridge
+
+  /** Column-API entry point: `arrayDot($"a", $"b")`. */
+  def arrayDot(a: Column, b: Column): Column =
+    bridge.column(ArrayDotProduct(bridge.expression(a), bridge.expression(b)))
+}

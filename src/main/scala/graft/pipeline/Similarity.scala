@@ -24,29 +24,18 @@ import graft.Tables
   */
 object Similarity {
 
+  import graft.functions.ArrayDotProduct.arrayDot
+
   /** Embeddings with doubles + precomputed L2 norm (one pass per vector,
-    * reused by every pair — at scale this is a cheap narrow map). */
+    * reused by every pair — at scale this is a cheap narrow map). The
+    * dot products run through [[graft.functions.ArrayDotProduct]], a
+    * native codegen'd Catalyst expression — interpreted higher-order
+    * array lambdas cost ~10 µs per 64-dim pair and dominated every
+    * pairwise-scoring join before. */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm",
-        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-
-  /** Sequential-order dot product of two double-array columns. Used for
-    * once-per-vector work (norms, hyperplane projections) where the
-    * interpreted higher-order functions are cheap. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** The same dot product unrolled to `Dim` explicit element_at terms.
-    * Higher-order array lambdas are NOT whole-stage-codegen'd — per-row
-    * interpretation dominated the pair-scoring hot path (~10 µs/pair);
-    * the unrolled form compiles into generated Java (Catalyst splits the
-    * expression across methods as needed). The reduce is left-associated,
-    * so the summation order — and therefore the bit pattern vs the
-    * DuckDB oracle — is identical to the fold. */
-  private def dotFast(a: Column, b: Column): Column =
-    (1 to Dim).map(i => element_at(a, i) * element_at(b, i)).reduce(_ + _)
+      .withColumn("norm", sqrt(arrayDot(col("v"), col("v"))))
 
   /** HALF_UP 4-dp rounding — the exact semantics of SQL `round(x, 4)`
     * in both Spark and DuckDB, for kernel-side parity. */
@@ -102,7 +91,7 @@ object Similarity {
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(dotFast(col("qv"), col("v")) / (col("qn") * col("norm")), 4))
+      .withColumn("cos_sim", round(arrayDot(col("qv"), col("v")) / (col("qn") * col("norm")), 4))
     // rank on the rounded value (cross-engine deterministic), vec_id tiebreak
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -131,7 +120,7 @@ object Similarity {
     val tableBuckets = (0 until NumTables).map { t =>
       val bits = (0 until BitsPerTable).map { j =>
         val h = array(hyperplanes(t)(j).map(lit): _*)
-        when(dot(col("v"), h) > 0, lit(1L << j)).otherwise(lit(0L))
+        when(arrayDot(col("v"), h) > 0, lit(1L << j)).otherwise(lit(0L))
       }
       struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
     }
@@ -164,7 +153,7 @@ object Similarity {
         Seq("query_id"))
       .join(v, Seq("vec_id"))
     val scored = cand.withColumn("cos_sim",
-      round(dotFast(col("qv"), col("v")) / (col("qn") * col("norm")), 4))
+      round(arrayDot(col("qv"), col("v")) / (col("qn") * col("norm")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
