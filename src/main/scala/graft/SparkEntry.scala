@@ -14,6 +14,7 @@ object SparkEntry {
       (pipeline.Similarity.queries, pipeline.Similarity.oracle),
       (pipeline.Multimodal.queries, pipeline.Multimodal.oracle),
       (streaming.Windowed.queries, streaming.Windowed.oracle),
+      (streaming.Sessionize.queries, streaming.Sessionize.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Sessionize
+
+class SessionizeSpec extends SparkSpec {
+
+  private def ts(hour: Int, min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00")
+  private def sec(hour: Int, min: Int): Long = ts(hour, min).getTime / 1000
+
+  test("flatMapGroupsWithState closes sessions on gap and flushes on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val events = stream.toDF.toDF("ts", "user_id")
+
+    val query = Sessionize.streamingSessions(events).writeStream
+      .format("memory").queryName("session_sink").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one open session); user 2: one event
+      stream.addData((ts(0, 0), 1L), (ts(0, 10), 1L), (ts(0, 5), 2L))
+      query.processAllAvailable()
+      assert(spark.table("session_sink").count() == 0, "no session closed yet")
+
+      // user 1 returns after a >30 min gap: the first session closes,
+      // emitted by the function itself; the same trigger advances the
+      // watermark to 01:00, which fires user 2's 00:35 event-time
+      // timeout and flushes their idle session from state
+      stream.addData((ts(2, 0), 1L))
+      query.processAllAvailable()
+      val afterGap = spark.table("session_sink").as[(Long, Long, Long, Long)]
+        .collect().toSet
+      assert(afterGap == Set(
+        (1L, sec(0, 0), sec(0, 10), 2L),
+        (2L, sec(0, 5), sec(0, 5), 1L)), s"got $afterGap")
+
+      // user 1's open 02:00 session closes on the next arrival
+      stream.addData((ts(9, 0), 1L))
+      query.processAllAvailable()
+      val flushed = spark.table("session_sink").as[(Long, Long, Long, Long)]
+        .collect().toSet
+      assert(flushed.contains((1L, sec(2, 0), sec(2, 0), 1L)), s"got $flushed")
+    } finally query.stop()
+  }
+
+  test("out-of-order events within a micro-batch are sessionized in time order") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val events = stream.toDF.toDF("ts", "user_id")
+    val query = Sessionize.streamingSessions(events).writeStream
+      .format("memory").queryName("session_sink2").outputMode("append").start()
+    try {
+      // arrival order scrambled: 01:30, 00:00, 00:15 — time order has a
+      // 75-min gap between 00:15 and 01:30
+      stream.addData((ts(1, 30), 7L), (ts(0, 0), 7L), (ts(0, 15), 7L))
+      query.processAllAvailable()
+      val got = spark.table("session_sink2").as[(Long, Long, Long, Long)]
+        .collect().toSet
+      assert(got == Set((7L, sec(0, 0), sec(0, 15), 2L)),
+        "first session closed with both early events; 01:30 stays open")
+    } finally query.stop()
+  }
+
+  test("batch session summary aggregates the windowed session assignment") {
+    val sessions = rowsOf(relational.Tpch.qEventsSessionize(spark, SF))
+      .groupBy(_.getLong(0))
+    val summary = rowsOf(Sessionize.sessionSummary(spark, SF))
+      .map(r => r.getLong(0) -> r).toMap
+    assert(summary.keySet == sessions.keySet)
+    sessions.foreach { case (user, rows) =>
+      val s = summary(user)
+      assert(s.getLong(s.fieldIndex("n_sessions")) == rows.size)
+      assert(s.getLong(s.fieldIndex("n_events_total")) ==
+        rows.map(_.getLong(rows.head.fieldIndex("n_events"))).sum)
+    }
+  }
+}
