@@ -108,7 +108,7 @@ object Algorithms {
     * checkpoint action per round; the emptiness probe reads the
     * checkpointed result. */
   def shortestPaths(nodes: DataFrame, edges: DataFrame, seedIds: DataFrame,
-                    maxIter: Int = 50): DataFrame = {
+                    maxIter: Int = 50, relaxPerRound: Int = 2): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("weight")).localCheckpoint(true)
     var dist = nodes.select(col("id"))
       .join(seedIds.select(col("id"), lit(0.0).as("dist0")), Seq("id"), "left_outer")
@@ -117,18 +117,34 @@ object Algorithms {
     var frontier = dist.filter(col("dist").isNotNull)
     var iter = 0
     while (iter < maxIter && frontier.limit(1).count() > 0) {
-      val cand = frontier
-        .join(e, frontier("id") === e("src"))
-        .select(col("dst").as("id"), (col("dist") + col("weight")).as("cand"))
-        .groupBy(col("id")).agg(min(col("cand")).as("cand"))
-      val joined = dist.join(cand, Seq("id"), "left_outer")
-        .select(col("id"), col("dist"), col("cand"),
-          (col("cand").isNotNull &&
-            (col("dist").isNull || col("cand") < col("dist"))).as("improved"))
-        .localCheckpoint(true)
-      dist = joined.select(col("id"),
+      // `relaxPerRound` relaxations share ONE checkpoint action: extra
+      // Bellman-Ford relaxations are monotone (never wrong, at worst
+      // no-ops), and on graphs with deep shortest-path trees the round
+      // count — i.e. the number of Spark actions — halves. Only the
+      // nodes improved by the FINAL relaxation form the next frontier:
+      // earlier improvements have already been propagated within the
+      // round.
+      var d = dist
+      var f = frontier
+      var lastJoined: DataFrame = null
+      for (_ <- 1 to relaxPerRound) {
+        val cand = f.join(e, f("id") === e("src"))
+          .select(col("dst").as("id"), (col("dist") + col("weight")).as("cand"))
+          .groupBy(col("id")).agg(min(col("cand")).as("cand"))
+        val joined = d.join(cand, Seq("id"), "left_outer")
+          .select(col("id"), col("dist"), col("cand"),
+            (col("cand").isNotNull &&
+              (col("dist").isNull || col("cand") < col("dist"))).as("improved"))
+        d = joined.select(col("id"),
+          when(col("improved"), col("cand")).otherwise(col("dist")).as("dist"))
+        f = joined.filter(col("improved"))
+          .select(col("id"), col("cand").as("dist"))
+        lastJoined = joined
+      }
+      val chk = lastJoined.localCheckpoint(true)
+      dist = chk.select(col("id"),
         when(col("improved"), col("cand")).otherwise(col("dist")).as("dist"))
-      frontier = joined.filter(col("improved"))
+      frontier = chk.filter(col("improved"))
         .select(col("id"), col("cand").as("dist"))
       iter += 1
     }
