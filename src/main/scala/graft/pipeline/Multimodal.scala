@@ -3,6 +3,14 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** One sampled frame: byte range + stub feature checksum. */
+final case class FrameSample(
+    doc_id: Long,
+    frame_idx: Int,
+    frame_offset: Long,
+    frame_len: Long,
+    frame_checksum: Long)
+
 /** Typed per-media metadata row produced by the (stubbed) decoder. */
 final case class MediaMeta(
     doc_id: Long,
@@ -61,6 +69,39 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling: the video-pipeline stage that decodes k evenly
+    * spaced frames instead of the whole clip. The payload is split into
+    * `n_frames` byte chunks (the stub's "frames"); up to `maxFrames`
+    * evenly spaced frame indices are sampled and each sampled frame is
+    * "decoded" into a feature checksum over exactly its byte range.
+    * One output row per sampled frame — the explode-shaped plumbing a
+    * real frame sampler needs (schema, per-frame rows, batched decode),
+    * with the decode stubbed deterministically. `m_frame_sample`. */
+  def frameSample(spark: SparkSession, dir: String, maxFrames: Int = 4): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val n = bytes.length.toLong
+          val nf = (n % 16 + 1).toInt
+          val idxs =
+            if (nf <= maxFrames) 0 until nf
+            else (0 until maxFrames).map(k => (k.toLong * (nf - 1) / (maxFrames - 1)).toInt)
+          idxs.distinct.map { i =>
+            val off = i.toLong * n / nf
+            val end = (i + 1).toLong * n / nf
+            var cs = 0L
+            var p = off.toInt
+            while (p < end) { cs = (cs * 131 + (bytes(p) & 0xff)) % 1000000007L; p += 1 }
+            FrameSample(id, i, off, end - off, cs)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** The payload is ASCII text, so the oracle can recompute byte length,
     * magic and the rolling checksum from character codes. */
   val oracle: Map[String, String] = Map(
@@ -79,9 +120,36 @@ object Multimodal {
                               i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
              (acc, c) -> (acc * 131 + c) % 1000000007) AS feature_checksum
          FROM b ORDER BY doc_id""",
+    "m_frame_sample" ->
+      """WITH b AS (
+           SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents),
+         f AS (SELECT doc_id, text, n_bytes,
+                      CAST(n_bytes % 16 + 1 AS BIGINT) AS nf FROM b),
+         ks AS (
+           SELECT doc_id, text, n_bytes, nf, t.range AS k
+           FROM f, range(0, 4) t
+           WHERE nf > 4 OR t.range < nf),
+         idxs AS (
+           SELECT DISTINCT doc_id, text, n_bytes, nf,
+                  CASE WHEN nf <= 4 THEN k ELSE (k * (nf - 1)) // 3 END AS fi
+           FROM ks)
+         SELECT doc_id,
+                CAST(fi AS INTEGER) AS frame_idx,
+                (fi * n_bytes) // nf AS frame_offset,
+                ((fi + 1) * n_bytes) // nf - (fi * n_bytes) // nf AS frame_len,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      range(CAST((fi * n_bytes) // nf + 1 AS INTEGER),
+                            CAST(((fi + 1) * n_bytes) // nf + 1 AS INTEGER)),
+                      i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 131 + c) % 1000000007) AS frame_checksum
+         FROM idxs ORDER BY doc_id, frame_idx""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_multimodal_meta" -> (multimodalMeta _),
+    "m_frame_sample"    -> ((s: SparkSession, d: String) => frameSample(s, d)),
   )
 }

@@ -26,4 +26,27 @@ class MultimodalSpec extends SparkSpec {
       assert(row.getLong(row.fieldIndex("feature_checksum")) == expected)
     }
   }
+
+  test("frame sampling: ≤4 evenly spaced frames, exact byte ranges, per-frame checksums") {
+    val frames = rowsOf(Multimodal.frameSample(spark, SF))
+    val docs = rowsOf(graft.pipeline.Docs.docs(spark, SF))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = frames.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet, "every doc gets sampled frames")
+    byDoc.foreach { case (id, rows) =>
+      val bytes = docs(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val nf = bytes.length % 16 + 1
+      assert(rows.size == math.min(4, nf))
+      rows.foreach { r =>
+        val off = r.getLong(r.fieldIndex("frame_offset")).toInt
+        val len = r.getLong(r.fieldIndex("frame_len")).toInt
+        val expect = bytes.slice(off, off + len)
+          .foldLeft(0L)((a, b) => (a * 131 + (b & 0xff)) % 1000000007L)
+        assert(r.getLong(r.fieldIndex("frame_checksum")) == expect)
+      }
+      // first and last frames are always sampled
+      val idxs = rows.map(_.getInt(1)).sorted
+      assert(idxs.head == 0 && (nf <= 4 || idxs.last == nf - 1))
+    }
+  }
 }
