@@ -74,7 +74,11 @@ object Algorithms {
     * is ONE action. Dangling-node mass is folded back in as a broadcast
     * 1-row aggregate join — never a separate driver action. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // pre-partitioned on the join key: the (big) edge table is shuffled
+    // once here instead of once per iteration — only the (small) rank
+    // iterate moves each round
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
     val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("odeg"))
     val ids = nodes.select(col("id")).distinct()
       .join(outDeg, Seq("id"), "left_outer")

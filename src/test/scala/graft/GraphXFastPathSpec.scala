@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{Algorithms, GraphXFastPath, TestGraph}
+
+/** The GraphX fast path must agree with the 100 TB DataFrame loops. */
+class GraphXFastPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GraphX connected components equal the DataFrame loop on the test graph") {
+    val g = TestGraph.graph(spark, SF)
+    val edges = g.edges.filter(col("distance") <= TestGraph.QueryThreshold)
+    val df = Algorithms.connectedComponents(g.nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = GraphXFastPath.connectedComponents(spark, g.nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df == gx)
+  }
+
+  test("GraphX pagerank ranks a dangling-free fixture like the DataFrame loop") {
+    // strongly connected: no dangling normalization difference
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    def ranking(rows: Seq[(Long, Double)]): Seq[Long] =
+      rows.sortBy { case (id, r) => (-r, id) }.map(_._1)
+    val df = Algorithms.pageRank(nodes, edges, iters = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val gx = GraphXFastPath.pageRank(spark, nodes, edges, iters = 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ranking(df) == ranking(gx))
+    assert(math.abs(df.map(_._2).sum - 1.0) < 1e-9, "DF loop conserves mass")
+  }
+}
