@@ -113,7 +113,10 @@ object Algorithms {
     * checkpointed result. */
   def shortestPaths(nodes: DataFrame, edges: DataFrame, seedIds: DataFrame,
                     maxIter: Int = 50, relaxPerRound: Int = 2): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("weight")).localCheckpoint(true)
+    // shuffled onto the relaxation join key once — every relaxation then
+    // moves only the frontier, never the edge table
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+      .repartition(col("src")).localCheckpoint(true)
     var dist = nodes.select(col("id"))
       .join(seedIds.select(col("id"), lit(0.0).as("dist0")), Seq("id"), "left_outer")
       .select(col("id"), col("dist0").as("dist"))   // null = unreachable (yet)
