@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.ArrayDotProduct
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so pure-SQL users get them too:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT array_dot(a.embedding, b.embedding) FROM ...
+  *
+  * The Column API ([[ArrayDotProduct.arrayDot]]) works without this —
+  * the extension only adds the SQL name binding.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(
+        classOf[ArrayDotProduct].getCanonicalName, null, "array_dot",
+        "array_dot(a, b) - sequential-order dot product of two array<double> columns.",
+        ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "array_dot takes exactly 2 arguments")
+        ArrayDotProduct(children.head, children(1))
+      }))
+  }
+}

@@ -115,7 +115,10 @@ object Similarity {
 
   /** Per-vector LSH buckets: (vec_id, table, bucket) where bucket packs
     * the k sign bits of the hyperplane projections. Narrow map — no
-    * shuffle; the bucket key is what the candidate join shuffles on. */
+    * shuffle; the bucket key is what the candidate join shuffles on.
+    * Deliberately does NOT carry the vectors: the bucket index is L
+    * rows per vector, and payloads are re-attached only after the
+    * candidate pairs are deduped. */
   private def buckets(v: DataFrame): DataFrame = {
     val tableBuckets = (0 until NumTables).map { t =>
       val bits = (0 until BitsPerTable).map { j =>
@@ -124,10 +127,8 @@ object Similarity {
       }
       struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
     }
-    v.select(col("vec_id"), col("v"), col("norm"),
-        explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("norm"),
-        col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    v.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
   /** LSH-bucketed approximate top-k: candidates are vectors sharing ≥1
@@ -136,15 +137,14 @@ object Similarity {
     * re-scoring on the candidate set only. `s_lsh_ann` (rows-only
     * oracle; ScalaTest asserts recall vs the brute-force baseline). */
   def lshAnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val v = vectors(spark, dir)
+    val v = vectors(spark, dir).localCheckpoint(true)
     val b = buckets(v).localCheckpoint(true)
     // dedup candidates on the (query, candidate) ID pair FIRST — a
     // distinct over rows carrying the vectors would shuffle the payload;
     // the vectors are re-attached to the deduped pairs afterwards.
     val qb = b.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
-    val candIds = qb.join(b.select(col("vec_id"), col("table"), col("bucket")),
-        Seq("table", "bucket"))
+    val candIds = qb.join(b, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
