@@ -21,13 +21,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.replace('"', '\'')
+            .linesIterator.take(1).mkString
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${Json.q(k)}:${Json.q(v)}" }
+      .mkString("{", ",", "}")
     val total = results.filter { case (k, _) => !errors.contains(k) }.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}"""
