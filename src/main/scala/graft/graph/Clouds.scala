@@ -215,6 +215,18 @@ object Clouds {
         col("distance").as("title"))).as("attrs"))
       .orderBy(col("src"), col("dst"))
 
+  /** Sink analogue of the reference's `pyvis_graph.save_graph(...)`
+    * (gdb.py:118-120): persists the cloud's node and edge viz attrs as
+    * JSON-lines directories — distributed write, one part per task,
+    * ready for any renderer. */
+  def exportCloud(spark: SparkSession, dir: String, outPath: String,
+                  taxon: String = Taxon, threshold: Double = QueryThreshold): Unit = {
+    vizExport(spark, dir)
+      .write.mode("overwrite").json(s"$outPath/nodes")
+    vizExportEdges(spark, dir, threshold)
+      .write.mode("overwrite").json(s"$outPath/edges")
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle — identical graph recomputed as a CTE prelude.
   // ---------------------------------------------------------------------

@@ -149,6 +149,18 @@ class GraphSpec extends SparkSpec {
     assert(parsed.count() == Clouds.cloudEdges(spark, SF).count())
   }
 
+  test("exportCloud persists nodes + edges as readable JSON directories") {
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cloudexport").toString
+    Clouds.exportCloud(spark, SF, out)
+    val nodes = spark.read.json(s"$out/nodes")
+    val edges = spark.read.json(s"$out/edges")
+    assert(nodes.count() == Clouds.cloudNodes(spark, SF).count())
+    assert(edges.count() == Clouds.cloudEdges(spark, SF).count())
+    assert(nodes.columns.toSet == Set("phage", "attrs"))
+    assert(edges.columns.toSet == Set("src", "dst", "attrs"))
+  }
+
   test("viz export round-trips as JSON with the cloud node attributes") {
     val export = Clouds.vizExport(spark, SF)
     val schema = StructType(Seq(
