@@ -13,6 +13,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT warmup at the smallest SF (~15 s): first-run timings were
+    // dominated by JVM compilation (observed 2× swings on the iterative
+    // loops); steady-state is what a long-running cluster job sees.
+    // Disable with SPARK_GRAFT_WARMUP=0.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory)
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
+    }
     // A failed query must not be recorded as a fast run: keep timing and
     // error separately so a regression shows up as an error, not a speedup.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
