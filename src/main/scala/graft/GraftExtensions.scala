@@ -19,9 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(
-        classOf[ArrayDotProduct].getCanonicalName, null, "array_dot",
+        classOf[ArrayDotProduct].getCanonicalName, "", "array_dot",
         "array_dot(a, b) - sequential-order dot product of two array<double> columns.",
-        ""),
+        "", "", "", "", "4.0.0", "", "built-in"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "array_dot takes exactly 2 arguments")
         ArrayDotProduct(children.head, children(1))

@@ -122,7 +122,7 @@ object Similarity {
   private def buckets(v: DataFrame): DataFrame = {
     val tableBuckets = (0 until NumTables).map { t =>
       val bits = (0 until BitsPerTable).map { j =>
-        val h = array(hyperplanes(t)(j).map(lit): _*)
+        val h = array(hyperplanes(t)(j).toIndexedSeq.map(lit): _*)
         when(arrayDot(col("v"), h) > 0, lit(1L << j)).otherwise(lit(0L))
       }
       struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
