@@ -90,12 +90,18 @@ object Clouds {
     * two-level colouring: NCBI nodes get a palette id per family-level
     * lineage bucket (`color_phage_tax`), everything else is white. */
   def familyNodes(spark: SparkSession, dir: String,
-                  family: String = Family, threshold: Double = QueryThreshold): DataFrame = {
+                  family: String = Family, threshold: Double = QueryThreshold,
+                  lineageLookup: Option[DataFrame] = None): DataFrame = {
     val ids = familyCloud(spark, dir, family, threshold)
       .select(col("phage_node").as("id"))
+    // the lookup is source-pluggable, like the reference's CSV taxid
+    // file (family.py:102): any DataFrame with
+    // (host_id, genus_name, family_key, family_name) works — CSV, JDBC,
+    // parquet; default is the nation→region dimension join.
+    val look = lineageLookup.getOrElse(lineage(spark, dir))
     phageNodes(spark, dir)
       .join(ids, Seq("id"), "left_semi")
-      .join(broadcast(lineage(spark, dir)), col("hostkey") === col("host_id"), "left_outer")
+      .join(broadcast(look), col("hostkey") === col("host_id"), "left_outer")
       .select(
         col("id").as("phage"), col("source"), col("genome_size"),
         col("taxonomy").as("lineage"),

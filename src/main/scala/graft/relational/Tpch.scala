@@ -120,6 +120,24 @@ object Tpch {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** JSON sidecar extraction: per-type stats over the `props` JSON
+    * column (`$.k`). `get_json_object` is a codegen'd path expression —
+    * the metadata-extraction shape every training-data pipeline has
+    * (parse a JSON sidecar, aggregate by a typed field). */
+  def qEventsProps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"k").as("n_distinct_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        sum($"k").as("sum_k"))
+      .orderBy($"event_type")
+  }
+
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -156,6 +174,16 @@ object Tpch {
            SELECT p_brand, p_partkey, p_retailprice,
              CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rnk
            FROM part) t WHERE rnk <= 3 ORDER BY p_brand, rnk""",
+    "q_events_props" ->
+      """WITH k AS (
+           SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, COUNT(*) AS n_events,
+                COUNT(DISTINCT k) AS n_distinct_k,
+                MIN(k) AS min_k, MAX(k) AS max_k,
+                CAST(SUM(k) AS BIGINT) AS sum_k
+         FROM k GROUP BY event_type ORDER BY event_type""",
     "q_events_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
@@ -179,5 +207,6 @@ object Tpch {
     "q5_local_supplier"    -> q5LocalSupplier _,
     "q_window_rank"        -> qWindowRank _,
     "q_events_sessionize"  -> qEventsSessionize _,
+    "q_events_props"       -> qEventsProps _,
   )
 }

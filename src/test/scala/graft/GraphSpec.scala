@@ -117,6 +117,21 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("family nodes accept a CSV-sourced lineage lookup (reference's taxid file shape)") {
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "lineagecsv").toString
+    TestGraph.lineage(spark, SF)
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val csvLineage = spark.read
+      .option("header", "true")
+      .schema("host_id INT, genus_name STRING, family_key INT, family_name STRING")
+      .csv(dir)
+    val fromCsv = rowsOf(Clouds.familyNodes(spark, SF, lineageLookup = Some(csvLineage)))
+      .map(_.toSeq)
+    val fromDims = rowsOf(Clouds.familyNodes(spark, SF)).map(_.toSeq)
+    assert(fromCsv == fromDims, "lookup source must not change the result")
+  }
+
   test("host edges are induced on the host-cloud node set") {
     val cloud = rowsOf(Clouds.hostCloud(spark, SF, harsh = false)).map(_.getLong(0)).toSet
     val edges = rowsOf(Clouds.hostEdges(spark, SF))

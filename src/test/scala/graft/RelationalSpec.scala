@@ -41,6 +41,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("JSON props extraction: per-type stats with consistent bounds") {
+    val r = rowsOf(Tpch.qEventsProps(spark, SF))
+    assert(r.nonEmpty)
+    val totalEvents = Tables.events(spark, SF).count()
+    assert(r.map(_.getLong(r.head.fieldIndex("n_events"))).sum == totalEvents,
+      "every event has a parsed props row")
+    r.foreach { row =>
+      val lo = row.getLong(row.fieldIndex("min_k"))
+      val hi = row.getLong(row.fieldIndex("max_k"))
+      val nd = row.getLong(row.fieldIndex("n_distinct_k"))
+      assert(lo <= hi && nd <= hi - lo + 1)
+      assert(nd <= row.getLong(row.fieldIndex("n_events")))
+    }
+  }
+
   test("sessionization: no intra-session gap exceeds 30 minutes and sessions are ordered") {
     val s = Tpch.qEventsSessionize(spark, SF)
     // session spans must not overlap for the same user, and ids are 1..n
