@@ -16,6 +16,7 @@ import graft.functions.ArrayDotProduct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectFunction((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(

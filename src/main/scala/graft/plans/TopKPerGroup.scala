@@ -1,0 +1,121 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Per-group top-k as a first-class operator.
+  *
+  * Spark expresses "top k rows per group" as
+  * `row_number().over(Window.partitionBy(g).orderBy(o)) <= k`, which
+  * physically SORTS every group in full — at 100 TB a popular group is
+  * billions of rows and the sort spills. The dedicated operator keeps a
+  * bounded k-heap per group in TWO phases, exactly like a hash
+  * aggregate: a map-side partial pass bounds the SHUFFLE to ≤ k rows
+  * per (group, input partition), then a final pass after the group
+  * exchange merges the partials. O(n log k) compute, O(k) state per
+  * group, no sort, no spill.
+  *
+  * Wiring: [[TopKPerGroup]] (logical) is planned by [[TopKStrategy]]
+  * (injected via `graft.GraftExtensions`) into partial+final
+  * [[TopKPerGroupExec]] nodes; `EnsureRequirements` inserts the group
+  * exchange between them because the final node declares
+  * `ClusteredDistribution`. [[topKPerGroup]] is the Column-API entry.
+  */
+final case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    sortOrders: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+final case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    sortOrders: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groups = groupExprs
+    val orders = sortOrders
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(groups, childOutput)
+      val ordering = new LazilyGeneratedOrdering(orders, childOutput)
+      // PriorityQueue is a max-heap: with `ordering` itself (compare<0 ⇒
+      // sorts earlier ⇒ better), the head is the row that sorts LAST —
+      // the worst retained row, evicted when a better one arrives
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](
+            ordering.asInstanceOf[Ordering[InternalRow]])
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (ordering.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.forEach { (_, heap) => out ++= heap.dequeueAll.reverseIterator }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerGroup {
+  import org.apache.spark.sql.graft.bridge
+  import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending}
+
+  /** Top `k` rows per `group`, best-first by `orderBy`
+    * ((column, descending?) pairs). Built directly on the analyzed
+    * child's attribute references, so the node enters planning fully
+    * resolved. Rows are returned unranked — rank the (tiny) result
+    * downstream if needed. */
+  def topKPerGroup(df: DataFrame, group: Seq[String],
+                   orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val child = bridge.plan(df)
+    def attr(name: String): Attribute =
+      child.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not in ${child.output.map(_.name).mkString(", ")}"))
+    val orders = orderBy.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    bridge.ofRows(df.sparkSession,
+      TopKPerGroup(group.map(attr), orders, k, child))
+  }
+}

@@ -16,4 +16,24 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Analyzed logical plan of a DataFrame. */
+  def plan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
+  /** DataFrame from a logical plan (Dataset.ofRows is private[sql]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Is the given planner strategy registered in this session? Lets
+    * operators with a custom physical plan degrade gracefully to a
+    * built-in formulation in sessions built without GraftExtensions. */
+  def hasStrategy(spark: org.apache.spark.sql.SparkSession,
+                  s: org.apache.spark.sql.execution.SparkStrategy): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.planner.extraPlanningStrategies.exists(_ eq s)
 }

@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local session for the whole suite (Test/fork gives one JVM). */
 object TestSession {
   lazy val spark: SparkSession = SparkSession.builder()
+    .withExtensions(new GraftExtensions())
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
