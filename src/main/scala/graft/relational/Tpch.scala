@@ -120,6 +120,32 @@ object Tpch {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Sketch-based approximate statistics per return flag: HyperLogLog++
+    * distinct orders and t-digest price percentiles. These are THE
+    * 100 TB summary operators — both sketches are bounded-size and
+    * mergeable, so they partial-aggregate map-side and never collect
+    * exact state. Rows-only oracle (sketches are
+    * implementation-defined); the spec bounds relative error against
+    * the exact answers. `q_approx_stats`. */
+  def qApproxStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
+        percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.95), lit(0.99)),
+          lit(10000)).as("pcts"),
+        count(lit(1)).as("n_rows"))
+      // scalar columns: array cells don't survive the driver's
+      // sort-and-hash canonicalization of rows-only outputs
+      .select($"l_returnflag", $"approx_orders",
+        element_at($"pcts", 1).as("price_p50"),
+        element_at($"pcts", 2).as("price_p95"),
+        element_at($"pcts", 3).as("price_p99"),
+        $"n_rows")
+      .orderBy($"l_returnflag")
+  }
+
   /** JSON sidecar extraction: per-type stats over the `props` JSON
     * column (`$.k`). `get_json_object` is a codegen'd path expression —
     * the metadata-extraction shape every training-data pipeline has
@@ -208,5 +234,6 @@ object Tpch {
     "q_window_rank"        -> qWindowRank _,
     "q_events_sessionize"  -> qEventsSessionize _,
     "q_events_props"       -> qEventsProps _,
+    "q_approx_stats"       -> qApproxStats _,
   )
 }

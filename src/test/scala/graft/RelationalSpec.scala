@@ -41,6 +41,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx stats: HLL distinct within 5% of exact; percentiles bracket the exact quantiles") {
+    val approx = rowsOf(Tpch.qApproxStats(spark, SF))
+      .map(r => r.getString(0) -> r).toMap
+    val exact = rowsOf(
+      Tables.lineitem(spark, SF)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("d"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50")))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (d, p50)) =>
+      val row = approx(flag)
+      val got = row.getLong(row.fieldIndex("approx_orders"))
+      assert(math.abs(got - d).toDouble / d < 0.05, s"$flag: HLL $got vs exact $d")
+      val ps = Seq("price_p50", "price_p95", "price_p99")
+        .map(c => row.getDouble(row.fieldIndex(c)))
+      assert(ps == ps.sorted, "p50 <= p95 <= p99")
+      assert(math.abs(ps.head - p50) / p50 < 0.05, s"$flag: p50 ${ps.head} vs exact $p50")
+    }
+  }
+
   test("JSON props extraction: per-type stats with consistent bounds") {
     val r = rowsOf(Tpch.qEventsProps(spark, SF))
     assert(r.nonEmpty)
