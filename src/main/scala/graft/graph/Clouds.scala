@@ -233,6 +233,35 @@ object Clouds {
       .write.mode("overwrite").json(s"$outPath/edges")
   }
 
+  /** Self-contained HTML page rendering the cloud with vis-network —
+    * the same artifact the reference's pyvis `save_graph` emits
+    * (gdb.py:118-120). Node/edge attrs are embedded as JSON arrays;
+    * only the (small, already-induced) cloud is collected, never the
+    * graph. */
+  def exportCloudHtml(spark: SparkSession, dir: String, outFile: String,
+                      taxon: String = Taxon, threshold: Double = QueryThreshold): Unit = {
+    def jsonArray(df: DataFrame): String =
+      df.toJSON.collect().mkString("[", ",\n", "]")
+    val nodes = jsonArray(cloudNodes(spark, dir, taxon, threshold).select(
+      col("phage").as("id"), col("phage").cast("string").as("label"),
+      floor(col("genome_size") / SizeScaleFactor).cast("long").as("size"),
+      col("color")))
+    val edges = jsonArray(cloudEdges(spark, dir, taxon, threshold).select(
+      col("src").as("from"), col("dst").as("to"), col("value")))
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><head><meta charset="utf-8"/>
+         |<script src="https://unpkg.com/vis-network/standalone/umd/vis-network.min.js"></script>
+         |<style>#cloud{width:1500px;height:1500px;border:1px solid #ddd}</style>
+         |</head><body><div id="cloud"></div><script>
+         |const nodes = new vis.DataSet($nodes);
+         |const edges = new vis.DataSet($edges);
+         |new vis.Network(document.getElementById("cloud"), {nodes, edges},
+         |  {physics: {solver: "forceAtlas2Based"}});
+         |</script></body></html>""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), html)
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB oracle — identical graph recomputed as a CTE prelude.
   // ---------------------------------------------------------------------

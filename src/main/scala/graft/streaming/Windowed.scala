@@ -43,6 +43,17 @@ object Windowed {
   def streaming(events: DataFrame): DataFrame =
     windowedAgg(events.withWatermark("ts", "2 hours"))
 
+  /** Streaming exact dedup — the streaming counterpart of
+    * `d_exact_dedup`: drops payloads whose content hash was already
+    * seen, with the watermark bounding how long seen-hashes state is
+    * retained (without it, dedup state grows forever on an unbounded
+    * stream). Input needs (ts: timestamp, payload: string). */
+  def streamingDedup(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("content_hash", md5(col("payload")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   val oracle: Map[String, String] = Map(
     "st_windowed_agg" ->
       """WITH e AS (

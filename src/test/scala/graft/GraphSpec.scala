@@ -164,6 +164,17 @@ class GraphSpec extends SparkSpec {
     assert(parsed.count() == Clouds.cloudEdges(spark, SF).count())
   }
 
+  test("HTML cloud export embeds every node and edge as vis-network JSON") {
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "cloudhtml").resolve("cloud.html").toString
+    Clouds.exportCloudHtml(spark, SF, out)
+    val html = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
+    assert(html.contains("vis.Network") && html.contains("forceAtlas2Based"))
+    val nodeIds = rowsOf(Clouds.cloudNodes(spark, SF)).map(_.getLong(0))
+    nodeIds.foreach(id => assert(html.contains(s""""id":$id"""), s"node $id embedded"))
+    assert(html.split("\"from\":").length - 1 == Clouds.cloudEdges(spark, SF).count())
+  }
+
   test("exportCloud persists nodes + edges as readable JSON directories") {
     val out = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "cloudexport").toString

@@ -52,6 +52,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops same-content payloads across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = Windowed.streamingDedup(stream.toDF.toDF("ts", "payload"))
+      .select("payload").writeStream
+      .format("memory").queryName("dedup_sink").outputMode("append").start()
+    try {
+      stream.addData((ts(0, 0), "doc-a"), (ts(0, 1), "doc-b"), (ts(0, 2), "doc-a"))
+      q.processAllAvailable()
+      // duplicate arriving in a LATER micro-batch, still within watermark
+      stream.addData((ts(0, 30), "doc-a"), (ts(0, 31), "doc-c"))
+      q.processAllAvailable()
+      val seen = spark.table("dedup_sink").as[String].collect().sorted.toSeq
+      assert(seen == Seq("doc-a", "doc-b", "doc-c"),
+        s"one row per distinct payload, got $seen")
+    } finally q.stop()
+  }
+
   test("batch entry aggregates the events table per hour and type") {
     val r = rowsOf(Windowed.batch(spark, SF))
     assert(r.nonEmpty)
