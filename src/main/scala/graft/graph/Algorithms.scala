@@ -93,12 +93,16 @@ object Algorithms {
         .join(e, pr("id") === e("src"))
         .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      // ranks are quantized to 12 dp each iteration: the contrib SUM is
+      // a shuffle aggregate whose double-addition order is run- and
+      // engine-dependent (~1e-18 noise); quantizing makes every iterate
+      // bit-deterministic, so the DuckDB oracle replays the loop exactly
       pr = pr.select(col("id"), col("odeg"))
         .join(contribs, Seq("id"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("id"), col("odeg"),
-          (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dang") / n)).as("rank"))
+          round(lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dang") / n), 12).as("rank"))
         .localCheckpoint(true)
     }
     pr.select(col("id"), col("rank"))

@@ -322,7 +322,69 @@ object Clouds {
            JOIN nation h ON a.hostkey = h.n_nationkey
          WHERE h.n_name = 'NATION_7' AND e.distance <= 0.10)"""
 
+  /** Bellman-Ford unrolled to `stages` relaxation CTEs. The converged
+    * fixpoint is bitwise engine-independent: every path sum associates
+    * left-to-right identically in both engines (dist(u)+w is one op per
+    * hop) and MIN over candidates is order-free — so the SSSP oracle
+    * hash-matches without any rounding, provided `stages` covers the
+    * longest shortest-path hop count at the gate SF. */
+  private def ssspOracle(stages: Int): String = {
+    val steps = (1 to stages).map { i =>
+      s"""d$i AS MATERIALIZED (
+         SELECT p.id,
+           CASE WHEN p.dist IS NULL AND c.cand IS NULL THEN NULL
+                ELSE LEAST(COALESCE(p.dist, 1e300), COALESCE(c.cand, 1e300)) END AS dist
+         FROM d${i - 1} p LEFT JOIN (
+           SELECT e.v AS id, MIN(q.dist + e.w) AS cand
+           FROM d${i - 1} q JOIN und e ON e.u = q.id
+           WHERE q.dist IS NOT NULL GROUP BY e.v) c ON c.id = p.id)"""
+    }.mkString(",\n")
+    s"""$OracleCte,
+       und AS MATERIALIZED (
+         SELECT src AS u, dst AS v, distance AS w FROM edges WHERE distance <= 0.10
+         UNION ALL
+         SELECT dst, src, distance FROM edges WHERE distance <= 0.10),
+       seeds AS (SELECT id FROM nodes WHERE source='BUILDING' AND contains(taxonomy,'4')),
+       d0 AS MATERIALIZED (
+         SELECT n.id, CASE WHEN s.id IS NOT NULL THEN 0.0 END AS dist
+         FROM nodes n LEFT JOIN seeds s ON n.id = s.id),
+       $steps
+       SELECT id, dist FROM d$stages WHERE dist IS NOT NULL ORDER BY id"""
+  }
+
+  /** PageRank unrolled to `iters` stages. The per-node contribution SUM
+    * is order-dependent double addition, so BOTH engines quantize each
+    * iterate to 12 dp (see [[Algorithms.pageRank]]) — the recurrence is
+    * then bit-deterministic and replays identically here. */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""p$i AS MATERIALIZED (
+         SELECT b.id, b.odeg,
+           ROUND(0.15 / nn.n + 0.85 * (COALESCE(c.contrib, 0) +
+             (SELECT COALESCE(SUM(rank), 0) FROM p${i - 1} WHERE odeg IS NULL) / nn.n), 12)
+             AS rank
+         FROM base b CROSS JOIN ncount nn LEFT JOIN (
+           SELECT e.dst AS id, SUM(p.rank / p.odeg) AS contrib
+           FROM p${i - 1} p JOIN te e ON e.src = p.id
+           WHERE p.odeg IS NOT NULL GROUP BY e.dst) c ON c.id = b.id)"""
+    }.mkString(",\n")
+    s"""$OracleCte,
+       te AS MATERIALIZED (SELECT src, dst FROM edges WHERE distance <= 0.10),
+       ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+       base AS MATERIALIZED (
+         SELECT n.id, o.odeg FROM nodes n
+         LEFT JOIN (SELECT src, COUNT(*) AS odeg FROM te GROUP BY src) o
+           ON n.id = o.src),
+       p0 AS MATERIALIZED (
+         SELECT b.id, b.odeg, 1.0 / nn.n AS rank
+         FROM base b CROSS JOIN ncount nn),
+       $steps
+       SELECT id, rank FROM p$iters ORDER BY id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "g_shortest_paths" -> ssspOracle(64),
+    "g_pagerank" -> pagerankOracle(10),
     "g_edges_build" ->
       s"$OracleCte SELECT src, dst, distance FROM edges ORDER BY src, dst",
     "g_taxon_cloud" ->

@@ -35,12 +35,15 @@ class AlgorithmsSpec extends SparkSpec {
     // reference: same recurrence, driver-side
     val out = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L, 4L))
     var pr = Seq(1L, 2L, 3L, 4L).map(_ -> 0.25).toMap
+    def round12(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
     for (_ <- 1 to 10) {
       val dangling = pr.filterNot(kv => out.contains(kv._1)).values.sum
       val contrib = out.toSeq.flatMap { case (s, ds) => ds.map(_ -> pr(s) / ds.size) }
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
       pr = pr.keys.map(id => id ->
-        (0.15 / 4 + 0.85 * (contrib.getOrElse(id, 0.0) + dangling / 4))).toMap
+        round12(0.15 / 4 + 0.85 * (contrib.getOrElse(id, 0.0) + dangling / 4))).toMap
     }
     got.foreach { case (id, r) => assert(math.abs(r - pr(id)) < 1e-12, s"node $id") }
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conservation")
