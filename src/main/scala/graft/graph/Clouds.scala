@@ -385,6 +385,26 @@ object Clouds {
   val oracle: Map[String, String] = Map(
     "g_shortest_paths" -> ssspOracle(64),
     "g_pagerank" -> pagerankOracle(10),
+    // JSON attr payloads rebuilt by string concatenation: longs/strings
+    // render identically, and DuckDB's double->varchar is the same
+    // shortest round-trip representation Jackson emits in to_json.
+    "g_viz_export" ->
+      s"""$OracleCte
+         SELECT n.id AS phage,
+                '{"size":' || CAST(CAST(FLOOR(n.genome_size/3000) AS BIGINT) AS VARCHAR) ||
+                ',"color":{"border":"#000000","background":"' ||
+                CASE WHEN n.source='BUILDING' AND contains(n.taxonomy,'4') THEN 'green'
+                     WHEN n.source='BUILDING' THEN 'red'
+                     WHEN n.source='AUTOMOBILE' THEN 'cyan'
+                     WHEN n.source='MACHINERY' THEN 'pink'
+                     WHEN n.source='HOUSEHOLD' THEN 'purple'
+                     ELSE 'yellow' END || '"}}' AS attrs
+         FROM nodes n JOIN cloud_ids ci ON n.id = ci.id
+         ORDER BY phage""",
+    // g_viz_export_edges stays rows-only: Jackson renders doubles below
+    // 1e-3 in scientific notation ("2.65E-4"), DuckDB in plain decimal —
+    // 14/1517 attr strings differ at sf0.01. The edge attrs are
+    // value-checked in ScalaTest instead.
     "g_edges_build" ->
       s"$OracleCte SELECT src, dst, distance FROM edges ORDER BY src, dst",
     "g_taxon_cloud" ->
