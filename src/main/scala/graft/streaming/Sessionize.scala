@@ -78,7 +78,13 @@ object Sessionize {
                   closed += ClosedSession(user, s.start_sec, s.last_sec, s.n_events)
                   open = Some(OpenSession(t, t, 1))
                 case Some(s) =>
-                  open = Some(OpenSession(s.start_sec, t, s.n_events + 1))
+                  // cross-batch disorder: an event newer than the
+                  // watermark may still be older than the open session's
+                  // bounds — it must never move start forward or end
+                  // backwards (a regressed last_sec would also pull the
+                  // event-time timeout backwards)
+                  open = Some(OpenSession(math.min(s.start_sec, t),
+                    math.max(s.last_sec, t), s.n_events + 1))
                 case None =>
                   open = Some(OpenSession(t, t, 1))
               }

@@ -31,6 +31,20 @@ class ArrayDotProductSpec extends SparkSpec {
     assert(n == 1)
   }
 
+  test("mismatched lengths and null elements yield NULL, both eval paths") {
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),       // length mismatch
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)), // null element
+      (Seq[java.lang.Double](2.0, 3.0), Seq[java.lang.Double](4.0, 5.0))) // clean
+      .toDF("a", "b")
+    val vals = df.select(arrayDot(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(vals.toSeq == Seq(None, None, Some(23.0)))
+    // interpreted path: NULL comparisons are filtered out, only the clean
+    // row survives
+    assert(df.filter(arrayDot(col("a"), col("b")) > 0.0).count() == 1)
+  }
+
   test("rejects non-double-array inputs at analysis time") {
     val df = Seq((Seq("x"), Seq(1.0))).toDF("a", "b")
     val err = intercept[org.apache.spark.sql.AnalysisException] {

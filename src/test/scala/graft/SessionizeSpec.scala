@@ -64,6 +64,33 @@ class SessionizeSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("cross-batch disorder within the watermark cannot regress session bounds") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val events = stream.toDF.toDF("ts", "user_id")
+    val query = Sessionize.streamingSessions(events).writeStream
+      .format("memory").queryName("session_sink3").outputMode("append").start()
+    try {
+      // batch 1 opens a session at 02:00; batch 2 delivers a LATE event
+      // (01:50, still within the watermark) — it must extend the session
+      // backwards (start=01:50) without moving last_sec back
+      stream.addData((ts(2, 0), 9L))
+      query.processAllAvailable()
+      stream.addData((ts(1, 50), 9L))
+      query.processAllAvailable()
+      // advance the watermark far enough to flush the session
+      stream.addData((ts(9, 0), 9L))
+      query.processAllAvailable()
+      stream.addData((ts(18, 0), 9L))
+      query.processAllAvailable()
+      val got = spark.table("session_sink3").as[(Long, Long, Long, Long)]
+        .collect().toSet
+      assert(got.contains((9L, sec(1, 50), sec(2, 0), 2L)),
+        s"late event must widen the session to [01:50, 02:00], got $got")
+    } finally query.stop()
+  }
+
   test("batch session summary aggregates the windowed session assignment") {
     val sessions = rowsOf(relational.Tpch.qEventsSessionize(spark, SF))
       .groupBy(_.getLong(0))
