@@ -30,6 +30,50 @@ object Algorithms {
   val RelaxPerRound = 2
   val RelaxBudget: Int = MaxRounds * RelaxPerRound
 
+  /** Target shuffle rows per partition inside the SSSP loop. Small on
+    * purpose: a loop partition holds ~24-byte (id, dist) pairs plus an
+    * edge slice, so 64k rows ≈ 1-2 MB — sized for task-launch cost, not
+    * memory. On big graphs the defaultParallelism clamp governs. */
+  private val LoopRowsPerPartition = 64000L
+
+  /** Shuffle width for a loop iterating over `rows`-row inputs: enough
+    * partitions to keep ~[[LoopRowsPerPartition]] rows each, clamped to
+    * the cluster's parallelism. At 100 TB this resolves to the full
+    * cluster width; on a small graph it collapses to a handful of
+    * partitions so a 30-round loop doesn't schedule thousands of
+    * near-empty tasks. */
+  private def loopWidth(spark: org.apache.spark.sql.SparkSession, rows: Long): Int =
+    math.max(2, math.min(spark.sparkContext.defaultParallelism,
+      math.ceil(rows.toDouble / LoopRowsPerPartition).toInt))
+
+  /** Runs `body` (a whole iterative loop) with the session's shuffle
+    * width pinned to `width` and AQE's coalescer off, restoring both
+    * after. The width is sized once from the actual edge count instead
+    * of per round by the coalescer: re-planning every tiny exchange on
+    * every round was measured as the dominant per-round fixed cost at
+    * small SF (~32 rounds × ~6 exchanges). AQE itself stays ON — its
+    * runtime stage reuse still deduplicates repeated subtrees in the
+    * iterate plans.
+    *
+    * Used by [[shortestPaths]], whose frontier SHRINKS as the wavefront
+    * passes (the coalescer's per-round sizing decisions are wasted
+    * there). Deliberately NOT used by [[connectedComponents]] /
+    * [[pageRank]]: their iterate is all |V| rows every round, and
+    * benchmarking showed the pinned width slower than letting the
+    * coalescer handle those loops (their dual-referenced self-join
+    * stages reuse better under fully-adaptive planning). */
+  private def withLoopConf[T](spark: org.apache.spark.sql.SparkSession, width: Int)(body: => T): T = {
+    val conf = spark.conf
+    val coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val sp = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions", width.toString)
+    try body finally {
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+      conf.set("spark.sql.shuffle.partitions", sp)
+    }
+  }
+
   /** Connected components on an undirected view of `edges` (src,dst).
     * Returns (id, component) where component = min node id of the
     * component. Hash-to-min + pointer doubling: each round takes the min
@@ -140,10 +184,15 @@ object Algorithms {
     * unconditional. */
   def shortestPaths(nodes: DataFrame, edges: DataFrame, seedIds: DataFrame,
                     maxIter: Int = MaxRounds, relaxPerRound: Int = RelaxPerRound): DataFrame = {
-    // shuffled onto the relaxation join key once — every relaxation then
-    // moves only the frontier, never the edge table
-    val e = edges.select(col("src"), col("dst"), col("weight"))
-      .repartition(col("src")).localCheckpoint(true)
+    val spark = nodes.sparkSession
+    // materialized once (so the possibly-expensive upstream never re-runs),
+    // then shuffled onto the relaxation join key at the loop width —
+    // every relaxation then moves only the frontier, never the edge table
+    val e0 = edges.select(col("src"), col("dst"), col("weight"))
+      .localCheckpoint(true)
+    val width = loopWidth(spark, e0.count())
+    withLoopConf(spark, width) {
+    val e = e0.repartition(width, col("src")).localCheckpoint(true)
     var dist = nodes.select(col("id"))
       .join(seedIds.select(col("id"), lit(0.0).as("dist0")), Seq("id"), "left_outer")
       .select(col("id"), col("dist0").as("dist"))   // null = unreachable (yet)
@@ -183,5 +232,6 @@ object Algorithms {
       iter += 1
     }
     dist.select(col("id"), col("dist"))
+    }
   }
 }
