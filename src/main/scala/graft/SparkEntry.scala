@@ -8,6 +8,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (relational.Tpch.queries, relational.Tpch.oracle),
+      (relational.Joins.queries, relational.Joins.oracle),
       (graph.Clouds.queries, graph.Clouds.oracle),
       (pipeline.Dedup.queries, pipeline.Dedup.oracle),
       (pipeline.Text.queries, pipeline.Text.oracle),

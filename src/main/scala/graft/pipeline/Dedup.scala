@@ -131,6 +131,28 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  // ---- cluster + canonicalize ---------------------------------------
+
+  /** The step after pair generation that an actual dedup pipeline needs:
+    * near-dup PAIRS are not removable sets — transitively-linked docs
+    * must collapse into ONE cluster with ONE kept representative, or
+    * chained dups (A~B, B~C, A!~C) survive pairwise removal. Clusters =
+    * connected components over the ≥τ Jaccard pair graph (the same
+    * O(log n)-round alternating min-label/pointer-jumping loop the
+    * phage clouds use — [[graft.graph.Algorithms.connectedComponents]]);
+    * the keeper is the minimum doc id per cluster. Every document gets a
+    * row: unpaired docs are their own singleton cluster and are kept.
+    * `d_dedup_clusters`. */
+  def dedupClusters(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, minSim)
+      .select(col("a").as("src"), col("b").as("dst"))
+    val ids = Docs.docs(spark, dir).select(col("doc_id").as("id"))
+    graft.graph.Algorithms.connectedComponents(ids, pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        (col("id") === col("comp")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- oracles ------------------------------------------------------
 
   /** DuckDB equivalent of [[Docs.gramTable]] as a CTE body. */
@@ -162,6 +184,30 @@ object Dedup {
           JOIN sizes sb ON sb.doc_id = b
           WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
           ORDER BY a, b""",
+    // transitive closure over the pair graph (tiny: only near-dup pairs),
+    // then min id per reachable set = the cluster label
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE $GramCte,
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+          inter AS (
+            SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+            FROM grams g1 JOIN grams g2
+              ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+            GROUP BY g1.doc_id, g2.doc_id),
+          pairs AS (
+            SELECT a, b FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+          und AS (
+            SELECT a AS u, b AS v FROM pairs
+            UNION ALL SELECT b, a FROM pairs),
+          reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+          SELECT u AS doc_id, MIN(v) AS cluster_id, u = MIN(v) AS keep
+          FROM reach GROUP BY u ORDER BY doc_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -169,5 +215,6 @@ object Dedup {
     "d_minhash_lsh"   -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "d_simhash"       -> (simhash _),
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
+    "d_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
   )
 }

@@ -1,0 +1,113 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal join operators the built-in equi-join can't express directly
+  * — each implemented as a composition that keeps the plan shuffle-
+  * bounded at 100 TB instead of falling back to a broadcast-nested-loop
+  * theta join (preference (a) of the custom-operator ladder: compose
+  * existing ops when semantics allow).
+  */
+object Joins {
+
+  /** As-of join: for every `purchase` event, the most recent `click` by
+    * the same user at-or-before it (last-touch attribution).
+    *
+    * NOT a range join: the classic scalable plan is the union-merge —
+    * tag both streams, union them, and run ONE window per user ordered
+    * by (time, tag): a running max over the click timestamps is exactly
+    * "latest click ≤ this row". One shuffle on `user_id`, no pair
+    * blow-up, no per-row probe — the same plan at any scale. Ties at
+    * identical timestamps order clicks before purchases (tag 0 < 1), so
+    * an exactly-simultaneous click is eligible, matching the `>=`
+    * as-of semantics. `q_asof_join`. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros($"ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"us", lit(0L).as("kind"), $"event_id")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"us", lit(1L).as("kind"), $"event_id")
+    val merge = Window.partitionBy($"user_id").orderBy($"us", $"kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_us", max(when($"kind" === 0, $"us")).over(merge))
+      .filter($"kind" === 1)
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"us".as("purchase_us"), $"last_click_us")
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  /** Half-width of the range-join window, seconds. */
+  val RangeWindowSec = 300L
+
+  /** Range join: per `error` event, how many `view` events (any user)
+    * fell within ±[[RangeWindowSec]] of it — a pure non-equi interval
+    * predicate.
+    *
+    * The naive plan is a broadcast-nested-loop over |errors|×|views|
+    * pairs — quadratic and unshippable at scale. Instead the timeline is
+    * bucketed at the window width: each view lands in exactly one
+    * bucket, each error probes the ≤3 buckets its window can overlap
+    * (bounded fan-out), and the match becomes an equi-join on `bucket`
+    * plus a residual |Δt| filter. A view pairs with an error at most
+    * once (one bucket per view), so no post-join dedup is needed.
+    * At extreme scale a globally hot time bucket is the skew risk — AQE
+    * skew-join splitting handles it, or salt the bucket key by a hash of
+    * the view id. `q_range_join`. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = RangeWindowSec
+    val ev = Tables.events(spark, dir).withColumn("sec", unix_timestamp($"ts"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), $"sec".as("err_sec"))
+    val views = ev.filter($"event_type" === "view")
+      .select($"sec".as("view_sec"), floor($"sec" / w).as("bucket"))
+    val probes = errors.withColumn("bucket",
+      explode(sequence(floor(($"err_sec" - w) / w), floor(($"err_sec" + w) / w))))
+    val counts = probes.join(views, Seq("bucket"))
+      .filter(abs($"view_sec" - $"err_sec") <= w)
+      .groupBy($"error_id").agg(count(lit(1)).as("n"))
+    errors.join(counts, Seq("error_id"), "left_outer")
+      .select($"error_id", $"err_sec", coalesce($"n", lit(0L)).as("n_views"))
+      .orderBy($"error_id")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH tagged AS (
+           SELECT user_id, epoch_us(ts) AS us, 0 AS kind, event_id
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, epoch_us(ts), 1, event_id
+           FROM events WHERE event_type = 'purchase'),
+         merged AS (
+           SELECT user_id, us, kind, event_id,
+             MAX(CASE WHEN kind = 0 THEN us END) OVER
+               (PARTITION BY user_id ORDER BY us, kind
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+           FROM tagged)
+         SELECT user_id, event_id AS purchase_id, us AS purchase_us, last_click_us
+         FROM merged WHERE kind = 1 ORDER BY user_id, purchase_id""",
+    "q_range_join" ->
+      """WITH e AS (
+           SELECT event_id AS error_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS err_sec
+           FROM events WHERE event_type = 'error'),
+         v AS (
+           SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS view_sec
+           FROM events WHERE event_type = 'view')
+         SELECT e.error_id, e.err_sec,
+                CAST(COUNT(v.view_sec) AS BIGINT) AS n_views
+         FROM e LEFT JOIN v
+           ON v.view_sec BETWEEN e.err_sec - 300 AND e.err_sec + 300
+         GROUP BY e.error_id, e.err_sec ORDER BY error_id""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"  -> qAsofJoin _,
+    "q_range_join" -> qRangeJoin _,
+  )
+}

@@ -164,7 +164,36 @@ object Tpch {
       .orderBy($"event_type")
   }
 
+  /** Hierarchical totals in one pass: GROUP BY ROLLUP over
+    * (returnflag, linestatus) yields leaf, per-flag subtotal, and grand
+    * total rows from a single shuffle — the alternative (three separate
+    * aggregations unioned) scans and shuffles three times. The
+    * grouping-id column disambiguates "grouped-out" NULLs from data
+    * NULLs. `q_rollup`. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        round(sum($"l_quantity".cast(D12_2)), 2).cast("double").as("sum_qty"),
+        round(sum($"l_extendedprice".cast(D12_4) * (lit(1.0) - $"l_discount").cast(D12_4)), 2)
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("n_rows"))
+      .select($"l_returnflag", $"l_linestatus", $"gid",
+        $"sum_qty", $"sum_disc_price", $"n_rows")
+      .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
@@ -235,5 +264,6 @@ object Tpch {
     "q_events_sessionize"  -> qEventsSessionize _,
     "q_events_props"       -> qEventsProps _,
     "q_approx_stats"       -> qApproxStats _,
+    "q_rollup"             -> qRollup _,
   )
 }

@@ -64,4 +64,17 @@ class DedupSpec extends SparkSpec {
     val sig = rowsOf(Dedup.simhash(spark, SF))
     assert(sig.map(_.getLong(0)).distinct.size == sig.size, "one fingerprint per doc")
   }
+
+  test("dedup clusters collapse transitive chains and keep the min doc per cluster") {
+    val r = rowsOf(Dedup.dedupClusters(spark, dir))
+    assert(r.size == 5, "every doc gets a cluster row")
+    val cluster = r.map(row => row.getLong(0) -> row.getLong(1)).toMap
+    val keep = r.map(row => row.getLong(0) -> row.getBoolean(2)).toMap
+    // docs 0 (base), 1 (near-dup of 0), 2 (exact dup of 0) chain into one
+    // cluster labelled by the min id; the two salads stay singletons
+    assert(cluster(0L) == 0L && cluster(1L) == 0L && cluster(2L) == 0L)
+    assert(cluster(3L) == 3L && cluster(4L) == 4L)
+    assert(keep.count(_._2) == 3, "one keeper per cluster")
+    assert(keep(0L) && !keep(1L) && !keep(2L) && keep(3L) && keep(4L))
+  }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.relational.{Joins, Tpch}
+
+class JoinsSpec extends SparkSpec {
+
+  test("as-of join: every purchase row appears once; attribution never looks forward") {
+    val purchases = rowsOf(
+      Tables.events(spark, SF).filter(col("event_type") === "purchase"))
+    val r = rowsOf(Joins.qAsofJoin(spark, SF))
+    assert(r.size == purchases.size)
+    r.foreach { row =>
+      if (!row.isNullAt(row.fieldIndex("last_click_us")))
+        assert(row.getLong(row.fieldIndex("last_click_us")) <=
+          row.getLong(row.fieldIndex("purchase_us")))
+    }
+  }
+
+  test("as-of join matches a per-user brute-force scan") {
+    val ev = rowsOf(Tables.events(spark, SF)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type")))
+    val clicksByUser = ev.filter(_.getString(2) == "click")
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val r = rowsOf(Joins.qAsofJoin(spark, SF))
+    r.foreach { row =>
+      val user = row.getLong(row.fieldIndex("user_id"))
+      val pUs = row.getLong(row.fieldIndex("purchase_us"))
+      val expect = clicksByUser.getOrElse(user, Nil).filter(_ <= pUs)
+        .lastOption
+      val got = if (row.isNullAt(row.fieldIndex("last_click_us"))) None
+        else Some(row.getLong(row.fieldIndex("last_click_us")))
+      assert(got == expect, s"user=$user purchase_us=$pUs")
+    }
+  }
+
+  test("range join counts match a brute-force window scan") {
+    val ev = rowsOf(Tables.events(spark, SF)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("sec"), col("event_type")))
+    val viewSecs = ev.filter(_.getString(2) == "view").map(_.getLong(1))
+    val r = rowsOf(Joins.qRangeJoin(spark, SF))
+    assert(r.size == ev.count(_.getString(2) == "error"))
+    r.foreach { row =>
+      val sec = row.getLong(row.fieldIndex("err_sec"))
+      val expect = viewSecs.count(v => math.abs(v - sec) <= Joins.RangeWindowSec)
+      assert(row.getLong(row.fieldIndex("n_views")) == expect)
+    }
+  }
+
+  test("range join plan is an equi-join on the bucket key, not a nested loop") {
+    val plan = Joins.qRangeJoin(spark, SF).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("rollup emits leaf, subtotal, and grand-total levels that reconcile") {
+    val r = rowsOf(Tpch.qRollup(spark, SF))
+    val byGid = r.groupBy(_.getLong(r.head.fieldIndex("gid")))
+    assert(byGid.keySet == Set(0L, 1L, 3L))
+    val total = byGid(3L)
+    assert(total.size == 1)
+    val iN = r.head.fieldIndex("n_rows")
+    val iQty = r.head.fieldIndex("sum_qty")
+    assert(byGid(0L).map(_.getLong(iN)).sum == total.head.getLong(iN))
+    assert(byGid(1L).map(_.getLong(iN)).sum == total.head.getLong(iN))
+    assert(math.abs(byGid(1L).map(_.getDouble(iQty)).sum - total.head.getDouble(iQty)) < 1e-6)
+  }
+}
