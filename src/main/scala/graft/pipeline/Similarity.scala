@@ -176,6 +176,59 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ---- IVF ANN (the other scale path) --------------------------------
+
+  val NumLists = 16   // inverted lists (coarse centroids); ~√N at scale
+  val NumProbe = 4    // lists probed per query (recall knob)
+
+  /** IVF-flat approximate top-k: a coarse quantizer of [[NumLists]]
+    * sampled centroids partitions the corpus into inverted lists; each
+    * query probes its [[NumProbe]] nearest lists and re-scores exactly
+    * only those lists' members.
+    *
+    * Spark-first shape: the centroid table is [[NumLists]] rows —
+    * broadcast by construction — so assignment is a narrow map over the
+    * corpus (no shuffle); the candidate join shuffles on the LIST id,
+    * the inverted-list analogue of the LSH bucket key, and never forms
+    * an all-pairs product. Centroids are the lowest-`vec_id` vectors
+    * (deterministic sampling — the standard IVF practice of training on
+    * a sample; Lloyd refinement would drop in here without changing the
+    * search plan). Assignment and probe selection order by the 4-dp
+    * ROUNDED cosine with a centroid-id tiebreak, so the DuckDB oracle
+    * replays both bit-for-bit. `s_ivf_ann`. */
+  def ivfAnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, dir).localCheckpoint(true)
+    val c = v.filter(col("vec_id") < NumLists)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val simToC = round(arrayDot(col("v"), col("cv")) / (col("norm") * col("cn")), 4)
+    // struct-max = (best sim, then lowest cid): one map-side-combined agg
+    val assign = v.join(broadcast(c))
+      .select(col("vec_id"), col("cid"), simToC.as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("vec_id"), (-col("best.negcid")).as("cid"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val probes = q.join(broadcast(c))
+      .withColumn("sim", round(arrayDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rn") <= NumProbe)
+      .select(col("query_id"), col("cid"))
+    // every vector sits in exactly one list and probed lists are
+    // distinct, so (query, candidate) pairs are unique — no dedup needed
+    val candIds = probes.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val cand = candIds
+      .join(v.select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn")),
+        Seq("query_id"))
+      .join(v, Seq("vec_id"))
+    val scored = cand.withColumn("cos_sim",
+      round(arrayDot(col("qv"), col("v")) / (col("qn") * col("norm")), 4))
+    rankTopK(scored, k)
+  }
+
   // ---- oracles -------------------------------------------------------
 
   private val VecCte =
@@ -203,11 +256,43 @@ object Similarity {
            FROM pairs)
          SELECT query_id, neighbor, cos_sim, rnk FROM ranked
          WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "s_ivf_ann" ->
+      s"""$VecCte,
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cid) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT query_id, cid FROM (
+             SELECT q.query_id, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                      ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cid) AS rn
+             FROM q CROSS JOIN c) WHERE rn <= 4),
+         cand AS (
+           SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> p.query_id),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id AS neighbor,
+                  ROUND(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim
+           FROM cand JOIN q ON q.query_id = cand.query_id
+           JOIN e ON e.vec_id = cand.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor, cos_sim,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor) AS BIGINT) AS rnk
+           FROM scored)
+         SELECT query_id, neighbor, cos_sim, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
     "s_cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "s_lsh_ann"           -> ((s: SparkSession, d: String) => lshAnn(s, d)),
+    "s_ivf_ann"           -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
   )
 }

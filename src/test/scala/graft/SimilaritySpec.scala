@@ -44,6 +44,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN recovers most planted twins and only rescores probed lists") {
+    val byQuery = rowsOf(Similarity.ivfAnn(spark, dir))
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // a twin is near-identical to its query, so both land in the same
+    // inverted list and the probed-list candidate set must contain it
+    val recalled = (0L until 10L).count(q =>
+      byQuery.getOrElse(q, Set.empty).contains(q + 10))
+    assert(recalled >= 8, s"IVF recall too low: $recalled/10")
+  }
+
+  test("IVF ANN on the driver corpus: k rows per query, ranks dense, never worse than random") {
+    val ivf = rowsOf(Similarity.ivfAnn(spark, SF))
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted == (1L to rs.size.toLong))
+    }
+    // sanity vs the exact baseline: IVF's best hit per query should be a
+    // genuine neighbour (cos within the exact top-5 range)
+    val exactBest = rowsOf(Similarity.cosineTopK(spark, SF))
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).max).toMap
+    ivf.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getDouble(2)).max <= exactBest(q) + 1e-9)
+    }
+  }
+
   test("near-dup pairs on the fixture are exactly the planted twins") {
     val pairs = rowsOf(Similarity.embeddingNearDup(spark, dir, minCos = 0.9))
       .map(r => (r.getLong(0), r.getLong(1))).toSet
