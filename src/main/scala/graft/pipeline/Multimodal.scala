@@ -102,6 +102,32 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Resize planning: the stage between decode and re-encode that picks
+    * target dimensions fitting a `box`×`box` budget while preserving
+    * aspect ratio (what an image-preprocessing pipeline feeds the actual
+    * scaler). Consumes [[multimodalMeta]]'s decoded dimensions — stage
+    * chaining over the same narrow-map plumbing — and stays in pure
+    * integer arithmetic (`DIV`, `GREATEST`) so the plan is codegen'd,
+    * shuffle-free, and bit-exact cross-engine (no float scale factors).
+    * Degenerate 0-sized stub dims clamp to 1. `m_resize`. */
+  def resizePlan(spark: SparkSession, dir: String, box: Long = 224L): DataFrame = {
+    val sw = greatest(col("width").cast("long"), lit(1L))
+    val sh = greatest(col("height").cast("long"), lit(1L))
+    val mx = greatest(sw, sh)
+    // integer downscale: (side * box) div longest — products stay far
+    // below 2^53 so the double floor is exact
+    def scaled(side: org.apache.spark.sql.Column) =
+      greatest(floor((side * lit(box)).cast("double") / mx).cast("long"), lit(1L))
+    multimodalMeta(spark, dir)
+      .select(col("doc_id"),
+        sw.as("src_w"), sh.as("src_h"),
+        when(mx <= box, sw).otherwise(scaled(sw)).as("out_w"),
+        when(mx <= box, sh).otherwise(scaled(sh)).as("out_h"),
+        (mx > box).as("resized"))
+      .withColumn("out_bytes", col("out_w") * col("out_h") * lit(3L))
+      .orderBy(col("doc_id"))
+  }
+
   /** The payload is ASCII text, so the oracle can recompute byte length,
     * magic and the rolling checksum from character codes. */
   val oracle: Map[String, String] = Map(
@@ -146,10 +172,32 @@ object Multimodal {
                       i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
                   (acc, c) -> (acc * 131 + c) % 1000000007) AS frame_checksum
          FROM idxs ORDER BY doc_id, frame_idx""",
+    "m_resize" ->
+      """WITH b AS (
+           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+           FROM documents),
+         d AS (
+           SELECT doc_id,
+                  GREATEST(n % 640, 1) AS sw,
+                  GREATEST(n % 480, 1) AS sh
+           FROM b),
+         m AS (SELECT doc_id, sw, sh, GREATEST(sw, sh) AS mx FROM d),
+         r AS (
+           SELECT doc_id, sw AS src_w, sh AS src_h,
+                  CASE WHEN mx <= 224 THEN sw
+                       ELSE GREATEST((sw * 224) // mx, 1) END AS out_w,
+                  CASE WHEN mx <= 224 THEN sh
+                       ELSE GREATEST((sh * 224) // mx, 1) END AS out_h,
+                  mx > 224 AS resized
+           FROM m)
+         SELECT doc_id, src_w, src_h, out_w, out_h, resized,
+                out_w * out_h * 3 AS out_bytes
+         FROM r ORDER BY doc_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_frame_sample"    -> ((s: SparkSession, d: String) => frameSample(s, d)),
+    "m_resize"          -> ((s: SparkSession, d: String) => resizePlan(s, d)),
   )
 }

@@ -49,4 +49,23 @@ class MultimodalSpec extends SparkSpec {
       assert(idxs.head == 0 && (nf <= 4 || idxs.last == nf - 1))
     }
   }
+
+  test("resize plan fits the 224 box, preserves aspect ratio, never upscales") {
+    val rows = rowsOf(graft.pipeline.Multimodal.resizePlan(spark, SF))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sw, sh) = (r.getLong(r.fieldIndex("src_w")), r.getLong(r.fieldIndex("src_h")))
+      val (ow, oh) = (r.getLong(r.fieldIndex("out_w")), r.getLong(r.fieldIndex("out_h")))
+      assert(ow >= 1 && oh >= 1 && ow <= 224 && oh <= 224)
+      assert(ow <= sw && oh <= sh, "never upscales")
+      if (r.getBoolean(r.fieldIndex("resized"))) {
+        // longest side pinned to the box; other side scaled proportionally
+        assert(math.max(ow, oh) == 224 ||
+          (math.min(sw, sh) * 224 / math.max(sw, sh)) <= 1)
+        val expectW = math.max(sw * 224 / math.max(sw, sh), 1L)
+        assert(ow == expectW)
+      } else assert(ow == sw && oh == sh)
+      assert(r.getLong(r.fieldIndex("out_bytes")) == ow * oh * 3)
+    }
+  }
 }
