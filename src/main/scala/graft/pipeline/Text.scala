@@ -97,6 +97,32 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary statistics: the k most frequent tokens per language —
+    * the corpus-wide aggregation a tokenizer-training run performs
+    * before fitting merges. One map-side-combined groupBy on
+    * (lang, token); the per-language top-k then goes through the native
+    * two-phase [[graft.plans.TopKPerGroup]] heap operator when the
+    * session has the strategy registered (bounded state, no per-group
+    * sort), with the plain window formulation as the strategy-less
+    * fallback — identical results, the (count desc, token) order is
+    * total. `t_vocab_topk`. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Docs.docs(spark, dir)
+      .select(col("lang"), explode(Docs.tokens).as("token"))
+      .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+    val pruned =
+      if (org.apache.spark.sql.graft.bridge.hasStrategy(spark, graft.plans.TopKStrategy))
+        graft.plans.TopKPerGroup.topKPerGroup(counts, Seq("lang"),
+          Seq("n" -> true, "token" -> false), k)
+      else counts
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
+    pruned.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("token"), col("n"), col("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   // ---- oracles -------------------------------------------------------
 
   private val ToksCte =
@@ -107,6 +133,16 @@ object Text {
     s"CAST(len(list_filter(toks, w -> w IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "t_vocab_topk" ->
+      """WITH tok AS (
+           SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+         c AS (SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token),
+         r AS (
+           SELECT lang, token, n,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n DESC, token) AS BIGINT) AS rnk
+           FROM c)
+         SELECT lang, token, n, rnk FROM r WHERE rnk <= 5 ORDER BY lang, rnk""",
     "t_langid" -> {
       val hs = Stopwords.map { case (l, ws) => s"${hitsSql(ws)} AS ${l}_hits" }.mkString(",\n ")
       s"""$ToksCte,
@@ -159,5 +195,6 @@ object Text {
     "t_quality"     -> (quality _),
     "t_tokens"      -> (tokens _),
     "t_fingerprint" -> (fingerprint _),
+    "t_vocab_topk"  -> ((s: SparkSession, d: String) => vocabTopK(s, d)),
   )
 }

@@ -54,7 +54,37 @@ object Windowed {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Batch equivalent of [[streamingDedup]] over the events stream:
+    * first occurrence (earliest (ts, event_id)) per content hash plus
+    * the duplicate count — what the streaming path converges to once the
+    * watermark passes. One map-side-combined struct-min aggregation.
+    * `st_dedup`. */
+  def dedupBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(md5(col("props")).as("content_hash"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(struct(col("sec"), col("event_id"))).as("first"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), col("first.sec").as("first_sec"),
+        col("first.event_id").as("first_event_id"), col("n_copies"))
+      .orderBy(col("content_hash"))
+
   val oracle: Map[String, String] = Map(
+    "st_dedup" ->
+      """WITH e AS (
+           SELECT md5(props) AS content_hash,
+                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+           FROM events),
+         r AS (
+           SELECT content_hash, sec, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY content_hash
+                    ORDER BY sec, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+           FROM e)
+         SELECT content_hash, sec AS first_sec, event_id AS first_event_id,
+                n_copies
+         FROM r WHERE rn = 1 ORDER BY content_hash""",
     "st_windowed_agg" ->
       """WITH e AS (
            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value
@@ -67,5 +97,6 @@ object Windowed {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_windowed_agg" -> (batch _),
+    "st_dedup"        -> (dedupBatch _),
   )
 }

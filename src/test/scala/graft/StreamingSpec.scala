@@ -71,6 +71,15 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch dedup keeps the earliest event per content hash with the copy count") {
+    val r = rowsOf(Windowed.dedupBatch(spark, SF))
+    assert(r.nonEmpty)
+    val total = r.map(_.getLong(r.head.fieldIndex("n_copies"))).sum
+    assert(total == Tables.events(spark, SF).count(),
+      "every event is attributed to exactly one hash group")
+    assert(r.map(_.getString(0)).distinct.size == r.size, "one row per hash")
+  }
+
   test("batch entry aggregates the events table per hour and type") {
     val r = rowsOf(Windowed.batch(spark, SF))
     assert(r.nonEmpty)

@@ -42,6 +42,17 @@ class TextPipelineSpec extends SparkSpec {
     assert(doc1.getLong(doc1.fieldIndex("n_subword_tokens")) == 9)
   }
 
+  test("vocab top-k ranks the most frequent tokens per language, tie-broken lexically") {
+    val r = rowsOf(Text.vocabTopK(spark, dir, k = 2))
+    val en = r.filter(_.getString(0) == "en").sortBy(_.getLong(3))
+    assert(en.map(_.getString(1)) == Seq("the", "a"),
+      "'the' appears twice; ties at 1 resolve to the lexically-first token")
+    r.groupBy(_.getString(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(3)).sorted == (1L to rs.size.toLong))
+      assert(rs.size <= 2)
+    }
+  }
+
   test("rolling fingerprint is order-sensitive and deterministic") {
     val swapped = TestSession.docsFixture(Seq(
       (0L, "alpha beta gamma", "en", "s", 16L),
