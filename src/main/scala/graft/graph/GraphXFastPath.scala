@@ -35,6 +35,38 @@ object GraphXFastPath {
       .toDF("id", "comp")
   }
 
+  /** Weighted SSSP via GraphX Pregel — same contract as
+    * [[Algorithms.shortestPaths]]: (id, dist) for reachable nodes,
+    * dist = minimum left-folded path sum from the seed set. Pregel runs
+    * to the true fixpoint (no relaxation budget): on graphs whose
+    * shortest-path trees fit the DataFrame kernel's budget the two paths
+    * agree bitwise, because each path's sum associates identically and
+    * min is order-free. The graph is pinned in executor memory — the
+    * wall-clock winner whenever it fits; the DataFrame loop remains the
+    * spill-safe 100 TB path. */
+  def shortestPaths(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+                    seedIds: DataFrame): DataFrame = {
+    import spark.implicits._
+    val seeds = seedIds.select(col("id")).as[Long].collect().toSet
+    val vertexRdd = nodes.select(col("id")).rdd
+      .map(r => (r.getLong(0), if (seeds(r.getLong(0))) 0.0 else Double.PositiveInfinity))
+    val edgeRdd = edges.select(col("src"), col("dst"), col("weight"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val g = Graph(vertexRdd, edgeRdd, defaultVertexAttr = Double.PositiveInfinity,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    g.pregel(Double.PositiveInfinity)(
+      (_, d, m) => math.min(d, m),
+      t => if (t.srcAttr != Double.PositiveInfinity &&
+               t.srcAttr + t.attr < t.dstAttr)
+             Iterator((t.dstId, t.srcAttr + t.attr))
+           else Iterator.empty,
+      (a, b) => math.min(a, b))
+      .vertices.filter(_._2 != Double.PositiveInfinity)
+      .map { case (id, d) => (id, d) }
+      .toDF("id", "dist")
+  }
+
   /** PageRank via GraphX's static implementation (`resetProb = 1 − d`).
     *
     * NOTE: GraphX normalizes differently from the textbook recurrence in

@@ -17,6 +17,20 @@ class GraphXFastPathSpec extends SparkSpec {
     assert(df == gx)
   }
 
+  test("GraphX Pregel SSSP equals the DataFrame loop bitwise on the test graph") {
+    val g = TestGraph.graph(spark, SF)
+    val sym = g.symmetrizedEdges.filter(col("distance") <= TestGraph.QueryThreshold)
+      .withColumnRenamed("distance", "weight")
+    val seeds = g.nodes.filter(col("source") === TestGraph.Ncbi &&
+      contains(col("taxonomy"), lit("4"))).select(col("id"))
+    val df = Algorithms.shortestPaths(g.nodes, sym, seeds)
+      .filter(col("dist").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gx = GraphXFastPath.shortestPaths(spark, g.nodes, sym, seeds).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(df == gx, "identical reachable sets and bitwise-equal distances")
+  }
+
   test("GraphX pagerank ranks a dangling-free fixture like the DataFrame loop") {
     // strongly connected: no dangling normalization difference
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 2L))
