@@ -146,10 +146,20 @@ object Dedup {
   def dedupClusters(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
     val pairs = ngramJaccard(spark, dir, minSim)
       .select(col("a").as("src"), col("b").as("dst"))
-    val ids = Docs.docs(spark, dir).select(col("doc_id").as("id"))
-    graft.graph.Algorithms.connectedComponents(ids, pairs)
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-        (col("id") === col("comp")).as("keep"))
+    // only docs that appear in a pair enter the iterative loop — on a
+    // real corpus the overwhelming majority are unpaired singletons, and
+    // keeping them out shrinks every round's working set by that factor;
+    // they are re-attached as their own cluster afterwards (label = own
+    // id, exactly what the loop would have computed)
+    val members = pairs.select(col("src").as("id"))
+      .union(pairs.select(col("dst").as("id"))).distinct()
+    val cc = graft.graph.Algorithms.connectedComponents(members, pairs)
+      .withColumnRenamed("id", "doc_id")
+    Docs.docs(spark, dir).select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
       .orderBy(col("doc_id"))
   }
 
