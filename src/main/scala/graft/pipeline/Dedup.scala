@@ -106,6 +106,40 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup PAIRS — the step that turns fingerprints into
+    * candidates. Pigeonhole banding: split the 64-bit fingerprint into
+    * `HammingMax + 1` bands; two fingerprints within hamming distance
+    * [[HammingMax]] must agree on at least one whole band, so the
+    * equi-join on (band index, band bits) finds every such pair without
+    * an all-pairs product (same bucket-join shape as LSH). Survivors are
+    * verified with the exact popcount distance (`bit_count(a XOR b)`,
+    * codegen'd built-in). Rows-only oracle (xxhash64 has no DuckDB
+    * equivalent); the spec plants hamming-close fingerprints and checks
+    * recall + the no-product plan. `d_simhash_pairs`. */
+  val HammingMax = 3
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val nBands = HammingMax + 1
+    val bandBits = 64 / nBands // 16
+    val fp = simhash(spark, dir).select(col("doc_id"), col("simhash"))
+      .localCheckpoint(true) // the 64 bit-sum aggregates run ONCE, not per band
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .distinct() // a close pair can collide in several bands
+      .orderBy(col("a"), col("b"))
+  }
+
   // ---- exact n-gram Jaccard ----------------------------------------
 
   /** Exact word-3-gram Jaccard similarity for all pairs ≥ `minSim`.
@@ -224,6 +258,7 @@ object Dedup {
     "d_exact_dedup"   -> (exactDedup _),
     "d_minhash_lsh"   -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "d_simhash"       -> (simhash _),
+    "d_simhash_pairs" -> (simhashPairs _),
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "d_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
   )

@@ -65,6 +65,18 @@ class DedupSpec extends SparkSpec {
     assert(sig.map(_.getLong(0)).distinct.size == sig.size, "one fingerprint per doc")
   }
 
+  test("simhash pairs: exact dup at hamming 0, near-dup within budget, no all-pairs plan") {
+    val q = Dedup.simhashPairs(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the band equi-join")
+    val pairs = rowsOf(q).map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 0 and 2 are byte-identical → same fingerprint, distance 0
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 2L && h == 0L })
+    pairs.foreach { case (_, _, h) => assert(h <= Dedup.HammingMax) }
+    assert(pairs.map(p => (p._1, p._2)).distinct.size == pairs.size, "no duplicate pairs")
+  }
+
   test("dedup clusters collapse transitive chains and keep the min doc per cluster") {
     val r = rowsOf(Dedup.dedupClusters(spark, dir))
     assert(r.size == 5, "every doc gets a cluster row")
