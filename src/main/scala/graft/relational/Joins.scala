@@ -76,7 +76,60 @@ object Joins {
       .orderBy($"error_id")
   }
 
+  /** Funnel analysis: how far each user progresses through the ordered
+    * signup → click → purchase sequence (each stage's event must land
+    * within [[FunnelWindowSec]] after the previous stage's first
+    * event — the conversion-window form real funnel queries use).
+    *
+    * The three "first event of type T after X" lookups CHAIN — yet all
+    * of them partition by `user_id`, so the chained window selects plan
+    * over a single exchange: the per-user events shuffle once and every
+    * stage is computed in place (no self-join per stage, which is the
+    * naive formulation's cost). The final stage histogram is a
+    * bounded-size aggregate. `q_events_funnel`. */
+  val FunnelWindowSec = 3600L
+
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fw = FunnelWindowSec
+    val w = Window.partitionBy($"user_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_type", unix_timestamp($"ts").as("sec"))
+      .withColumn("s", min(when($"event_type" === "signup", $"sec")).over(w))
+      .withColumn("c", min(when($"event_type" === "click" &&
+        $"sec" >= $"s" && $"sec" <= $"s" + fw, $"sec")).over(w))
+      .withColumn("p", min(when($"event_type" === "purchase" &&
+        $"sec" >= $"c" && $"sec" <= $"c" + fw, $"sec")).over(w))
+      .select($"user_id",
+        when($"p".isNotNull, 3L).when($"c".isNotNull, 2L)
+          .when($"s".isNotNull, 1L).otherwise(0L).as("stage"))
+      .distinct()
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+      .orderBy($"stage")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_events_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         u1 AS (
+           SELECT user_id,
+                  MIN(CASE WHEN event_type = 'signup' THEN sec END) AS s
+           FROM e GROUP BY user_id),
+         u2 AS (
+           SELECT e.user_id, u1.s,
+                  MIN(CASE WHEN event_type = 'click' AND sec >= s AND sec <= s + 3600 THEN sec END) AS c
+           FROM e JOIN u1 USING (user_id) GROUP BY e.user_id, u1.s),
+         u3 AS (
+           SELECT e.user_id, u2.s, u2.c,
+                  MIN(CASE WHEN event_type = 'purchase' AND sec >= c AND sec <= c + 3600 THEN sec END) AS p
+           FROM e JOIN u2 USING (user_id) GROUP BY e.user_id, u2.s, u2.c)
+         SELECT CAST(CASE WHEN p IS NOT NULL THEN 3
+                          WHEN c IS NOT NULL THEN 2
+                          WHEN s IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+                COUNT(*) AS n_users
+         FROM u3 GROUP BY 1 ORDER BY stage""",
     "q_asof_join" ->
       """WITH tagged AS (
            SELECT user_id, epoch_us(ts) AS us, 0 AS kind, event_id
@@ -107,7 +160,8 @@ object Joins {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_asof_join"  -> qAsofJoin _,
-    "q_range_join" -> qRangeJoin _,
+    "q_asof_join"     -> qAsofJoin _,
+    "q_range_join"    -> qRangeJoin _,
+    "q_events_funnel" -> qEventsFunnel _,
   )
 }

@@ -53,6 +53,26 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("funnel stages match a brute-force per-user walk and cover all users") {
+    val ev = rowsOf(Tables.events(spark, SF)
+      .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec")))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fw = Joins.FunnelWindowSec
+    val expect = ev.groupBy(_._1).view.mapValues { es =>
+      val s = es.filter(_._2 == "signup").map(_._3).minOption
+      val c = s.flatMap(sv => es.filter(e => e._2 == "click" && e._3 >= sv && e._3 <= sv + fw)
+        .map(_._3).minOption)
+      val p = c.flatMap(cv => es.filter(e => e._2 == "purchase" && e._3 >= cv && e._3 <= cv + fw)
+        .map(_._3).minOption)
+      if (p.isDefined) 3L else if (c.isDefined) 2L else if (s.isDefined) 1L else 0L
+    }.toMap
+    val hist = expect.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rowsOf(Joins.qEventsFunnel(spark, SF))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == hist)
+    assert(got.values.sum == expect.size, "every active user is staged exactly once")
+  }
+
   test("rollup emits leaf, subtotal, and grand-total levels that reconcile") {
     val r = rowsOf(Tpch.qRollup(spark, SF))
     val byGid = r.groupBy(_.getLong(r.head.fieldIndex("gid")))
