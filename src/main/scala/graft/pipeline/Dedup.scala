@@ -178,8 +178,12 @@ object Dedup {
     * row: unpaired docs are their own singleton cluster and are kept.
     * `d_dedup_clusters`. */
   def dedupClusters(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
+    // materialized once: the pair list fans out into four plan references
+    // (both sides of the member union, both sides of the CC symmetrize) —
+    // without the checkpoint the gram self-join would execute per use
     val pairs = ngramJaccard(spark, dir, minSim)
       .select(col("a").as("src"), col("b").as("dst"))
+      .localCheckpoint(true)
     // only docs that appear in a pair enter the iterative loop — on a
     // real corpus the overwhelming majority are unpaired singletons, and
     // keeping them out shrinks every round's working set by that factor;
