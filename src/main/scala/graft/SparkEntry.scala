@@ -16,6 +16,7 @@ object SparkEntry {
       (pipeline.Multimodal.queries, pipeline.Multimodal.oracle),
       (streaming.Windowed.queries, streaming.Windowed.oracle),
       (streaming.Sessionize.queries, streaming.Sessionize.oracle),
+      (streaming.StreamJoin.queries, streaming.StreamJoin.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -71,6 +71,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks within the lookback only") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = streaming.StreamJoin.intervalJoinStreaming(
+        purchases.toDF.toDF("ts", "user_id", "event_id"),
+        clicks.toDF.toDF("ts", "user_id", "event_id"))
+      .writeStream.format("memory").queryName("sj_sink").outputMode("append").start()
+    try {
+      // user 1: click at 09:00 (inside lookback of the 09:30 purchase),
+      // click at 08:00 (outside), user 2's click must not match user 1
+      clicks.addData((ts(8, 0), 1L, 100L), (ts(9, 0), 1L, 101L), (ts(9, 10), 2L, 102L))
+      purchases.addData((ts(9, 30), 1L, 500L))
+      q.processAllAvailable()
+      val got = spark.table("sj_sink").as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 500L, 101L)),
+        s"only the in-window same-user click joins, got $got")
+    } finally q.stop()
+  }
+
+  test("interval-join batch equivalent: counts verified against a brute-force scan") {
+    val ev = rowsOf(Tables.events(spark, SF)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec")))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val clicks = ev.filter(_._2 == "click").groupBy(_._1)
+    val got = rowsOf(streaming.StreamJoin.intervalJoinBatch(spark, SF))
+    assert(got.size == ev.count(_._2 == "purchase"))
+    got.foreach { r =>
+      val (user, pSec) = (r.getLong(0), r.getLong(2))
+      val expect = clicks.getOrElse(user, Nil)
+        .count(c => c._4 >= pSec - streaming.StreamJoin.LookbackSec && c._4 <= pSec)
+      assert(r.getLong(r.fieldIndex("n_recent_clicks")) == expect)
+    }
+  }
+
   test("batch dedup keeps the earliest event per content hash with the copy count") {
     val r = rowsOf(Windowed.dedupBatch(spark, SF))
     assert(r.nonEmpty)
