@@ -67,6 +67,23 @@ object GraphXFastPath {
       .toDF("id", "dist")
   }
 
+  /** Per-node triangle counts via GraphX's TriangleCount — same contract
+    * as [[PropertyGraph.triangleCounts]]: (node, n_triangles) over every
+    * node, zero-filled. Edges are canonicalized (src < dst, deduped)
+    * before the build, which is what GraphX's implementation requires. */
+  def triangleCounts(spark: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val g = toGraph(spark, nodes, canon)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+    g.triangleCount().vertices
+      .map { case (id, n) => (id, n.toLong) }
+      .toDF("node", "n_triangles")
+  }
+
   /** PageRank via GraphX's static implementation (`resetProb = 1 − d`).
     *
     * NOTE: GraphX normalizes differently from the textbook recurrence in

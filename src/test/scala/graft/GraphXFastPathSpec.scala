@@ -17,6 +17,16 @@ class GraphXFastPathSpec extends SparkSpec {
     assert(df == gx)
   }
 
+  test("GraphX triangle counts equal the degree-oriented wedge join per node") {
+    val g = TestGraph.graph(spark, SF)
+    val df = g.triangleCounts(col("distance") <= TestGraph.QueryThreshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = g.edges.filter(col("distance") <= TestGraph.QueryThreshold)
+    val gx = GraphXFastPath.triangleCounts(spark, g.nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df == gx)
+  }
+
   test("GraphX Pregel SSSP equals the DataFrame loop bitwise on the test graph") {
     val g = TestGraph.graph(spark, SF)
     val sym = g.symmetrizedEdges.filter(col("distance") <= TestGraph.QueryThreshold)
