@@ -111,8 +111,12 @@ object Algorithms {
           col("l.comp") === col("cid"))
         .select(col("l.id").as("id"), col("ccomp").as("comp"))
         .localCheckpoint(true)
-      val s = BigDecimal(
+      // sum over an EMPTY label set is SQL NULL — map it to 0 so an
+      // empty graph (e.g. a dedup corpus with zero near-dup pairs)
+      // converges instead of NPE-ing
+      val s = Option(
         jumped.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
       done = s == prevSum
       prevSum = s
       labels = jumped

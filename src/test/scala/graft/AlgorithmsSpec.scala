@@ -17,6 +17,17 @@ class AlgorithmsSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("connected components survives an empty graph and empty edge set") {
+    val none = Algorithms.connectedComponents(
+      spark.emptyDataset[Long].toDF("id"),
+      spark.emptyDataset[(Long, Long)].toDF("src", "dst"))
+    assert(none.count() == 0)
+    val isolated = Algorithms.connectedComponents(
+      nodesDf(7, 8), spark.emptyDataset[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(isolated == Map(7L -> 7L, 8L -> 8L))
+  }
+
   test("connected components converges on a long path (pointer jumping)") {
     val n = 64L
     val nodes = nodesDf(1L to n: _*)
