@@ -49,7 +49,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   // both inputs are non-null
   override def nullable: Boolean = true
 
-  private def elementsNullable: Boolean = Seq(left, right).exists {
+  // plan-time constant — computed once, not per interpreted eval call
+  private lazy val elementsNullable: Boolean = Seq(left, right).exists {
     _.dataType match {
       case ArrayType(_, containsNull) => containsNull
       case _ => false

@@ -61,18 +61,28 @@ object Algorithms {
     * [[pageRank]]: their iterate is all |V| rows every round, and
     * benchmarking showed the pinned width slower than letting the
     * coalescer handle those loops (their dual-referenced self-join
-    * stages reuse better under fully-adaptive planning). */
-  private def withLoopConf[T](spark: org.apache.spark.sql.SparkSession, width: Int)(body: => T): T = {
-    val conf = spark.conf
-    val coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    val sp = conf.get("spark.sql.shuffle.partitions", "200")
-    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", width.toString)
-    try body finally {
-      conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
-      conf.set("spark.sql.shuffle.partitions", sp)
+    * stages reuse better under fully-adaptive planning).
+    *
+    * CAVEAT: session conf is session-GLOBAL — queries submitted on the
+    * same SparkSession concurrently with the loop would also plan at the
+    * pinned width. The lock below serializes graft loops against each
+    * other (no stale-restore races); callers sharing one session with
+    * unrelated concurrent workloads should run the loop on a dedicated
+    * `spark.newSession()` whose conf is theirs to pin. */
+  private val loopConfLock = new Object
+
+  private def withLoopConf[T](spark: org.apache.spark.sql.SparkSession, width: Int)(body: => T): T =
+    loopConfLock.synchronized {
+      val conf = spark.conf
+      val coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val sp = conf.get("spark.sql.shuffle.partitions", "200")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", width.toString)
+      try body finally {
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+        conf.set("spark.sql.shuffle.partitions", sp)
+      }
     }
-  }
 
   /** Connected components on an undirected view of `edges` (src,dst).
     * Returns (id, component) where component = min node id of the

@@ -65,6 +65,10 @@ object GraphXFastPath {
       .vertices.filter(_._2 != Double.PositiveInfinity)
       .map { case (id, d) => (id, d) }
       .toDF("id", "dist")
+      // Graph() materializes edge endpoints absent from `nodes` (default
+      // vertex attr); the DataFrame kernel's contract is nodes-only —
+      // restrict so the two paths agree on any input
+      .join(nodes.select(col("id")), Seq("id"), "left_semi")
   }
 
   /** Per-node triangle counts via GraphX's TriangleCount — same contract

@@ -26,28 +26,15 @@ object Similarity {
 
   import graft.functions.ArrayDotProduct.arrayDot
 
-  /** Rank the scored candidates and keep the top k per query.
-    *
-    * When the session has [[graft.plans.TopKStrategy]] registered (any
-    * session built with GraftExtensions), the candidate set is first cut
-    * down by the native two-phase [[graft.plans.TopKPerGroup]] operator
-    * — bounded k-heaps, map-side partial, no per-group sort — and the
-    * window only ranks the ≤ k·queries survivors. Without the strategy
-    * it degrades to the plain window formulation (identical results:
-    * the (cos_sim desc, vec_id) order is total). */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
-    val pruned =
-      if (org.apache.spark.sql.graft.bridge.hasStrategy(
-          scored.sparkSession, graft.plans.TopKStrategy))
-        graft.plans.TopKPerGroup.topKPerGroup(scored, Seq("query_id"),
-          Seq("cos_sim" -> true, "vec_id" -> false), k)
-      else scored
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    pruned.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+  /** Rank the scored candidates and keep the top k per query — the
+    * shared native-heap-or-window idiom, see
+    * [[graft.plans.TopKPerGroup.rankTopK]]. The (cos_sim desc, vec_id)
+    * order is total, so both paths return identical rows. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPerGroup.rankTopK(scored, Seq("query_id"),
+        Seq("cos_sim" -> true, "vec_id" -> false), k)
       .select(col("query_id"), col("vec_id").as("neighbor"), col("cos_sim"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
-  }
 
   /** Embeddings with doubles + precomputed L2 norm (one pass per vector,
     * reused by every pair — at scale this is a cheap narrow map). The

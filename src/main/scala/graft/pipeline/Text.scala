@@ -107,18 +107,11 @@ object Text {
     * fallback — identical results, the (count desc, token) order is
     * total. `t_vocab_topk`. */
   def vocabTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = Docs.docs(spark, dir)
       .select(col("lang"), explode(Docs.tokens).as("token"))
       .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
-    val pruned =
-      if (org.apache.spark.sql.graft.bridge.hasStrategy(spark, graft.plans.TopKStrategy))
-        graft.plans.TopKPerGroup.topKPerGroup(counts, Seq("lang"),
-          Seq("n" -> true, "token" -> false), k)
-      else counts
-    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token"))
-    pruned.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    graft.plans.TopKPerGroup.rankTopK(counts, Seq("lang"),
+        Seq("n" -> true, "token" -> false), k)
       .select(col("lang"), col("token"), col("n"), col("rnk"))
       .orderBy(col("lang"), col("rnk"))
   }

@@ -118,4 +118,26 @@ object TopKPerGroup {
     bridge.ofRows(df.sparkSession,
       TopKPerGroup(group.map(attr), orders, k, child))
   }
+
+  /** The prune-or-degrade idiom shared by every top-k call site: when
+    * the session has [[TopKStrategy]] registered, cut the input down
+    * with the native two-phase heap operator first (bounded k-heaps,
+    * map-side partial, no per-group sort), then let a window rank the
+    * ≤ k·groups survivors; without the strategy the window alone
+    * produces identical results — the caller's (orderBy, tiebreak)
+    * order must be total. Returns the input columns plus a long `rnk`
+    * in 1..k per group. */
+  def rankTopK(df: DataFrame, group: Seq[String],
+               orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val pruned =
+      if (bridge.hasStrategy(df.sparkSession, TopKStrategy))
+        topKPerGroup(df, group, orderBy, k)
+      else df
+    val w = Window.partitionBy(group.map(col): _*)
+      .orderBy(orderBy.map { case (n, desc) => if (desc) col(n).desc else col(n).asc }: _*)
+    pruned.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -74,15 +74,25 @@ object Sessionize {
             var open = state.getOption
             ts.foreach { t =>
               open match {
+                case Some(s) if t < s.start_sec - GapSec =>
+                  // cross-batch straggler older than the open session by
+                  // more than the gap: it belongs to an EARLIER session.
+                  // Emit it as its own closed singleton rather than
+                  // merging (merging would fuse sessions the batch
+                  // semantics keeps apart). Approximation: stragglers
+                  // this late are emitted one per event — batch order
+                  // within a micro-batch is sorted, so only >gap
+                  // cross-batch disorder takes this path.
+                  closed += ClosedSession(user, t, t, 1)
                 case Some(s) if t - s.last_sec > GapSec =>
                   closed += ClosedSession(user, s.start_sec, s.last_sec, s.n_events)
                   open = Some(OpenSession(t, t, 1))
                 case Some(s) =>
-                  // cross-batch disorder: an event newer than the
-                  // watermark may still be older than the open session's
-                  // bounds — it must never move start forward or end
-                  // backwards (a regressed last_sec would also pull the
-                  // event-time timeout backwards)
+                  // cross-batch disorder within the gap: an event newer
+                  // than the watermark may still be older than the open
+                  // session's bounds — widen, never regress (a regressed
+                  // last_sec would also pull the event-time timeout
+                  // backwards)
                   open = Some(OpenSession(math.min(s.start_sec, t),
                     math.max(s.last_sec, t), s.n_events + 1))
                 case None =>

@@ -54,11 +54,14 @@ object Windowed {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("content_hash")
 
-  /** Batch equivalent of [[streamingDedup]] over the events stream:
-    * first occurrence (earliest (ts, event_id)) per content hash plus
-    * the duplicate count — what the streaming path converges to once the
-    * watermark passes. One map-side-combined struct-min aggregation.
-    * `st_dedup`. */
+  /** Batch counterpart of [[streamingDedup]] over the events stream:
+    * first occurrence per content hash plus the duplicate count. Both
+    * keep exactly one representative per hash; they can differ on WHICH
+    * when duplicates arrive out of order — the streaming operator keeps
+    * the first ARRIVED (processing order), this batch form keeps the
+    * event-time-first (earliest (ts, event_id)), the deterministic
+    * choice an oracle can replay. One map-side-combined struct-min
+    * aggregation. `st_dedup`. */
   def dedupBatch(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(md5(col("props")).as("content_hash"),

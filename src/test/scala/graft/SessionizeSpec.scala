@@ -91,6 +91,32 @@ class SessionizeSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("a straggler older than the open session by more than the gap becomes its own session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val events = stream.toDF.toDF("ts", "user_id")
+    val query = Sessionize.streamingSessions(events).writeStream
+      .format("memory").queryName("session_sink4").outputMode("append").start()
+    try {
+      // batch 1 opens [02:00]; batch 2 delivers 01:10 — inside the 1 h
+      // watermark (not dropped) but more than the 30-min gap before the
+      // session start: batch semantics keeps them as separate sessions
+      stream.addData((ts(2, 0), 11L))
+      query.processAllAvailable()
+      stream.addData((ts(1, 10), 11L))
+      query.processAllAvailable()
+      stream.addData((ts(9, 0), 11L), (ts(18, 0), 11L))
+      query.processAllAvailable()
+      val got = spark.table("session_sink4").as[(Long, Long, Long, Long)]
+        .collect().toSet
+      assert(got.contains((11L, sec(1, 10), sec(1, 10), 1L)),
+        s"straggler closes as its own singleton, got $got")
+      assert(got.contains((11L, sec(2, 0), sec(2, 0), 1L)),
+        s"the open session is not fused with the straggler, got $got")
+    } finally query.stop()
+  }
+
   test("batch session summary aggregates the windowed session assignment") {
     val sessions = rowsOf(relational.Tpch.qEventsSessionize(spark, SF))
       .groupBy(_.getLong(0))
