@@ -51,7 +51,9 @@ object Tpch {
     val li = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" > lit("1998-06-01").cast("timestamp"))
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      // customer is SF-proportional even segment-filtered — no forced
+      // broadcast; AQE upgrades the join to broadcast at small SF
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(round(sum($"l_extendedprice".cast(D12_4) * (lit(1.0) - $"l_discount").cast(D12_4)), 2)
         .cast("double").as("revenue"))
@@ -61,10 +63,11 @@ object Tpch {
       .limit(10)
   }
 
-  /** TPC-H Q5 shape: 6-way join. True dimensions (region/nation/supplier)
-    * are broadcast; CUSTOMER is scale-factor-proportional (15 M rows at
-    * sf100 — far past broadcast range), so it takes a shuffled join and
-    * AQE is free to downgrade it to broadcast at small SF. */
+  /** TPC-H Q5 shape: 6-way join. True bounded dimensions (region,
+    * nation) are broadcast; CUSTOMER and SUPPLIER are scale-factor-
+    * proportional (15 M / 1 M rows at sf100 — past broadcast range), so
+    * they take stats/AQE-decided joins and AQE is free to upgrade them
+    * to broadcast at small SF. */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val region = Tables.region(spark, dir)
@@ -77,7 +80,9 @@ object Tpch {
     val li = Tables.lineitem(spark, dir)
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(cust, $"o_custkey" === $"c_custkey")
-      .join(broadcast(supp),
+      // supplier is SF-proportional too (1 M rows at sf100) — like
+      // customer it takes a stats/AQE-decided join, not a forced hint
+      .join(supp,
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
@@ -85,6 +90,29 @@ object Tpch {
       .agg(round(sum($"l_extendedprice".cast(D12_4) * (lit(1.0) - $"l_discount").cast(D12_4)), 2)
         .cast("double").as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** TPC-H Q10 shape: the returned-item report — which customers
+    * returned the most revenue in a quarter. 4-way join (lineitem ⋈
+    * orders ⋈ customer ⋈ nation) with the returnflag and date filters
+    * pushed to the scans, group by the full customer payload, top-20 on
+    * a total order. nation is the only forced broadcast (bounded dim);
+    * customer joins by stats/AQE. `q10_returned_items`. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).filter($"l_returnflag" === "R")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(round(sum($"l_extendedprice".cast(D12_4) * (lit(1.0) - $"l_discount").cast(D12_4)), 2)
+        .cast("double").as("revenue"))
+      .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
   }
 
   /** Window functions: deterministic top-3 parts by retail price per brand. */
@@ -203,6 +231,18 @@ object Tpch {
          COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-01'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
+         c_acctbal, n_name
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1997-04-01'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
@@ -259,6 +299,7 @@ object Tpch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
+    "q10_returned_items"   -> q10ReturnedItems _,
     "q5_local_supplier"    -> q5LocalSupplier _,
     "q_window_rank"        -> qWindowRank _,
     "q_events_sessionize"  -> qEventsSessionize _,

@@ -23,6 +23,15 @@ class RelationalSpec extends SparkSpec {
     assert(rev == rev.sorted.reverse)
   }
 
+  test("q10 returns at most 20 customers, all with returned revenue, sorted desc") {
+    val r = rowsOf(Tpch.q10ReturnedItems(spark, SF))
+    assert(r.nonEmpty && r.size <= 20)
+    val rev = r.map(_.getDouble(r.head.fieldIndex("revenue")))
+    assert(rev == rev.sorted.reverse)
+    assert(rev.forall(_ > 0))
+    assert(r.map(_.getLong(0)).distinct.size == r.size, "one row per customer")
+  }
+
   test("q5 revenue per nation is positive and sorted desc") {
     val r = rowsOf(Tpch.q5LocalSupplier(spark, SF))
     assert(r.nonEmpty)
