@@ -16,9 +16,9 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { k =>
-      val df = SparkEntry.queries(k)(spark, sfDir)
-      println(s"PROBE $k rows=${df.count()}")
-      df.show(10, truncate = false)
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(k)(spark, sfDir).count()
+      println(f"PROBE $k rows=$n elapsed=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }
