@@ -18,32 +18,55 @@ object Bench {
     // dominated by JVM compilation (observed 2× swings on the iterative
     // loops); steady-state is what a long-running cluster job sees.
     // Disable with SPARK_GRAFT_WARMUP=0.
+    val warmKeys = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).isDirectory)
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
-        }
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (k, _) => warmKeys.forall(_.contains(k)) }
+          .foreach { case (_, fn) =>
+            try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          }
     }
     // A failed query must not be recorded as a fast run: keep timing and
     // error separately so a regression shows up as an error, not a speedup.
+    // Each query is timed `runs` times POST-warmup and the per-query MEDIAN
+    // is reported: single-run numbers on the iterative loops carried ±2×
+    // scheduler/GC noise, which made round-over-round deltas unreadable
+    // (r4's CC "regression" was exactly this). Runs interleave by PASS
+    // (q1,q2,...,q1,q2,...) rather than back-to-back so a transient GC/JIT
+    // hiccup lands on different queries in different passes instead of
+    // poisoning all runs of one query.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // SPARK_GRAFT_ONLY (comma-separated keys) lets a dev re-bench one
+    // query under the EXACT bench conditions (same session conf, warmup).
+    val keys = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => warmKeys.forall(_.contains(k)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to runs; name <- keys) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .linesIterator.take(1).mkString
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = keys.map(k => k -> median(samples(k)))
     val qs = results.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${Json.q(k)}:${Json.q(v)}" }
       .mkString("{", ",", "}")
     val total = results.filter { case (k, _) => !errors.contains(k) }.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}"""
     // Clean stdout line AND a file: the driver's r1 parse of sbt-noisy
     // stdout yielded "parsed": null.
     java.nio.file.Files.writeString(java.nio.file.Paths.get(

