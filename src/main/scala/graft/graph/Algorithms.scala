@@ -25,7 +25,13 @@ object Algorithms {
   /** SSSP loop defaults. MaxRounds × RelaxPerRound is the relaxation
     * budget; the DuckDB oracle unrolls exactly this many stages so the
     * two engines report the same iterate even if some scale factor's
-    * graph has shortest-path trees deeper than the budget. */
+    * graph has shortest-path trees deeper than the budget.
+    *
+    * 2 relaxations/round is the measured optimum at sf0.1/local[32]
+    * (medians of 5, same budget=64): (32 rounds × 2) = 10.5 s vs
+    * (16 × 4) = 11.2 s — past 2, the unrolled per-round plan (each
+    * relaxation references the previous iterate twice) grows faster
+    * than the action count shrinks, even with AQE exchange reuse. */
   val MaxRounds = 32
   val RelaxPerRound = 2
   val RelaxBudget: Int = MaxRounds * RelaxPerRound

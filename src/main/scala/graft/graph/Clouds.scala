@@ -87,11 +87,20 @@ object Clouds {
   /** family.py:97-105 — the family cloud's node metadata, enriched with
     * the two-level taxonomic lineage lookup (accession→taxid→rank in the
     * reference, hostkey→nation→region here) and the reference's
-    * two-level colouring: NCBI nodes get a palette id per family-level
-    * lineage bucket (`color_phage_tax`), everything else is white. */
+    * two-level colouring: NCBI nodes get a palette id per lineage bucket
+    * (`color_phage_tax`), everything else is white.
+    *
+    * `colorRank` mirrors the reference's `-t subfamily|genus` flag
+    * (phageclouds_gdb_family.py:83): it picks WHICH lineage rank buckets
+    * the palette — "family" colours by the coarser family-level key
+    * (region here), "genus" by the finer genus-level key (nation). Same
+    * plan either way; only the palette-key column changes. */
   def familyNodes(spark: SparkSession, dir: String,
                   family: String = Family, threshold: Double = QueryThreshold,
+                  colorRank: String = "family",
                   lineageLookup: Option[DataFrame] = None): DataFrame = {
+    require(colorRank == "family" || colorRank == "genus",
+      s"colorRank must be 'family' or 'genus', got '$colorRank'")
     val ids = familyCloud(spark, dir, family, threshold)
       .select(col("phage_node").as("id"))
     // the lookup is source-pluggable, like the reference's CSV taxid
@@ -99,6 +108,8 @@ object Clouds {
     // (host_id, genus_name, family_key, family_name) works — CSV, JDBC,
     // parquet; default is the nation→region dimension join.
     val look = lineageLookup.getOrElse(lineage(spark, dir))
+    val paletteKey =
+      if (colorRank == "genus") col("host_id") else col("family_key")
     phageNodes(spark, dir)
       .join(ids, Seq("id"), "left_semi")
       .join(broadcast(look), col("hostkey") === col("host_id"), "left_outer")
@@ -107,7 +118,7 @@ object Clouds {
         col("taxonomy").as("lineage"),
         col("genus_name").as("target_taxon"),
         when(col("source") === Ncbi,
-          concat(lit("C"), col("family_key").cast("string")))
+          concat(lit("C"), paletteKey.cast("string")))
           .otherwise("#FFFFFF").as("color"))
       .orderBy(col("phage"))
   }
@@ -211,15 +222,24 @@ object Clouds {
 
   /** Edge-side viz export (gdb.py:107-116 / host.py:86-89): per-edge
     * pyvis attrs — value = thres − distance + 0.1, lightgray colour,
-    * distance as hover title. */
+    * distance as hover title. Both numeric attrs are rendered at a FIXED
+    * 6-dp decimal scale (value unquoted, title as the tooltip string):
+    * raw doubles under 1e-3 hit Jackson's scientific notation
+    * ("2.65E-4") where every SQL engine renders plain decimal — fixed
+    * scale makes the JSON blob deterministic across engines (and stable
+    * for a downstream renderer diff). Scale 6 specifically: distances
+    * are Δacctbal/11000 and terminate at ≤5 decimals when they
+    * terminate at all, so no value sits exactly on a 6-dp rounding
+    * midpoint where HALF_UP engines and decimal-string engines
+    * disagree (at 4 dp, 0.16195 did exactly that). */
   def vizExportEdges(spark: SparkSession, dir: String,
                      taxon: String = Taxon, threshold: Double = QueryThreshold): DataFrame =
     cloudEdges(spark, dir, taxon, threshold).select(
       col("src"), col("dst"),
       to_json(struct(
-        col("value"),
+        col("value").cast("decimal(12,6)").as("value"),
         lit("lightgray").as("color"),
-        col("distance").as("title"))).as("attrs"))
+        col("distance").cast("decimal(12,6)").cast("string").as("title"))).as("attrs"))
       .orderBy(col("src"), col("dst"))
 
   /** Sink analogue of the reference's `pyvis_graph.save_graph(...)`
@@ -307,6 +327,31 @@ object Clouds {
               n.genus AS phage_genus, h.n_name AS host_genus
        FROM nodes n JOIN hostset ON n.id = hostset.id
        LEFT JOIN nation h ON n.hostkey = h.n_nationkey
+       ORDER BY phage"""
+  }
+
+  /** Family-cloud node-metadata oracle; `genusRank` mirrors
+    * [[familyNodes]]'s colorRank — the palette key is the nation key
+    * (genus level) instead of the region key (family level). */
+  private def familyNodesOracle(genusRank: Boolean): String = {
+    val paletteKey =
+      if (genusRank) "na.n_nationkey" else "re.r_regionkey"
+    s"""$OracleCte,
+       fam AS (
+         SELECT id FROM nodes WHERE source='BUILDING' AND contains(taxonomy,'1')
+         UNION
+         SELECT r.dst FROM nodes s JOIN edges r ON r.src = s.id
+         WHERE s.source='BUILDING' AND contains(s.taxonomy,'1')
+           AND r.distance <= 0.10)
+       SELECT n.id AS phage, n.source AS source, n.genome_size AS genome_size,
+              n.taxonomy AS lineage,
+              na.n_name AS target_taxon,
+              CASE WHEN n.source='BUILDING'
+                   THEN 'C' || CAST($paletteKey AS VARCHAR)
+                   ELSE '#FFFFFF' END AS color
+       FROM nodes n JOIN fam ON n.id = fam.id
+       LEFT JOIN nation na ON n.hostkey = na.n_nationkey
+       LEFT JOIN region re ON na.n_regionkey = re.r_regionkey
        ORDER BY phage"""
   }
 
@@ -405,10 +450,20 @@ object Clouds {
                      ELSE 'yellow' END || '"}}' AS attrs
          FROM nodes n JOIN cloud_ids ci ON n.id = ci.id
          ORDER BY phage""",
-    // g_viz_export_edges stays rows-only: Jackson renders doubles below
-    // 1e-3 in scientific notation ("2.65E-4"), DuckDB in plain decimal —
-    // 14/1517 attr strings differ at sf0.01. The edge attrs are
-    // value-checked in ScalaTest instead.
+    // The numeric attrs are fixed-scale decimals (see vizExportEdges):
+    // DuckDB's decimal->varchar keeps the declared scale ("0.1000"),
+    // matching Spark's to_json of DecimalType, so the blob hash-matches.
+    "g_viz_export_edges" ->
+      s"""$OracleCte
+         SELECT e.src, e.dst,
+                '{"value":' ||
+                CAST(CAST(0.1 - e.distance + 0.1 AS DECIMAL(12,6)) AS VARCHAR) ||
+                ',"color":"lightgray","title":"' ||
+                CAST(CAST(e.distance AS DECIMAL(12,6)) AS VARCHAR) || '"}' AS attrs
+         FROM edges e JOIN cloud_ids s1 ON e.src = s1.id
+                      JOIN cloud_ids s2 ON e.dst = s2.id
+         WHERE e.distance <= 0.10
+         ORDER BY src, dst""",
     "g_edges_build" ->
       s"$OracleCte SELECT src, dst, distance FROM edges ORDER BY src, dst",
     "g_taxon_cloud" ->
@@ -453,24 +508,8 @@ object Clouds {
                       JOIN hostset s2 ON e.dst = s2.id
          WHERE e.distance <= 0.10
          ORDER BY src, dst""",
-    "g_family_nodes" ->
-      s"""$OracleCte,
-         fam AS (
-           SELECT id FROM nodes WHERE source='BUILDING' AND contains(taxonomy,'1')
-           UNION
-           SELECT r.dst FROM nodes s JOIN edges r ON r.src = s.id
-           WHERE s.source='BUILDING' AND contains(s.taxonomy,'1')
-             AND r.distance <= 0.10)
-         SELECT n.id AS phage, n.source AS source, n.genome_size AS genome_size,
-                n.taxonomy AS lineage,
-                na.n_name AS target_taxon,
-                CASE WHEN n.source='BUILDING'
-                     THEN 'C' || CAST(re.r_regionkey AS VARCHAR)
-                     ELSE '#FFFFFF' END AS color
-         FROM nodes n JOIN fam ON n.id = fam.id
-         LEFT JOIN nation na ON n.hostkey = na.n_nationkey
-         LEFT JOIN region re ON na.n_regionkey = re.r_regionkey
-         ORDER BY phage""",
+    "g_family_nodes" -> familyNodesOracle(genusRank = false),
+    "g_family_nodes_genus" -> familyNodesOracle(genusRank = true),
     "g_degrees" ->
       s"""$OracleCte
          SELECT n.id,
@@ -535,6 +574,8 @@ object Clouds {
     "g_host_cloud_harsh"      -> ((s: SparkSession, d: String) => hostCloud(s, d, harsh = true)),
     "g_host_edges"            -> ((s: SparkSession, d: String) => hostEdges(s, d)),
     "g_family_nodes"          -> ((s: SparkSession, d: String) => familyNodes(s, d)),
+    "g_family_nodes_genus"    -> ((s: SparkSession, d: String) =>
+                                    familyNodes(s, d, colorRank = "genus")),
     "g_viz_export_edges"      -> ((s: SparkSession, d: String) => vizExportEdges(s, d)),
     "g_degrees"               -> degrees _,
     "g_two_hop"               -> twoHop _,

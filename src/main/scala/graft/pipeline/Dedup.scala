@@ -39,6 +39,24 @@ object Dedup {
   val NumBands = 8 // × 4 rows/band
   private val RowsPerBand = NumPerm / NumBands
 
+  /** 60-bit hash from the first 15 hex chars of md5 — the cross-engine
+    * workhorse: md5 is bit-identical everywhere, and 15 hex digits stay
+    * under 2^60 so signed-long math never overflows. A DuckDB oracle
+    * replays it as a fold over the hex digits ([[hexFoldSql]]). Swapping
+    * in xxhash64 (same call shape, ~5× faster on long strings, but with
+    * no SQL-engine equivalent) is a one-line production change. */
+  private[pipeline] def md5Hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendering of [[md5Hash60]]: parse the 15-char md5 prefix as
+    * base-16 via a seeded list fold (list_reduce has no init argument in
+    * DuckDB 1.x — list_prepend seeds the accumulator). */
+  private[pipeline] def hexFoldSql(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split_regex(substring(md5($expr), 1, 15), ''),
+            c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1)),
+          (acc, d) -> acc * 16 + d)"""
+
   /** Deterministic affine-permutation constants (a odd, < 2^31). */
   private val permA: IndexedSeq[Long] =
     (0 until NumPerm).map(i => ((1103515245L * (i + 1) + 12345L) % (P - 1)) | 1L)
@@ -51,20 +69,24 @@ object Dedup {
     * which recompute the gram set k times). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val grams = Docs.gramTable(spark, dir)
-      .withColumn("h", pmod(xxhash64(col("gram")), lit(P)))
+      .withColumn("h", pmod(md5Hash60(col("gram")), lit(P)))
     val mins = (0 until NumPerm).map(i =>
       min(pmod(col("h") * lit(permA(i)) + lit(permB(i)), lit(P))).as(s"mh$i"))
     grams.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH banding near-duplicate pairs with estimated Jaccard
-    * ≥ `minSim`. `d_minhash_lsh` (rows-only oracle: xxhash64 has no DuckDB
-    * equivalent; ScalaTest asserts the planted duplicates are recovered). */
+    * ≥ `minSim`. `d_minhash_lsh`. Hash-checked end to end: the DuckDB
+    * oracle replays shingle hash, all 32 permutations, band hashes, the
+    * bucket join and the signature-match estimate bit-for-bit (the
+    * estimate is matches/32 — a dyadic rational, so the double compare
+    * is exact). ScalaTest additionally asserts the planted duplicates
+    * are recovered. */
   def minhashLsh(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
     val sig = minhashSignatures(spark, dir).localCheckpoint(true)
     val bandStructs = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+      struct(lit(b).as("band"), md5Hash60(concat_ws("|", cols: _*)).as("bh"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
@@ -87,17 +109,25 @@ object Dedup {
 
   // ---- SimHash ------------------------------------------------------
 
-  /** 64-bit SimHash fingerprint per document + a 16-bit hamming bucket
-    * (top bits): near-duplicates land in the same bucket with high
-    * probability. `d_simhash` (rows-only oracle). Term frequency weights
-    * fall out of exploding tokens WITHOUT dedup. */
+  /** Effective SimHash width: [[md5Hash60]] token hashes carry 60
+    * meaningful bits (bits 60-63 of every hash are zero, so those
+    * fingerprint bits are constant 0 — harmless to banding: equality on
+    * constant bits always holds, and the pigeonhole guarantee is
+    * unaffected). */
+  val SimhashBits = 60
+
+  /** SimHash fingerprint per document + a hamming bucket (top 12
+    * effective bits): near-duplicates land in the same bucket with high
+    * probability. `d_simhash` — the DuckDB oracle replays the tf-weighted
+    * bit sums and reassembly exactly. Term frequency weights fall out of
+    * exploding tokens WITHOUT dedup. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = Docs.docs(spark, dir)
       .select(col("doc_id"), explode(Docs.tokens).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map(j =>
+      .withColumn("h", md5Hash60(col("token")))
+    val bitSums = (0 until SimhashBits).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
-    val assembled = (0 until 64)
+    val assembled = (0 until SimhashBits)
       .map(j => when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
     toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
@@ -107,20 +137,26 @@ object Dedup {
   }
 
   /** SimHash near-dup PAIRS — the step that turns fingerprints into
-    * candidates. Pigeonhole banding: split the 64-bit fingerprint into
-    * `HammingMax + 1` bands; two fingerprints within hamming distance
-    * [[HammingMax]] must agree on at least one whole band, so the
-    * equi-join on (band index, band bits) finds every such pair without
-    * an all-pairs product (same bucket-join shape as LSH). Survivors are
-    * verified with the exact popcount distance (`bit_count(a XOR b)`,
-    * codegen'd built-in). Rows-only oracle (xxhash64 has no DuckDB
-    * equivalent); the spec plants hamming-close fingerprints and checks
-    * recall + the no-product plan. `d_simhash_pairs`. */
+    * candidates. Pigeonhole banding: split the [[SimhashBits]]-bit
+    * fingerprint into `HammingMax + 1` bands; two fingerprints within
+    * hamming distance [[HammingMax]] must agree on at least one whole
+    * band, so the equi-join on (band index, band bits) finds every such
+    * pair without an all-pairs product (same bucket-join shape as LSH).
+    * Survivors are verified with the exact popcount distance
+    * (`bit_count(a XOR b)`, codegen'd built-in). The DuckDB oracle
+    * replays banding + popcount; the spec additionally plants
+    * hamming-close fingerprints and checks recall + the no-product
+    * plan. `d_simhash_pairs`. */
   val HammingMax = 3
 
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val nBands = HammingMax + 1
-    val bandBits = 64 / nBands // 16
+    // the pigeonhole recall guarantee needs the bands to tile the WHOLE
+    // fingerprint: a leftover stripe of uncovered bits would silently
+    // drop pairs whose differences all land there
+    require(SimhashBits % nBands == 0,
+      s"SimhashBits=$SimhashBits must be divisible by HammingMax+1=$nBands")
+    val bandBits = SimhashBits / nBands // 15
     val fp = simhash(spark, dir).select(col("doc_id"), col("simhash"))
       .localCheckpoint(true) // the 64 bit-sum aggregates run ONCE, not per band
     val banded = fp.select(col("doc_id"), col("simhash"),
@@ -212,7 +248,75 @@ object Dedup {
                           i -> array_to_string(t[i:i+2], ' ')))) AS gram
          FROM toks)"""
 
+  /** SimHash fingerprint pipeline as a DuckDB CTE chain ending in
+    * `fp(doc_id, simhash)` — replays [[simhash]]'s tf-weighted bit sums
+    * and reassembly (disjoint bit fields, so `+` == bitwise OR). */
+  private def simhashFpCte: String = {
+    val sums = (0 until SimhashBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val assembled = (0 until SimhashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""simtoks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       th AS (SELECT doc_id, ${hexFoldSql("token")} AS h FROM simtoks),
+       sums AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+       fp AS (SELECT doc_id, $assembled AS simhash FROM sums)"""
+  }
+
+  /** MinHash+LSH oracle: replays shingle hash → 32 permutations → band
+    * hashes → bucket join → signature-match estimate. Generated from the
+    * same constants the Spark plan uses ([[permA]]/[[permB]]/[[P]]), so
+    * the two engines cannot drift apart. */
+  private def minhashOracle: String = {
+    val mhs = (0 until NumPerm)
+      .map(i => s"MIN((CAST(${permA(i)} AS BIGINT) * h + ${permB(i)}) % $P) AS mh$i")
+      .mkString(", ")
+    val bandSelects = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, ${hexFoldSql(s"concat_ws('|', $cols)")} AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    val matches = (0 until NumPerm)
+      .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $GramCte,
+       gh AS (SELECT doc_id, ${hexFoldSql("gram")} % $P AS h FROM grams),
+       sig AS (SELECT doc_id, $mhs FROM gh GROUP BY doc_id),
+       bands AS ($bandSelects),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       est AS (
+         SELECT a, b, CAST($matches AS DOUBLE) / $NumPerm AS est_jaccard
+         FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)
+       SELECT a, b, est_jaccard FROM est
+       WHERE est_jaccard >= 0.5 ORDER BY a, b"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "d_minhash_lsh" -> minhashOracle,
+    "d_simhash" ->
+      s"""WITH $simhashFpCte
+         SELECT doc_id, simhash, simhash >> 48 AS bucket FROM fp
+         ORDER BY doc_id""",
+    "d_simhash_pairs" -> {
+      val nBands = HammingMax + 1
+      val bandBits = SimhashBits / nBands
+      val mask = (1L << bandBits) - 1
+      s"""WITH $simhashFpCte,
+         banded AS (
+           SELECT doc_id, simhash, bb.b AS band,
+                  (simhash >> (bb.b * $bandBits)) & $mask AS bits
+           FROM fp, (SELECT unnest(range($nBands)) AS b) bb)
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax
+         ORDER BY a, b"""
+    },
     "d_exact_dedup" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id,
                 COUNT(*) AS n_copies

@@ -66,9 +66,21 @@ object Similarity {
     * math is the identical sequential double fold, so the DuckDB
     * hash-match is unaffected. This is the sf-bounded exactness
     * baseline; [[lshAnn]]'s bucketed plan is the 100 TB path. */
-  def embeddingNearDup(spark: SparkSession, dir: String, minCos: Double = 0.4): DataFrame = {
+  /** Hard ceiling on [[embeddingNearDup]]'s driver-side build: 500k
+    * 64-dim vectors ≈ 350 MB of driver heap. The exact baseline is
+    * MEANT to be sf-bounded; past this it must fail loudly with a
+    * pointer at the scale paths instead of OOMing the driver mid-join. */
+  val MaxExactVectors = 500000L
+
+  def embeddingNearDup(spark: SparkSession, dir: String, minCos: Double = 0.4,
+                       maxVectors: Long = MaxExactVectors): DataFrame = {
     import spark.implicits._
     val v = vectors(spark, dir).select(col("vec_id"), col("v"), col("norm"))
+    val nVec = v.count()
+    require(nVec <= maxVectors,
+      s"embeddingNearDup is the exact sf-bounded baseline and materializes " +
+        s"all $nVec vectors on the driver (limit $maxVectors). At this scale " +
+        s"use the bucketed paths instead: s_lsh_ann (lshAnn) or s_ivf_ann (ivfAnn).")
     val build: Array[(Long, Array[Double], Double)] =
       v.as[(Long, Seq[Double], Double)].collect()
         .map { case (id, vec, n) => (id, vec.toArray, n) }.sortBy(_._1)
@@ -112,12 +124,24 @@ object Similarity {
   val NumTables = 6     // L independent hash tables (recall knob)
   val BitsPerTable = 8  // k sign bits per table (precision knob)
 
-  /** Deterministic Gaussian hyperplanes, seeded per (table, bit). */
-  private val hyperplanes: IndexedSeq[IndexedSeq[Array[Double]]] = {
-    val rng = new scala.util.Random(42)
-    IndexedSeq.fill(NumTables)(IndexedSeq.fill(BitsPerTable)(
-      Array.fill(Dim)(rng.nextGaussian())))
+  /** LCG modulus for the hyperplane formula (2^31 − 1). */
+  private val HpMod = 2147483647L
+
+  /** Deterministic pseudo-random hyperplane component for (table, bit,
+    * dim): an LCG step mapped to [−0.5, 0.5). Uniform-cube directions
+    * instead of Gaussian — for SIGN hashing only the direction matters
+    * and the quality difference is negligible, while the closed form is
+    * two integer ops + one division that ANY SQL engine replays exactly
+    * (the DuckDB oracle recomputes these very doubles — no 3072-literal
+    * blob, no RNG-implementation dependency). */
+  private def hpComponent(t: Int, j: Int, d: Int): Double = {
+    val i = ((t.toLong * BitsPerTable + j) * Dim + d) + 1L
+    ((1103515245L * i + 12345L) % HpMod).toDouble / HpMod.toDouble - 0.5
   }
+
+  private val hyperplanes: IndexedSeq[IndexedSeq[Array[Double]]] =
+    IndexedSeq.tabulate(NumTables)(t => IndexedSeq.tabulate(BitsPerTable)(j =>
+      Array.tabulate(Dim)(d => hpComponent(t, j, d))))
 
   /** Per-vector LSH buckets: (vec_id, table, bucket) where bucket packs
     * the k sign bits of the hyperplane projections. Narrow map — no
@@ -140,8 +164,12 @@ object Similarity {
   /** LSH-bucketed approximate top-k: candidates are vectors sharing ≥1
     * (table, bucket) with the query — the join key is (table, bucket),
     * so the shuffle is bucket-local and NEVER all-pairs. Exact cosine
-    * re-scoring on the candidate set only. `s_lsh_ann` (rows-only
-    * oracle; ScalaTest asserts recall vs the brute-force baseline). */
+    * re-scoring on the candidate set only. `s_lsh_ann` — hash-checked:
+    * the DuckDB oracle recomputes the [[hpComponent]] hyperplanes, sign
+    * buckets, bucket join and rescoring bit-for-bit (the sign test
+    * `dot > 0` agrees because both engines fold the 64 doubles in
+    * element order). ScalaTest additionally asserts recall vs the
+    * brute-force baseline. */
   def lshAnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
     val v = vectors(spark, dir).localCheckpoint(true)
     val b = buckets(v).localCheckpoint(true)
@@ -222,6 +250,41 @@ object Similarity {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
 
   val oracle: Map[String, String] = Map(
+    // replays hpComponent: an LCG step per (table t, bit j, dim d),
+    // mapped to [-0.5, 0.5) with the identical IEEE division
+    "s_lsh_ann" ->
+      s"""$VecCte,
+         hp AS (
+           SELECT t.t, j.j,
+                  list_transform(range($Dim), d ->
+                    CAST((CAST(1103515245 AS BIGINT) *
+                          ((t.t * $BitsPerTable + j.j) * $Dim + d + 1) + 12345)
+                         % $HpMod AS DOUBLE)
+                    / CAST($HpMod AS DOUBLE) - 0.5) AS h
+           FROM (SELECT unnest(range($NumTables)) AS t) t,
+                (SELECT unnest(range($BitsPerTable)) AS j) j),
+         bk AS (
+           SELECT e.vec_id, hp.t AS tbl,
+                  CAST(SUM(CASE WHEN list_dot_product(e.v, hp.h) > 0
+                                THEN CAST(1 AS BIGINT) << hp.j
+                                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+           FROM e CROSS JOIN hp GROUP BY e.vec_id, hp.t),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+           FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id AS neighbor,
+                  ROUND(list_cosine_similarity(q.v, e.v), 4) AS cos_sim
+           FROM cand JOIN e q ON q.vec_id = cand.query_id
+           JOIN e ON e.vec_id = cand.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor, cos_sim,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor) AS BIGINT) AS rnk
+           FROM scored)
+         SELECT query_id, neighbor, cos_sim, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "d_embedding_neardup" ->
       s"""$VecCte,
          pairs AS (

