@@ -52,14 +52,21 @@ object Algorithms {
     math.max(2, math.min(spark.sparkContext.defaultParallelism,
       math.ceil(rows.toDouble / LoopRowsPerPartition).toInt))
 
-  /** Runs `body` (a whole iterative loop) with the session's shuffle
-    * width pinned to `width` and AQE's coalescer off, restoring both
-    * after. The width is sized once from the actual edge count instead
-    * of per round by the coalescer: re-planning every tiny exchange on
-    * every round was measured as the dominant per-round fixed cost at
-    * small SF (~32 rounds × ~6 exchanges). AQE itself stays ON — its
-    * runtime stage reuse still deduplicates repeated subtrees in the
-    * iterate plans.
+  /** A dedicated session for an iterative loop: cloned conf with the
+    * shuffle width pinned to `width` and AQE's coalescer off. The width
+    * is sized once from the actual edge count instead of per round by
+    * the coalescer: re-planning every tiny exchange on every round was
+    * measured as the dominant per-round fixed cost at small SF
+    * (~32 rounds × ~6 exchanges). AQE itself stays ON — its runtime
+    * stage reuse still deduplicates repeated subtrees in the iterate
+    * plans.
+    *
+    * Session conf is session-global, so the pin lives on a
+    * `spark.newSession()` clone (same SparkContext, same extensions,
+    * private conf): the caller's session — and anything running on it
+    * concurrently — never observes the loop's width. Datasets plan
+    * under the session they are BOUND to, so loop inputs must be
+    * [[rebase]]d into this session for the pin to take effect.
     *
     * Used by [[shortestPaths]], whose frontier SHRINKS as the wavefront
     * passes (the coalescer's per-round sizing decisions are wasted
@@ -67,28 +74,21 @@ object Algorithms {
     * [[pageRank]]: their iterate is all |V| rows every round, and
     * benchmarking showed the pinned width slower than letting the
     * coalescer handle those loops (their dual-referenced self-join
-    * stages reuse better under fully-adaptive planning).
-    *
-    * CAVEAT: session conf is session-GLOBAL — queries submitted on the
-    * same SparkSession concurrently with the loop would also plan at the
-    * pinned width. The lock below serializes graft loops against each
-    * other (no stale-restore races); callers sharing one session with
-    * unrelated concurrent workloads should run the loop on a dedicated
-    * `spark.newSession()` whose conf is theirs to pin. */
-  private val loopConfLock = new Object
+    * stages reuse better under fully-adaptive planning). */
+  private def loopSession(spark: org.apache.spark.sql.SparkSession, width: Int)
+      : org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", width.toString)
+    s
+  }
 
-  private def withLoopConf[T](spark: org.apache.spark.sql.SparkSession, width: Int)(body: => T): T =
-    loopConfLock.synchronized {
-      val conf = spark.conf
-      val coalesce = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      val sp = conf.get("spark.sql.shuffle.partitions", "200")
-      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      conf.set("spark.sql.shuffle.partitions", width.toString)
-      try body finally {
-        conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
-        conf.set("spark.sql.shuffle.partitions", sp)
-      }
-    }
+  /** Re-root an (already materialized — pass a checkpointed input) frame
+    * into `session`, so downstream plans pick up that session's conf.
+    * One narrow pass over the checkpointed partitions; no re-execution
+    * of the upstream plan. */
+  private def rebase(session: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
+    session.createDataFrame(df.rdd, df.schema)
 
   /** Connected components on an undirected view of `edges` (src,dst).
     * Returns (id, component) where component = min node id of the
@@ -216,12 +216,14 @@ object Algorithms {
     val e0 = edges.select(col("src"), col("dst"), col("weight"))
       .localCheckpoint(true)
     val width = loopWidth(spark, e0.count())
-    withLoopConf(spark, width) {
-    val e = e0.repartition(width, col("src")).localCheckpoint(true)
-    var dist = nodes.select(col("id"))
-      .join(seedIds.select(col("id"), lit(0.0).as("dist0")), Seq("id"), "left_outer")
-      .select(col("id"), col("dist0").as("dist"))   // null = unreachable (yet)
-      .localCheckpoint(true)
+    val loopSpark = loopSession(spark, width)
+    val e = rebase(loopSpark, e0)
+      .repartition(width, col("src")).localCheckpoint(true)
+    var dist = rebase(loopSpark,
+      nodes.select(col("id"))
+        .join(seedIds.select(col("id"), lit(0.0).as("dist0")), Seq("id"), "left_outer")
+        .select(col("id"), col("dist0").as("dist")) // null = unreachable (yet)
+        .localCheckpoint(true))
     var frontier = dist.filter(col("dist").isNotNull)
     var iter = 0
     while (iter < maxIter && frontier.limit(1).count() > 0) {
@@ -256,7 +258,9 @@ object Algorithms {
         .select(col("id"), col("cand").as("dist"))
       iter += 1
     }
-    dist.select(col("id"), col("dist"))
-    }
+    // hand the result back rooted in the CALLER's session, so whatever
+    // the caller appends (sorts, joins) plans under the caller's conf,
+    // not the loop's pinned width
+    rebase(spark, dist.select(col("id"), col("dist")).localCheckpoint(true))
   }
 }

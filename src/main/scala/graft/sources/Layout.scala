@@ -26,6 +26,10 @@ object Layout {
     * warehouses only; a cluster deployment points the warehouse at
     * shared storage and manages it with real table lifecycle tooling. */
   private def reset(spark: SparkSession, table: String): Unit = {
+    // the fallback path below is string-built as <warehouse>/<table> —
+    // only correct for unqualified names (db.tbl lives at db.db/tbl)
+    require(!table.contains("."),
+      s"Layout tables must be unqualified (default database), got '$table'")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val uri = new java.net.URI(wh)
@@ -34,8 +38,10 @@ object Layout {
         if (uri.getScheme == null) wh else uri.getPath, table.toLowerCase)
       if (java.nio.file.Files.exists(path)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(path)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.delete)
+        finally walk.close()
       }
     }
   }

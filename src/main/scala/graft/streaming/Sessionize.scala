@@ -72,18 +72,31 @@ object Sessionize {
             val ts = rows.map(_._3).toArray.sorted
             val closed = Iterator.newBuilder[ClosedSession]
             var open = state.getOption
+            // cross-batch stragglers (events >gap older than the open
+            // session) belong to an EARLIER session. They are folded into
+            // their own gap-delimited session as long as consecutive
+            // stragglers in this (sorted) batch stay within GapSec —
+            // matching what the batch plan would build from them — and
+            // flushed when the chain breaks. Residual approximation:
+            // stragglers cannot rejoin sessions emitted in PREVIOUS
+            // micro-batches (those are already downstream; that is the
+            // inherent streaming/batch divergence the watermark bounds).
+            var strag: Option[OpenSession] = None
+            def flushStrag(): Unit = {
+              strag.foreach(st =>
+                closed += ClosedSession(user, st.start_sec, st.last_sec, st.n_events))
+              strag = None
+            }
             ts.foreach { t =>
               open match {
                 case Some(s) if t < s.start_sec - GapSec =>
-                  // cross-batch straggler older than the open session by
-                  // more than the gap: it belongs to an EARLIER session.
-                  // Emit it as its own closed singleton rather than
-                  // merging (merging would fuse sessions the batch
-                  // semantics keeps apart). Approximation: stragglers
-                  // this late are emitted one per event — batch order
-                  // within a micro-batch is sorted, so only >gap
-                  // cross-batch disorder takes this path.
-                  closed += ClosedSession(user, t, t, 1)
+                  strag match {
+                    case Some(st) if t - st.last_sec <= GapSec =>
+                      strag = Some(OpenSession(st.start_sec, t, st.n_events + 1))
+                    case _ =>
+                      flushStrag()
+                      strag = Some(OpenSession(t, t, 1))
+                  }
                 case Some(s) if t - s.last_sec > GapSec =>
                   closed += ClosedSession(user, s.start_sec, s.last_sec, s.n_events)
                   open = Some(OpenSession(t, t, 1))
@@ -99,6 +112,7 @@ object Sessionize {
                   open = Some(OpenSession(t, t, 1))
               }
             }
+            flushStrag()
             open.foreach { s =>
               state.update(s)
               // flush when the watermark proves the gap elapsed

@@ -117,6 +117,31 @@ class SessionizeSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("consecutive stragglers within the gap fold into one session, not singletons") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val events = stream.toDF.toDF("ts", "user_id")
+    val query = Sessionize.streamingSessions(events).writeStream
+      .format("memory").queryName("session_sink5").outputMode("append").start()
+    try {
+      // batch 1 opens [02:00] (watermark → 01:00); batch 2 delivers two
+      // stragglers 01:05 and 01:20 — inside the watermark, both >gap
+      // older than the open session, but within the gap of EACH OTHER:
+      // batch semantics merges them into one session
+      stream.addData((ts(2, 0), 13L))
+      query.processAllAvailable()
+      stream.addData((ts(1, 5), 13L), (ts(1, 20), 13L))
+      query.processAllAvailable()
+      val got = spark.table("session_sink5").as[(Long, Long, Long, Long)]
+        .collect().toSet
+      assert(got.contains((13L, sec(1, 5), sec(1, 20), 2L)),
+        s"stragglers within GapSec of each other fold into one session, got $got")
+      assert(!got.exists(r => r._2 == sec(1, 5) && r._4 == 1L),
+        s"no singleton for the folded straggler, got $got")
+    } finally query.stop()
+  }
+
   test("batch session summary aggregates the windowed session assignment") {
     val sessions = rowsOf(relational.Tpch.qEventsSessionize(spark, SF))
       .groupBy(_.getLong(0))
