@@ -42,26 +42,36 @@ object Tpch {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
-  /** TPC-H Q3 shape: selective 3-way join + agg + deterministic top-10. */
-  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
-    val ord = Tables.orders(spark, dir)
-      .filter($"o_orderdate" < lit("1998-06-01").cast("timestamp"))
-    val li = Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" > lit("1998-06-01").cast("timestamp"))
-    li.join(ord, $"l_orderkey" === $"o_orderkey")
+  /** TPC-H Q3 body over caller-supplied base tables — the seam that runs
+    * the identical plan against raw parquet OR bucketed catalog tables
+    * (LayoutSpec asserts the bucketed variant's orders⋈lineitem joins
+    * with ZERO exchanges at bench SF: the shuffle was paid at write
+    * time, which is the entire point of [[graft.sources.Layout]]). */
+  def q3Body(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING")
+    val ord = orders
+      .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp"))
+    val li = lineitem
+      .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       // customer is SF-proportional even segment-filtered — no forced
       // broadcast; AQE upgrades the join to broadcast at small SF
-      .join(cust, $"o_custkey" === $"c_custkey")
-      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(round(sum($"l_extendedprice".cast(D12_4) * (lit(1.0) - $"l_discount").cast(D12_4)), 2)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice").cast(D12_4) *
+          (lit(1.0) - col("l_discount")).cast(D12_4)), 2)
         .cast("double").as("revenue"))
-      .select($"l_orderkey", $"revenue",
-        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"), $"o_orderpriority")
-      .orderBy($"revenue".desc, $"l_orderkey")
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
+
+  /** TPC-H Q3 shape: selective 3-way join + agg + deterministic top-10. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame =
+    q3Body(Tables.customer(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir))
 
   /** TPC-H Q5 shape: 6-way join. True bounded dimensions (region,
     * nation) are broadcast; CUSTOMER and SUPPLIER are scale-factor-

@@ -29,6 +29,32 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("TPC-H Q3 over bucketed orders/lineitem drops the fact-join exchanges at bench SF") {
+    val benchDir = "/root/testdata/sf0.1"
+    assume(new java.io.File(benchDir).isDirectory, s"$benchDir not present")
+    Layout.writeBucketed(Tables.orders(spark, benchDir), "bkt_orders_01", "o_orderkey", 8)
+    Layout.writeBucketed(Tables.lineitem(spark, benchDir), "bkt_lineitem_01", "l_orderkey", 8)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange"))
+    // fact×fact modelling: disable broadcast so both variants plan the
+    // orders⋈lineitem join as SMJ — the bucketed one must skip BOTH of
+    // that join's exchanges (the write already hashed and sorted)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val raw = relational.Tpch.q3Body(Tables.customer(spark, benchDir),
+        Tables.orders(spark, benchDir), Tables.lineitem(spark, benchDir))
+      val bucketed = relational.Tpch.q3Body(Tables.customer(spark, benchDir),
+        spark.table("bkt_orders_01"), spark.table("bkt_lineitem_01"))
+      assert(exchanges(bucketed) == exchanges(raw) - 2,
+        s"bucketed Q3 must save exactly the two fact-join exchanges " +
+          s"(raw=${exchanges(raw)}, bucketed=${exchanges(bucketed)})")
+      assert(bucketed.collect().toSeq == raw.collect().toSeq,
+        "layout must never change the result")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("partitioned table prunes partitions at planning time") {
     val ev = Tables.events(spark, SF)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
