@@ -146,6 +146,53 @@ object Algorithms {
     labels
   }
 
+  /** k-core peeling budget: the peel loop strictly shrinks the member
+    * set, so it converges in ≤ |V| rounds but in practice a handful; the
+    * budget caps the loop AND sizes the unrolled oracle (same
+    * budget-alignment contract as [[shortestPaths]] — after the fixpoint
+    * extra rounds are no-ops, so early exit and a full-budget oracle
+    * agree whenever the graph converges inside the budget, and both
+    * engines stop at the same iterate when it doesn't). */
+  val KCoreMaxRounds = 12
+
+  /** k-core decomposition on the undirected view of `edges`: the maximal
+    * subgraph where every node has ≥ `k` neighbours INSIDE the subgraph.
+    * Returns (id, core_deg) for core members. Iterative peeling — each
+    * round drops nodes whose within-member degree fell under k:
+    * two left-semi joins restrict the (pre-partitioned, checkpointed)
+    * edge list to the surviving members, one groupBy counts degrees.
+    * Shuffles only (id)-keyed projections; one checkpoint action per
+    * round with the convergence probe reading the checkpointed result —
+    * the same loop discipline as the other kernels here. */
+  def kCore(nodes: DataFrame, edges: DataFrame, k: Int,
+            maxRounds: Int = KCoreMaxRounds): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .repartition(col("u"))
+      .localCheckpoint(true)
+    def coreDegrees(members: DataFrame): DataFrame =
+      sym
+        .join(members.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(members.select(col("id").as("v")), Seq("v"), "left_semi")
+        .groupBy(col("u").as("id")).agg(count(lit(1)).as("core_deg"))
+    var members = nodes.select(col("id")).localCheckpoint(true)
+    var size = members.count()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val next = coreDegrees(members)
+        .filter(col("core_deg") >= k)
+        .select(col("id"))
+        .localCheckpoint(true)
+      val m = next.count()
+      done = m == size // monotone: equal size ⇒ identical set ⇒ fixpoint
+      members = next
+      size = m
+      round += 1
+    }
+    coreDegrees(members)
+  }
+
   /** PageRank, fixed iteration count, damping d. The edge list is
     * checkpointed once so upstream plans run exactly once; each iteration
     * is ONE action. Dangling-node mass is folded back in as a broadcast

@@ -192,6 +192,18 @@ object Clouds {
       .orderBy(col("node"))
   }
 
+  /** The dense heart of a cloud: nodes with ≥ k neighbours inside the
+    * surviving subgraph (a phage-cloud analogue of "only keep genomes
+    * with enough close relatives"). `g_kcore`. */
+  val KCoreK = 3
+
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    Algorithms.kCore(g.nodes, g.edges, KCoreK)
+      .select(col("id").as("node"), col("core_deg"))
+      .orderBy(col("node"))
+  }
+
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
     Algorithms.pageRank(g.nodes, g.edges.filter(col("distance") <= QueryThreshold))
@@ -401,6 +413,32 @@ object Clouds {
        SELECT id, dist FROM d$stages WHERE dist IS NOT NULL ORDER BY id"""
   }
 
+  /** k-core peeling unrolled to [[Algorithms.KCoreMaxRounds]] rounds —
+    * rounds past the fixpoint are no-ops, so the full-budget unroll
+    * matches the kernel's early-exited iterate (budget alignment, as in
+    * [[ssspOracle]]). */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS (
+           SELECT e.u AS id, COUNT(*) AS deg
+           FROM und e JOIN m${i - 1} x ON x.id = e.u
+                      JOIN m${i - 1} y ON y.id = e.v
+           GROUP BY e.u),
+         m$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $k)"""
+    }.mkString(",\n")
+    s"""$OracleCte,
+       und AS MATERIALIZED (
+         SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+         UNION ALL
+         SELECT dst, src FROM edges WHERE distance <= 0.10),
+       m0 AS (SELECT id FROM nodes),
+       $steps
+       SELECT e.u AS node, COUNT(*) AS core_deg
+       FROM und e JOIN m$rounds x ON x.id = e.u
+                  JOIN m$rounds y ON y.id = e.v
+       GROUP BY e.u ORDER BY node"""
+  }
+
   /** PageRank unrolled to `iters` stages. The per-node contribution SUM
     * is order-dependent double addition, so BOTH engines quantize each
     * iterate to 12 dp (see [[Algorithms.pageRank]]) — the recurrence is
@@ -433,6 +471,7 @@ object Clouds {
 
   val oracle: Map[String, String] = Map(
     "g_shortest_paths" -> ssspOracle(Algorithms.RelaxBudget),
+    "g_kcore" -> kcoreOracle(KCoreK, Algorithms.KCoreMaxRounds),
     "g_pagerank" -> pagerankOracle(10),
     // JSON attr payloads rebuilt by string concatenation: longs/strings
     // render identically, and DuckDB's double->varchar is the same
@@ -582,6 +621,7 @@ object Clouds {
     "g_pattern_chain"         -> patternChain _,
     "g_triangle_count"        -> triangleCount _,
     "g_connected_components"  -> connectedComponents _,
+    "g_kcore"                 -> kCore _,
     "g_pagerank"              -> pageRank _,
     "g_shortest_paths"        -> shortestPaths _,
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),

@@ -244,12 +244,103 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ---- spherical k-means (Lloyd) -------------------------------------
+
+  val KmeansK = 8       // clusters
+  val KmeansIters = 5   // assignment passes (centroid updates = Iters − 1)
+
+  /** Spherical k-means over the embeddings: [[KmeansIters]] Lloyd passes
+    * from the deterministic seed (lowest-`vec_id` vectors — the same
+    * sampling [[ivfAnn]] uses; this IS the "Lloyd refinement drops in
+    * here" path for IVF centroid training). Returns the final
+    * assignment (vec_id, cluster_id, sim).
+    *
+    * Spark-first shape: centroids are K rows — broadcast by
+    * construction — so each assignment pass is a narrow map over the
+    * corpus (argmax over K broadcast rows, no shuffle); the update is
+    * ONE shuffle keyed on (cluster, dimension). At 100 TB: K grows to
+    * ~√N, the broadcast stays MBs, and the update shuffle moves only
+    * K×Dim aggregates.
+    *
+    * Cross-engine determinism (what makes the oracle replay bit-exact):
+    * assignment ranks the 4-dp ROUNDED cosine with a centroid-id
+    * tiebreak (the IVF pattern), and centroid means go through
+    * DECIMAL(28,14) sums — exact and order-independent, unlike double
+    * addition — divided by the member count in double at the end.
+    * Clusters that lose all members drop out in both engines alike. */
+  def kmeans(spark: SparkSession, dir: String,
+             k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    val v = vectors(spark, dir).localCheckpoint(true)
+    var cent = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+      .localCheckpoint(true)
+    def assignTo(c: DataFrame): DataFrame =
+      v.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cid"), col("v"),
+          round(arrayDot(col("v"), col("cv")) / (col("norm") * col("cn")), 4).as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
+        .select(col("vec_id"), (-col("best.negcid")).as("cluster_id"),
+          col("best.sim").as("sim"))
+    var assign = assignTo(cent)
+    for (_ <- 1 until iters) {
+      // per-(cluster, dimension) decimal-exact mean, re-packed into the
+      // centroid vector ordered by dimension
+      val comp = assign.join(v, Seq("vec_id"))
+        .select(col("cluster_id").as("cid"), posexplode(col("v")).as(Seq("d", "x")))
+      val means = comp.groupBy(col("cid"), col("d"))
+        .agg((sum(col("x").cast("decimal(28,14)")).cast("double") /
+          count(lit(1))).as("m"))
+      val newCent = means.groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .withColumn("cn", sqrt(arrayDot(col("cv"), col("cv"))))
+        .localCheckpoint(true) // 5-round lineage stays flat; K rows, trivial
+      cent = newCent
+      assign = assignTo(cent)
+    }
+    assign.orderBy(col("vec_id"))
+  }
+
   // ---- oracles -------------------------------------------------------
 
   private val VecCte =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
 
+  /** [[kmeans]] unrolled to `iters` assignment CTEs: a1 from the seed
+    * centroids c0, then (update, assign) pairs. The decimal-exact means
+    * are what license the unroll — every centroid component is
+    * bit-identical in both engines, so each ROUND(cos, 4) argmax
+    * decision replays exactly. */
+  private def kmeansOracle(k: Int, iters: Int): String = {
+    def assign(i: Int) =
+      s"""a$i AS MATERIALIZED (
+         SELECT vec_id, cid AS cluster_id, sim FROM (
+           SELECT e.vec_id, c.cid,
+                  ROUND(list_cosine_similarity(e.v, c.cv), 4) AS sim,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC,
+                             c.cid) AS rn
+           FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1)"""
+    def update(i: Int) =
+      s"""s$i AS (
+           SELECT a.cluster_id AS cid, dd.d,
+                  CAST(SUM(CAST(e.v[dd.d + 1] AS DECIMAL(28,14))) AS DOUBLE)
+                    / COUNT(*) AS m
+           FROM a$i a JOIN e USING (vec_id), dims dd
+           GROUP BY a.cluster_id, dd.d),
+         c$i AS (SELECT cid, list(m ORDER BY d) AS cv FROM s$i GROUP BY cid)"""
+    val steps = (assign(1) +:
+      (2 to iters).flatMap(i => Seq(update(i - 1), assign(i)))).mkString(",\n")
+    s"""$VecCte,
+       dims AS (SELECT unnest(range($Dim)) AS d),
+       c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
+       $steps
+       SELECT vec_id, cluster_id, sim FROM a$iters ORDER BY vec_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "s_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
     // replays hpComponent: an LCG step per (table t, bit j, dim d),
     // mapped to [-0.5, 0.5) with the identical IEEE division
     "s_lsh_ann" ->
@@ -344,5 +435,6 @@ object Similarity {
     "s_cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "s_lsh_ann"           -> ((s: SparkSession, d: String) => lshAnn(s, d)),
     "s_ivf_ann"           -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
+    "s_kmeans"            -> ((s: SparkSession, d: String) => kmeans(s, d)),
   )
 }

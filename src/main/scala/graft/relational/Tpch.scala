@@ -125,6 +125,28 @@ object Tpch {
       .limit(20)
   }
 
+  /** TPC-H Q18 shape: large-volume orders (customers who placed orders
+    * above a quantity threshold). The classic Q18 rewrite: ONE scan of
+    * lineitem — the per-order quantity aggregate serves as both the
+    * HAVING filter and the reported quantity (the spec's correlated IN
+    * subquery would scan lineitem twice). The >300 filter keeps ~0.1%
+    * of orders, so the orders/customer joins run with a tiny build side
+    * (AQE broadcasts it at any SF). `q18_large_orders`. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qty = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(round(sum($"l_quantity".cast(D12_2)), 2).cast("double").as("total_qty"))
+      .filter($"total_qty" > 300.0)
+    qty.join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
   /** Window functions: deterministic top-3 parts by retail price per brand. */
   def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -285,6 +307,20 @@ object Tpch {
            AND o_orderdate < TIMESTAMP '1997-04-01'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q18_large_orders" ->
+      """WITH qty AS (
+           SELECT l_orderkey,
+                  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+                    AS total_qty
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT c_name, c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                o_totalprice, total_qty
+         FROM qty
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE total_qty > 300.0
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
@@ -342,6 +378,7 @@ object Tpch {
     "q1_pricing_summary"   -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q10_returned_items"   -> q10ReturnedItems _,
+    "q18_large_orders"     -> q18LargeOrders _,
     "q5_local_supplier"    -> q5LocalSupplier _,
     "q_window_rank"        -> qWindowRank _,
     "q_events_sessionize"  -> qEventsSessionize _,

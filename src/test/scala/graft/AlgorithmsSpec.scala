@@ -70,6 +70,37 @@ class AlgorithmsSpec extends SparkSpec {
       "each K4 node closes 3 triangles; global = sum/3 = 4")
   }
 
+  test("k-core matches reference peeling on a fixture and on the driver graph") {
+    // fixture: K4 core {1,2,3,4} plus a pendant chain 4-5-6 that peels away
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("src", "dst")
+    val got = Algorithms.kCore(nodesDf(1, 2, 3, 4, 5, 6, 7), edges, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      "the 3-core is exactly the K4; chain and isolate peel off")
+
+    // driver graph: cross-check against an independent in-memory peel
+    val g = graph.TestGraph.graph(spark, SF)
+      .filterEdges(org.apache.spark.sql.functions.col("distance") <= graph.TestGraph.QueryThreshold)
+    val es = g.edges.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = g.nodes.select("id").collect().map(_.getLong(0)).toSet
+    var members = ids
+    var changed = true
+    while (changed) {
+      val deg = members.map(_ -> 0L).toMap ++
+        es.flatMap { case (a, b) if members(a) && members(b) => Seq(a, b); case _ => Nil }
+          .groupBy(identity).view.mapValues(_.size.toLong)
+      val next = members.filter(id => deg.getOrElse(id, 0L) >= graph.Clouds.KCoreK)
+      changed = next != members
+      members = next
+    }
+    val expDeg = es.flatMap { case (a, b) if members(a) && members(b) => Seq(a, b); case _ => Nil }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sparkCore = Algorithms.kCore(g.nodes, g.edges, graph.Clouds.KCoreK)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sparkCore == expDeg, "spark k-core must equal the reference peel")
+  }
+
   test("shortest paths match Dijkstra on a weighted fixture") {
     val edges = Seq(
       (1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 5.0), (3L, 4L, 1.0), (2L, 4L, 10.0),

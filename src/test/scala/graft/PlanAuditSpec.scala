@@ -12,7 +12,8 @@ class PlanAuditSpec extends SparkSpec {
     * bounded-by-construction broadcast side. */
   private val boundedBnlj = Set(
     "s_cosine_topk", // fixed nQueries query vectors × corpus
-    "s_ivf_ann"      // NumLists centroids × corpus (assignment cross)
+    "s_ivf_ann",     // NumLists centroids × corpus (assignment cross)
+    "s_kmeans"       // KmeansK centroids × corpus (assignment cross)
   )
 
   test("no operator plans a cartesian product; BNLJ only where bounded") {

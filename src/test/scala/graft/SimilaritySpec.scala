@@ -75,6 +75,25 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == (0L until 10L).map(q => (q, q + 10)).toSet)
   }
 
+  test("k-means assigns every vector once and co-clusters each planted twin pair") {
+    val assign = rowsOf(Similarity.kmeans(spark, dir))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign.keySet == (0L until 30L).toSet, "every vector exactly once")
+    assert(assign.values.toSet.size <= Similarity.KmeansK, "at most K clusters")
+    // a twin is cosine≈1 from its query: Lloyd should keep them together
+    // except when a pair sits right on a cluster boundary (two centroids
+    // near-equidistant) — tolerate one boundary split
+    val together = (0L until 10L).count(q => assign(q) == assign(q + 10))
+    assert(together >= 9, s"only $together/10 twin pairs co-clustered")
+    // and Lloyd must actually move past the seed: on the driver corpus a
+    // further refinement pass changes nothing material (fixpoint-ish)
+    val again = rowsOf(Similarity.kmeans(spark, dir,
+      iters = Similarity.KmeansIters + 1))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val moved = assign.count { case (id, c) => again(id) != c }
+    assert(moved <= 3, s"assignment should be near-stable after 5 passes, moved=$moved")
+  }
+
   test("exact near-dup refuses to collect a corpus past the driver bound") {
     val e = intercept[IllegalArgumentException] {
       Similarity.embeddingNearDup(spark, dir, minCos = 0.9, maxVectors = 3)
