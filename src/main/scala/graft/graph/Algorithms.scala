@@ -193,6 +193,47 @@ object Algorithms {
     coreDegrees(members)
   }
 
+  /** Synchronous label-propagation rounds (fixed by contract, like
+    * [[pageRank]]'s iteration count — the oracle unrolls exactly this
+    * many). */
+  val LabelPropRounds = 5
+
+  /** Label-propagation community detection on the undirected view of
+    * `edges`: every node starts as its own community and each round
+    * adopts the most frequent label among its neighbours (ties broken
+    * toward the SMALLEST label — that, plus synchronous rounds, makes
+    * the algorithm fully deterministic, unlike the textbook
+    * random-order variant). Isolated nodes keep their own label.
+    *
+    * Scale shape: one shuffle per round keyed on the gather node for
+    * the (neighbour-label, count) aggregate — integer counts only, no
+    * floats anywhere, so cross-engine parity is unconditional. The
+    * symmetrized edge list is checkpointed and pre-partitioned once;
+    * each round is exactly one action (the iterate checkpoint). */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+                       rounds: Int = LabelPropRounds): DataFrame = {
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val gathered = sym
+        .join(labels.select(col("id").as("v"), col("lbl").as("nlbl")), Seq("v"))
+        .groupBy(col("u").as("id"), col("nlbl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax count with min-label tiebreak: max(struct(c, -lbl))
+      val best = gathered
+        .groupBy(col("id"))
+        .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("b"))
+        .select(col("id"), (-col("b.neg")).as("blbl"))
+      labels = labels.join(best, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("blbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** PageRank, fixed iteration count, damping d. The edge list is
     * checkpointed once so upstream plans run exactly once; each iteration
     * is ONE action. Dangling-node mass is folded back in as a broadcast

@@ -210,6 +210,16 @@ object Clouds {
       .orderBy(col("id"))
   }
 
+  /** Communities inside the thresholded graph — a finer view than the
+    * connected-component "clouds" (a cloud can contain several dense
+    * communities bridged by weak links). `g_label_prop`. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    Algorithms.labelPropagation(g.nodes, g.edges)
+      .select(col("id").as("node"), col("lbl").as("community"))
+      .orderBy(col("node"))
+  }
+
   def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
     val sym = g.copy(edges =
@@ -439,6 +449,34 @@ object Clouds {
        GROUP BY e.u ORDER BY node"""
   }
 
+  /** Label propagation unrolled to [[Algorithms.LabelPropRounds]]
+    * synchronous rounds — integer counts and a deterministic min-label
+    * tiebreak make the replay unconditional (no floats at all). */
+  private def labelPropOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""g$i AS (
+           SELECT e.u AS id, l.lbl, COUNT(*) AS c
+           FROM und e JOIN l${i - 1} l ON l.id = e.v
+           GROUP BY e.u, l.lbl),
+         b$i AS (
+           SELECT id, lbl FROM (
+             SELECT id, lbl,
+                    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+             FROM g$i) WHERE rn = 1),
+         l$i AS MATERIALIZED (
+           SELECT n.id, COALESCE(b.lbl, n.lbl) AS lbl
+           FROM l${i - 1} n LEFT JOIN b$i b ON b.id = n.id)"""
+    }.mkString(",\n")
+    s"""$OracleCte,
+       und AS MATERIALIZED (
+         SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+         UNION ALL
+         SELECT dst, src FROM edges WHERE distance <= 0.10),
+       l0 AS (SELECT id, id AS lbl FROM nodes),
+       $steps
+       SELECT id AS node, lbl AS community FROM l$rounds ORDER BY node"""
+  }
+
   /** PageRank unrolled to `iters` stages. The per-node contribution SUM
     * is order-dependent double addition, so BOTH engines quantize each
     * iterate to 12 dp (see [[Algorithms.pageRank]]) — the recurrence is
@@ -472,6 +510,7 @@ object Clouds {
   val oracle: Map[String, String] = Map(
     "g_shortest_paths" -> ssspOracle(Algorithms.RelaxBudget),
     "g_kcore" -> kcoreOracle(KCoreK, Algorithms.KCoreMaxRounds),
+    "g_label_prop" -> labelPropOracle(Algorithms.LabelPropRounds),
     "g_pagerank" -> pagerankOracle(10),
     // JSON attr payloads rebuilt by string concatenation: longs/strings
     // render identically, and DuckDB's double->varchar is the same
@@ -622,6 +661,7 @@ object Clouds {
     "g_triangle_count"        -> triangleCount _,
     "g_connected_components"  -> connectedComponents _,
     "g_kcore"                 -> kCore _,
+    "g_label_prop"            -> labelProp _,
     "g_pagerank"              -> pageRank _,
     "g_shortest_paths"        -> shortestPaths _,
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),

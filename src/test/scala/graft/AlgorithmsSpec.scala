@@ -101,6 +101,19 @@ class AlgorithmsSpec extends SparkSpec {
     assert(sparkCore == expDeg, "spark k-core must equal the reference peel")
   }
 
+  test("label propagation converges to per-clique communities across a bridge") {
+    // two triangles bridged by one edge: each clique converges to its
+    // minimum id; the bridge is outvoted by the within-clique majority
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val got = Algorithms.labelPropagation(nodesDf(1, 2, 3, 4, 5, 6, 7), edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(got) == Set(1L), s"left clique unites on min id, got $got")
+    assert(Set(4L, 5L, 6L).map(got).size == 1, s"right clique unites, got $got")
+    assert(got(7L) == 7L, "isolated node keeps its own label")
+    assert(got(1L) != got(5L), "the bridge must not merge the cliques")
+  }
+
   test("shortest paths match Dijkstra on a weighted fixture") {
     val edges = Seq(
       (1L, 2L, 1.0), (2L, 3L, 2.0), (1L, 3L, 5.0), (3L, 4L, 1.0), (2L, 4L, 10.0),
