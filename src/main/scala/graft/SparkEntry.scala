@@ -17,6 +17,7 @@ object SparkEntry {
       (streaming.Windowed.queries, streaming.Windowed.oracle),
       (streaming.Sessionize.queries, streaming.Sessionize.oracle),
       (streaming.StreamJoin.queries, streaming.StreamJoin.oracle),
+      (streaming.Enrich.queries, streaming.Enrich.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

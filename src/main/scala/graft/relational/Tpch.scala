@@ -227,6 +227,27 @@ object Tpch {
       .orderBy($"l_returnflag")
   }
 
+  /** The pivoted event types, pinned explicitly: an explicit value list
+    * keeps the output schema STATIC (a dynamic pivot would trigger a
+    * driver-side distinct scan at plan time and make the schema
+    * data-dependent — wrong for a 100 TB table and for the oracle). */
+  val PivotEventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily event-type crosstab via relational PIVOT: one shuffle on the
+    * day key; the pivot columns are conditional counts folded into the
+    * same aggregate (map-side combined), not five separate scans.
+    * `q_pivot_daily`. */
+  def qPivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(date_format($"ts", "yyyy-MM-dd").as("day"), $"event_type")
+      .groupBy($"day")
+      .pivot("event_type", PivotEventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotEventTypes)
+      .orderBy($"day")
+  }
+
   /** JSON sidecar extraction: per-type stats over the `props` JSON
     * column (`$.k`). `get_json_object` is a codegen'd path expression —
     * the metadata-extraction shape every training-data pipeline has
@@ -307,6 +328,14 @@ object Tpch {
            AND o_orderdate < TIMESTAMP '1997-04-01'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_pivot_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+                COUNT(*) FILTER (event_type = 'click') AS click,
+                COUNT(*) FILTER (event_type = 'error') AS error,
+                COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                COUNT(*) FILTER (event_type = 'signup') AS signup,
+                COUNT(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY strftime(ts, '%Y-%m-%d') ORDER BY day""",
     "q18_large_orders" ->
       """WITH qty AS (
            SELECT l_orderkey,
@@ -379,6 +408,7 @@ object Tpch {
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q10_returned_items"   -> q10ReturnedItems _,
     "q18_large_orders"     -> q18LargeOrders _,
+    "q_pivot_daily"        -> qPivotDaily _,
     "q5_local_supplier"    -> q5LocalSupplier _,
     "q_window_rank"        -> qWindowRank _,
     "q_events_sessionize"  -> qEventsSessionize _,

@@ -127,4 +127,38 @@ class StreamingSpec extends SparkSpec {
     val keys = r.map(row => (row.getLong(0), row.getString(1)))
     assert(keys == keys.distinct, "one row per (window, type)")
   }
+
+  test("stream-static enrichment matches the batch join and keeps dimension-less events") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, String, Double)]
+    val events = stream.toDF.toDF("event_id", "user_id", "event_type", "value")
+    val query = graft.streaming.Enrich.enrichStreaming(events, SF).writeStream
+      .format("memory").queryName("enrich_sink").outputMode("append").start()
+    try {
+      // user 3 exists in the customer dimension; user 99999 does not
+      stream.addData((1L, 3L, "click", 1.0), (2L, 99999L, "view", 2.0))
+      query.processAllAvailable()
+      val got = spark.table("enrich_sink")
+        .as[(Long, Long, String, Double, Option[String])].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got.keySet == Set(1L, 2L), "stateless join emits every event")
+      assert(got(1L)._5.nonEmpty, "known user gains its segment")
+      assert(got(2L)._5.isEmpty, "unknown user survives with null segment")
+      // the streamed rows agree with the batch-equivalent join
+      val batch = rowsOf(graft.streaming.Enrich.enrichBatch(spark, SF)
+        .filter(col("user_id") === 3L).limit(1)).head
+      assert(batch.getString(batch.fieldIndex("segment")) == got(1L)._5.get,
+        "same dimension row as the batch path")
+    } finally query.stop()
+  }
+
+  test("daily pivot counts partition the event table exactly") {
+    val r = rowsOf(relational.Tpch.qPivotDaily(spark, SF))
+    assert(r.nonEmpty)
+    val total = r.map(row =>
+      relational.Tpch.PivotEventTypes.map(c => row.getLong(row.fieldIndex(c))).sum).sum
+    assert(total == Tables.events(spark, SF).count(),
+      "every event lands in exactly one (day, type) cell")
+  }
 }
