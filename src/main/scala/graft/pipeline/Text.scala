@@ -116,6 +116,46 @@ object Text {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** Boilerplate detection: the word n-grams shared by the MOST distinct
+    * documents — repeated navigation chrome, license headers and
+    * templates surface at the top, which is what a cleaning pass strips
+    * before training. One map-side-combined groupBy on the gram (each
+    * (doc, gram) is already distinct in [[Docs.gramTable]], so the count
+    * IS the document frequency), then a global top-k on a total order.
+    * `t_boilerplate`. */
+  def boilerplate(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    Docs.gramTable(spark, dir)
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("gram"))
+      .limit(k)
+
+  /** Benchmark-contamination screen: for every corpus document, how much
+    * of a (small, fixed) benchmark set's n-grams it contains. The
+    * benchmark gram set is bounded by construction → broadcast; the
+    * corpus side streams through one semi-join-shaped equi-join on the
+    * gram key and aggregates per (document, benchmark doc) — never a
+    * pair product. Output: (doc, benchmark doc) pairs whose overlap
+    * ratio ≥ τ — exactly the report a decontamination pass acts on.
+    * `d_contamination`. */
+  def contamination(spark: SparkSession, dir: String,
+                    nBench: Int = 10, minOverlap: Double = 0.5): DataFrame = {
+    val grams = Docs.gramTable(spark, dir)
+    val bench = grams.filter(col("doc_id") < nBench)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    val benchSizes = bench.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_bench_grams"))
+    val overlap = grams.filter(col("doc_id") >= nBench)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val ratio = col("n_shared").cast("double") / col("n_bench_grams")
+    overlap.join(broadcast(benchSizes), Seq("bench_id"))
+      .filter(ratio >= minOverlap)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        round(ratio, 4).as("overlap_ratio"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   // ---- oracles -------------------------------------------------------
 
   private val ToksCte =
@@ -125,7 +165,33 @@ object Text {
   private def hitsSql(words: Seq[String]): String =
     s"CAST(len(list_filter(toks, w -> w IN (${words.map(w => s"'$w'").mkString(",")}))) AS BIGINT)"
 
+  /** Mirror of [[Docs.gramTable]] (same CTE as Dedup's oracles). */
+  private val GramCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       grams AS (
+         SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(t) - 1),
+                          i -> array_to_string(t[i:i+2], ' ')))) AS gram
+         FROM toks)"""
+
   val oracle: Map[String, String] = Map(
+    "t_boilerplate" ->
+      s"""WITH $GramCte
+         SELECT gram, COUNT(*) AS n_docs FROM grams
+         GROUP BY gram ORDER BY n_docs DESC, gram LIMIT 25""",
+    "d_contamination" ->
+      s"""WITH $GramCte,
+         b AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 10),
+         bs AS (SELECT bench_id, COUNT(*) AS n_bench_grams FROM b GROUP BY bench_id),
+         ov AS (
+           SELECT g.doc_id, b.bench_id, COUNT(*) AS n_shared
+           FROM grams g JOIN b USING (gram)
+           WHERE g.doc_id >= 10 GROUP BY g.doc_id, b.bench_id)
+         SELECT ov.doc_id, ov.bench_id, ov.n_shared,
+                ROUND(CAST(ov.n_shared AS DOUBLE) / bs.n_bench_grams, 4) AS overlap_ratio
+         FROM ov JOIN bs USING (bench_id)
+         WHERE CAST(ov.n_shared AS DOUBLE) / bs.n_bench_grams >= 0.5
+         ORDER BY doc_id, bench_id""",
     "t_vocab_topk" ->
       """WITH tok AS (
            SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -189,5 +255,7 @@ object Text {
     "t_tokens"      -> (tokens _),
     "t_fingerprint" -> (fingerprint _),
     "t_vocab_topk"  -> ((s: SparkSession, d: String) => vocabTopK(s, d)),
+    "t_boilerplate" -> ((s: SparkSession, d: String) => boilerplate(s, d)),
+    "d_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
   )
 }

@@ -53,6 +53,30 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate surfaces the gram shared by the most documents") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "all rights reserved header one", "en", "s", 30L),
+      (1L, "all rights reserved header two", "en", "s", 30L),
+      (2L, "all rights reserved other text", "en", "s", 30L),
+      (3L, "completely unrelated content here", "en", "s", 33L)))
+    val top = rowsOf(Text.boilerplate(spark, d))
+    assert(top.head.getString(0) == "all rights reserved" &&
+      top.head.getLong(1) == 3L, s"got ${top.head}")
+  }
+
+  test("contamination screen flags the doc that copies a benchmark doc") {
+    // doc 0 is 'benchmark'; doc 10 copies most of it, doc 11 is clean
+    val d = TestSession.docsFixture(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "en", "s", 49L),
+      (10L, "intro the quick brown fox jumps over the lazy dog", "en", "s", 49L),
+      (11L, "nothing in common with anything benchmark related at all", "en", "s", 56L)))
+    val hits = rowsOf(Text.contamination(spark, d))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((10L, 0L)), s"only the copying doc is flagged, got $hits")
+    val ratio = rowsOf(Text.contamination(spark, d)).head
+    assert(ratio.getDouble(ratio.fieldIndex("overlap_ratio")) > 0.5)
+  }
+
   test("rolling fingerprint is order-sensitive and deterministic") {
     val swapped = TestSession.docsFixture(Seq(
       (0L, "alpha beta gamma", "en", "s", 16L),
