@@ -201,6 +201,33 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  // ---- deterministic stratified sampling ----------------------------
+
+  /** Per-language keep rates in percent — the "data mixing" knob of a
+    * training run (e.g. downsample boilerplate-heavy languages). */
+  val MixRates: Seq[(String, Int)] = Seq(
+    "en" -> 100, "de" -> 75, "es" -> 50, "fr" -> 50, "zh" -> 25)
+
+  /** Deterministic stratified sampling for corpus mixing: a document is
+    * kept iff `hash(text) mod 100 < rate(lang)`. Content-hash gating —
+    * not `rand()` — because a training-data sample must be REPRODUCIBLE
+    * (same corpus in, same sample out, on any cluster size, any
+    * partitioning, any retry) and consistent (an exact duplicate is
+    * kept or dropped identically in every shard, so sampling composes
+    * with dedup). Pure narrow map over the scan, no shuffle; the final
+    * sort exists only for the oracle dump. `d_sample_mix`. */
+  def sampleMix(spark: SparkSession, dir: String): DataFrame = {
+    val rate = MixRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Docs.docs(spark, dir)
+      .withColumn("mix_bucket", pmod(md5Hash60(col("text")), lit(100L)))
+      .withColumn("keep_rate", rate.cast("long"))
+      .filter(col("mix_bucket") < col("keep_rate"))
+      .select(col("doc_id"), col("lang"), col("mix_bucket"), col("keep_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- cluster + canonicalize ---------------------------------------
 
   /** The step after pair generation that an actual dedup pipeline needs:
@@ -296,6 +323,16 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "d_sample_mix" -> {
+      val rateCase = MixRates
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, lang,
+                 ${hexFoldSql("text")} % 100 AS mix_bucket,
+                 CAST(CASE $rateCase ELSE 0 END AS BIGINT) AS keep_rate
+          FROM documents
+          WHERE ${hexFoldSql("text")} % 100 < CASE $rateCase ELSE 0 END
+          ORDER BY doc_id"""
+    },
     "d_minhash_lsh" -> minhashOracle,
     "d_simhash" ->
       s"""WITH $simhashFpCte
@@ -369,5 +406,6 @@ object Dedup {
     "d_simhash_pairs" -> (simhashPairs _),
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "d_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
+    "d_sample_mix"    -> (sampleMix _),
   )
 }

@@ -156,6 +156,26 @@ object Text {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** Vocabulary-rarity quality signal: a document's mean corpus-wide
+    * token frequency. Low = rare/misspelled/garbage vocabulary, high =
+    * common-word prose — the cheap integer-only stand-in for an LM
+    * perplexity filter (no floats until the single final division, so
+    * cross-engine parity is unconditional). Two shuffles: the corpus
+    * term-frequency aggregate, and the token-keyed join back (the vocab
+    * table is unbounded at corpus scale, so it is NOT broadcast — AQE
+    * may choose to at small SF). `t_rarity`. */
+  def rarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Docs.docs(spark, dir)
+      .select(col("doc_id"), explode(Docs.tokens).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    toks.join(freq, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("freq_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("freq_sum"),
+        round(col("freq_sum").cast("double") / col("n_tokens"), 4).as("avg_token_freq"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- oracles -------------------------------------------------------
 
   private val ToksCte =
@@ -192,6 +212,16 @@ object Text {
          FROM ov JOIN bs USING (bench_id)
          WHERE CAST(ov.n_shared AS DOUBLE) / bs.n_bench_grams >= 0.5
          ORDER BY doc_id, bench_id""",
+    "t_rarity" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         freq AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token)
+         SELECT doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                CAST(SUM(tf) AS BIGINT) AS freq_sum,
+                ROUND(CAST(SUM(tf) AS DOUBLE) / COUNT(*), 4) AS avg_token_freq
+         FROM tok JOIN freq USING (token)
+         GROUP BY doc_id ORDER BY doc_id""",
     "t_vocab_topk" ->
       """WITH tok AS (
            SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -257,5 +287,6 @@ object Text {
     "t_vocab_topk"  -> ((s: SparkSession, d: String) => vocabTopK(s, d)),
     "t_boilerplate" -> ((s: SparkSession, d: String) => boilerplate(s, d)),
     "d_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
+    "t_rarity"      -> (rarity _),
   )
 }

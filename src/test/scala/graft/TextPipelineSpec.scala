@@ -77,6 +77,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(ratio.getDouble(ratio.fieldIndex("overlap_ratio")) > 0.5)
   }
 
+  test("stratified sample mix is reproducible and honours per-language rates") {
+    val once = rowsOf(pipeline.Dedup.sampleMix(spark, SF)).map(_.getLong(0))
+    val again = rowsOf(pipeline.Dedup.sampleMix(spark, SF)).map(_.getLong(0))
+    assert(once == again, "content-hash gating must be reproducible")
+    assert(once.nonEmpty)
+    val byLang = rowsOf(pipeline.Dedup.sampleMix(spark, SF)).groupBy(_.getString(1))
+    val total = rowsOf(Tables.documents(spark, SF).groupBy("lang").count())
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en keeps everything; zh keeps roughly a quarter (hash-binomial)
+    assert(byLang("en").size == total("en"), "rate 100 keeps every en doc")
+    val zhRate = byLang.get("zh").map(_.size).getOrElse(0).toDouble / total("zh")
+    assert(zhRate > 0.05 && zhRate < 0.5, s"zh keep rate ~0.25, got $zhRate")
+    rowsOf(pipeline.Dedup.sampleMix(spark, SF)).foreach { r =>
+      assert(r.getLong(r.fieldIndex("mix_bucket")) <
+        r.getLong(r.fieldIndex("keep_rate")))
+    }
+  }
+
+  test("rarity score averages corpus token frequencies exactly") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "common common common", "en", "s", 19L),
+      (1L, "common rareword", "en", "s", 15L)))
+    // corpus tf: common=4, rareword=1
+    val r = rowsOf(Text.rarity(spark, d)).map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getDouble(r(0L).fieldIndex("avg_token_freq")) == 4.0)
+    assert(r(1L).getDouble(r(1L).fieldIndex("avg_token_freq")) == 2.5,
+      "(4 + 1) / 2 tokens")
+  }
+
   test("rolling fingerprint is order-sensitive and deterministic") {
     val swapped = TestSession.docsFixture(Seq(
       (0L, "alpha beta gamma", "en", "s", 16L),
