@@ -147,6 +147,33 @@ object Tpch {
       .limit(100)
   }
 
+  /** TPC-H Q17 shape: small-quantity-order revenue — the CORRELATED
+    * SCALAR SUBQUERY pattern (`l_quantity < 0.2 * (SELECT avg(qty) for
+    * this part)`), decorrelated the way Catalyst would: the per-part
+    * threshold is ONE aggregate over lineitem joined back on the part
+    * key, so lineitem is scanned twice but never per-row re-queried.
+    * The threshold is computed as 0.2·(decimal-exact sum / count) in
+    * double — identical IEEE ops in both engines, so the `<` filter
+    * decisions replay exactly (a plain double AVG would be
+    * partial-order-dependent and flip boundary rows). `q17_small_qty`. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thr = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey".as("t_partkey"))
+      .agg((lit(0.2) * (sum($"l_quantity".cast(D12_2)).cast("double") /
+        count(lit(1)))).as("qty_threshold"))
+    val brandParts = Tables.part(spark, dir)
+      .filter($"p_brand" === "Brand#23")
+      .select($"p_partkey")
+    Tables.lineitem(spark, dir)
+      .join(brandParts, $"l_partkey" === $"p_partkey")
+      .join(thr, $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < $"qty_threshold")
+      .agg(round(sum($"l_extendedprice".cast(D12_2)).cast("double") / 7.0, 2)
+        .as("avg_yearly"),
+        count(lit(1)).as("n_small_orders"))
+  }
+
   /** Window functions: deterministic top-3 parts by retail price per brand. */
   def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -328,6 +355,19 @@ object Tpch {
            AND o_orderdate < TIMESTAMP '1997-04-01'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q17_small_qty" ->
+      """WITH thr AS (
+           SELECT l_partkey AS t_partkey,
+                  0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                         / COUNT(*)) AS qty_threshold
+           FROM lineitem GROUP BY l_partkey)
+         SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                      / 7.0, 2) AS avg_yearly,
+                CAST(COUNT(*) AS BIGINT) AS n_small_orders
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         JOIN thr ON t_partkey = l_partkey
+         WHERE p_brand = 'Brand#23' AND l_quantity < qty_threshold""",
     "q_pivot_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
                 COUNT(*) FILTER (event_type = 'click') AS click,
@@ -407,6 +447,7 @@ object Tpch {
     "q1_pricing_summary"   -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
     "q10_returned_items"   -> q10ReturnedItems _,
+    "q17_small_qty"        -> q17SmallQty _,
     "q18_large_orders"     -> q18LargeOrders _,
     "q_pivot_daily"        -> qPivotDaily _,
     "q5_local_supplier"    -> q5LocalSupplier _,

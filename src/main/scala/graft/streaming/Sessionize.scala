@@ -44,6 +44,30 @@ object Sessionize {
         max(col("end_sec")).as("last_sec"))
       .orderBy(col("user_id"))
 
+  /** Gap-based sessionization via the BUILT-IN `session_window` — the
+    * native Spark operator for the same semantics [[streamingSessions]]
+    * implements with custom state (merging session windows, no
+    * per-event state function). Works identically over batch and
+    * streaming inputs; this batch form is the oracle-checked
+    * `st_session_window` entry, and the ScalaTest streaming spec runs
+    * the same transform under a watermark. Micro-second precision —
+    * unlike [[sessionSummary]]'s epoch-second truncation — so the
+    * oracle replays the gap decisions on `epoch_us`. Window end is
+    * last-event + gap (the operator's contract). */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(graft.Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("start_us"))
+
+  /** The shared transform: same plan for batch and streaming inputs. */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n_events"))
+
   /** Streaming sessionizer. `events` must carry (ts: timestamp,
     * user_id: long); emits a [[ClosedSession]] when a gap closes a
     * session or the event-time timeout fires. */
@@ -124,6 +148,26 @@ object Sessionize {
   }
 
   val oracle: Map[String, String] = Map(
+    // µs-precision gap sessionization; session end = last event + gap
+    "st_session_window" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         flagged AS (
+           SELECT user_id, event_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         s AS (
+           SELECT user_id, us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, MIN(us) AS start_us,
+                MAX(us) + 1800000000 AS end_us,
+                COUNT(*) AS n_events
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, start_us""",
     "st_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
@@ -149,5 +193,6 @@ object Sessionize {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_sessionize" -> (sessionSummary _),
+    "st_session_window" -> (sessionWindows _),
   )
 }

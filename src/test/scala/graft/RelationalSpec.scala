@@ -76,6 +76,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("Q17 threshold join only keeps below-average-quantity rows of the brand") {
+    val r = rowsOf(Tpch.q17SmallQty(spark, SF)).head
+    val n = r.getLong(r.fieldIndex("n_small_orders"))
+    assert(n > 0, "fixture brand must have small-quantity rows")
+    // brute-force reference: per-part exact threshold over collected rows
+    val li = rowsOf(Tables.lineitem(spark, SF)
+      .select(col("l_partkey"), col("l_quantity")))
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    val brand = rowsOf(Tables.part(spark, SF)
+      .filter(col("p_brand") === "Brand#23").select(col("p_partkey")))
+      .map(_.getLong(0)).toSet
+    val thr = li.groupBy(_._1).view.mapValues(v =>
+      0.2 * (v.map(x => BigDecimal(x._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / v.size)).toMap
+    val expect = li.count { case (pk, q) => brand(pk) && q < thr(pk) }
+    assert(n == expect, s"small-qty row count: got $n, reference $expect")
+  }
+
   test("JSON props extraction: per-type stats with consistent bounds") {
     val r = rowsOf(Tpch.qEventsProps(spark, SF))
     assert(r.nonEmpty)

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, unix_micros}
 import graft.streaming.Sessionize
 
 class SessionizeSpec extends SparkSpec {
@@ -140,6 +141,49 @@ class SessionizeSpec extends SparkSpec {
       assert(!got.exists(r => r._2 == sec(1, 5) && r._4 == 1L),
         s"no singleton for the folded straggler, got $got")
     } finally query.stop()
+  }
+
+  test("native session_window agrees with the custom-state sessionizer per user") {
+    // same corpus, two independent implementations: the built-in merging
+    // session windows and the lag/cumsum assignment — session COUNTS per
+    // user must agree whenever no gap delta sits exactly on the 30-min
+    // boundary at differing precisions (µs here vs the summary's seconds
+    // truncation can shift a boundary, so compare the µs-exact count
+    // against a µs-exact reference)
+    val native = rowsOf(Sessionize.sessionWindows(spark, SF))
+      .groupBy(_.getLong(0)).view.mapValues(_.size).toMap
+    val ref = rowsOf(Tables.events(spark, SF)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")))
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues { evs =>
+        val sorted = evs.map(_._2).sorted
+        1 + sorted.zip(sorted.tail).count { case (a, b) => b - a > 1800000000L }
+      }.toMap
+    assert(native == ref, "merging windows == gap-delta counting")
+    // window end is last event + gap by contract
+    rowsOf(Sessionize.sessionWindows(spark, SF)).foreach { r =>
+      assert(r.getLong(r.fieldIndex("end_us")) >
+        r.getLong(r.fieldIndex("start_us")))
+    }
+  }
+
+  test("session_window works identically under a streaming watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val q = Sessionize.sessionWindowAgg(
+        stream.toDF.toDF("ts", "user_id").withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("sw_sink").outputMode("append").start()
+    try {
+      stream.addData((ts(0, 0), 21L), (ts(0, 10), 21L), (ts(2, 0), 21L))
+      q.processAllAvailable()
+      stream.addData((ts(9, 0), 21L))
+      q.processAllAvailable()
+      val got = spark.table("sw_sink").as[(Long, Long, Long, Long)].collect().toSet
+      val s0 = ts(0, 0).getTime * 1000L
+      assert(got.contains((21L, s0, ts(0, 10).getTime * 1000L + 1800000000L, 2L)),
+        s"first session [00:00, 00:10+gap) with 2 events, got $got")
+    } finally q.stop()
   }
 
   test("batch session summary aggregates the windowed session assignment") {
