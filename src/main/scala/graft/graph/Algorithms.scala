@@ -220,6 +220,10 @@ object Algorithms {
     for (_ <- 1 to rounds) {
       val gathered = sym
         .join(labels.select(col("id").as("v"), col("lbl").as("nlbl")), Seq("v"))
+        // one exchange for BOTH aggregates: hash-partitioning on u
+        // satisfies clustering on (u, nlbl) AND on u, so the count and
+        // the argmax reuse this single shuffle
+        .repartition(col("u"))
         .groupBy(col("u").as("id"), col("nlbl"))
         .agg(count(lit(1)).as("c"))
       // argmax count with min-label tiebreak: max(struct(c, -lbl))

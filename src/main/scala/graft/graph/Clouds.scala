@@ -210,6 +210,36 @@ object Clouds {
       .orderBy(col("id"))
   }
 
+  /** Neighbour-set Jaccard similarity for node pairs sharing ≥ 1
+    * neighbour — the link-prediction / "phages related through common
+    * relatives" operator (two genomes whose similarity edge fell just
+    * above threshold still surface here through shared neighbours).
+    * Same bucket-join discipline as the n-gram dedup: candidate pairs
+    * come from co-membership in some neighbour's adjacency list, never
+    * an all-pairs product; integer intersection/degree counts make the
+    * division bit-exact cross-engine. `g_neighbor_jaccard`. */
+  def neighborJaccard(spark: SparkSession, dir: String,
+                      minSim: Double = 0.3): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val nbrs = g.edges.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(g.edges.select(col("dst").as("node"), col("src").as("nbr")))
+      .localCheckpoint(true) // referenced three times below
+    val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val inter = nbrs.as("x")
+      .join(nbrs.as("y"),
+        col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("da") + col("db") - col("inter")).cast("double")
+    inter
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .filter(jac >= minSim)
+      .select(col("a"), col("b"), col("inter"), round(jac, 6).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Communities inside the thresholded graph — a finer view than the
     * connected-component "clouds" (a cloud can contain several dense
     * communities bridged by weak links). `g_label_prop`. */
@@ -511,6 +541,24 @@ object Clouds {
     "g_shortest_paths" -> ssspOracle(Algorithms.RelaxBudget),
     "g_kcore" -> kcoreOracle(KCoreK, Algorithms.KCoreMaxRounds),
     "g_label_prop" -> labelPropOracle(Algorithms.LabelPropRounds),
+    "g_neighbor_jaccard" ->
+      s"""$OracleCte,
+         nbrs AS (
+           SELECT src AS node, dst AS nbr FROM edges WHERE distance <= 0.10
+           UNION ALL
+           SELECT dst, src FROM edges WHERE distance <= 0.10),
+         deg AS (SELECT node, COUNT(*) AS deg FROM nbrs GROUP BY node),
+         i AS (
+           SELECT x.node AS a, y.node AS b, COUNT(*) AS inter
+           FROM nbrs x JOIN nbrs y ON x.nbr = y.nbr AND x.node < y.node
+           GROUP BY x.node, y.node)
+         SELECT a, b, inter,
+                ROUND(CAST(inter AS DOUBLE) /
+                      CAST(da.deg + db.deg - inter AS DOUBLE), 6) AS jaccard
+         FROM i JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+         WHERE CAST(inter AS DOUBLE) /
+               CAST(da.deg + db.deg - inter AS DOUBLE) >= 0.3
+         ORDER BY a, b""",
     "g_pagerank" -> pagerankOracle(10),
     // JSON attr payloads rebuilt by string concatenation: longs/strings
     // render identically, and DuckDB's double->varchar is the same
@@ -662,6 +710,7 @@ object Clouds {
     "g_connected_components"  -> connectedComponents _,
     "g_kcore"                 -> kCore _,
     "g_label_prop"            -> labelProp _,
+    "g_neighbor_jaccard"      -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),
     "g_pagerank"              -> pageRank _,
     "g_shortest_paths"        -> shortestPaths _,
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),

@@ -156,6 +156,23 @@ class GraphSpec extends SparkSpec {
     assert(fromCsv == fromDims, "lookup source must not change the result")
   }
 
+  test("neighbour Jaccard matches a brute-force set computation") {
+    val edges = rowsOf(graft.graph.TestGraph.sharesDna(spark, SF)
+      .filter(col("distance") <= graft.graph.TestGraph.QueryThreshold)
+      .select(col("src"), col("dst")))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val expect = (for {
+      (a, na) <- nbrs.toSeq; (b, nb) <- nbrs.toSeq if a < b
+      inter = (na & nb).size if inter > 0
+      jac = inter.toDouble / (na.size + nb.size - inter) if jac >= 0.3
+    } yield (a, b)).toSet
+    val got = rowsOf(Clouds.neighborJaccard(spark, SF))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"pair sets differ: extra=${got -- expect} missing=${expect -- got}")
+  }
+
   test("host edges are induced on the host-cloud node set") {
     val cloud = rowsOf(Clouds.hostCloud(spark, SF, harsh = false)).map(_.getLong(0)).toSet
     val edges = rowsOf(Clouds.hostEdges(spark, SF))
