@@ -306,13 +306,22 @@ object Clouds {
       .write.mode("overwrite").json(s"$outPath/edges")
   }
 
+  /** Physics solvers the HTML export accepts — pyvis's barnes_hut /
+    * force_atlas_2based options (gdb.py:102-105 configures exactly
+    * these knobs on the pyvis Network). */
+  val PhysicsSolvers: Set[String] = Set("barnesHut", "forceAtlas2Based", "repulsion")
+
   /** Self-contained HTML page rendering the cloud with vis-network —
     * the same artifact the reference's pyvis `save_graph` emits
-    * (gdb.py:118-120). Node/edge attrs are embedded as JSON arrays;
-    * only the (small, already-induced) cloud is collected, never the
-    * graph. */
+    * (gdb.py:118-120), with the reference's physics-solver choice
+    * (gdb.py:102-105) exposed as `solver`. Node/edge attrs are embedded
+    * as JSON arrays; only the (small, already-induced) cloud is
+    * collected, never the graph. */
   def exportCloudHtml(spark: SparkSession, dir: String, outFile: String,
-                      taxon: String = Taxon, threshold: Double = QueryThreshold): Unit = {
+                      taxon: String = Taxon, threshold: Double = QueryThreshold,
+                      solver: String = "forceAtlas2Based"): Unit = {
+    require(PhysicsSolvers(solver),
+      s"solver must be one of $PhysicsSolvers, got '$solver'")
     def jsonArray(df: DataFrame): String =
       df.toJSON.collect().mkString("[", ",\n", "]")
     val nodes = jsonArray(cloudNodes(spark, dir, taxon, threshold).select(
@@ -330,7 +339,7 @@ object Clouds {
          |const nodes = new vis.DataSet($nodes);
          |const edges = new vis.DataSet($edges);
          |new vis.Network(document.getElementById("cloud"), {nodes, edges},
-         |  {physics: {solver: "forceAtlas2Based"}});
+         |  {physics: {solver: "$solver"}});
          |</script></body></html>""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), html)
   }

@@ -214,6 +214,13 @@ class GraphSpec extends SparkSpec {
     val nodeIds = rowsOf(Clouds.cloudNodes(spark, SF)).map(_.getLong(0))
     nodeIds.foreach(id => assert(html.contains(s""""id":$id"""), s"node $id embedded"))
     assert(html.split("\"from\":").length - 1 == Clouds.cloudEdges(spark, SF).count())
+    // the reference's pyvis physics choice (gdb.py:102-105) is a knob
+    Clouds.exportCloudHtml(spark, SF, out, solver = "barnesHut")
+    val bh = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
+    assert(bh.contains("\"barnesHut\"") && !bh.contains("forceAtlas2Based"))
+    intercept[IllegalArgumentException] {
+      Clouds.exportCloudHtml(spark, SF, out, solver = "antigravity")
+    }
   }
 
   test("exportCloud persists nodes + edges as readable JSON directories") {
