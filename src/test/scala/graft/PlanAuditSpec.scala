@@ -27,4 +27,37 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  /** SURVEY §4 rule 4 ("filters and projections reach the scan"),
+    * enforced mechanically on representative scan-heavy operators: the
+    * scan node must carry the operator's selective predicate as a
+    * pushed filter, and must NOT read columns the query never uses. */
+  test("representative operators push filters and prune columns at the scan") {
+    def scanOf(name: String, table: String): String = {
+      val plan = SparkEntry.queries(name)(spark, SF)
+        .queryExecution.executedPlan.toString
+      plan.linesIterator.filter(l =>
+        l.contains("FileScan") && l.contains(table)).mkString("\n")
+    }
+    // Q1: the shipdate predicate is pushed; comment/shipmode never read
+    val q1 = scanOf("q1_pricing_summary", "lineitem")
+    assert(q1.contains("l_shipdate"), s"q1 scan lost its date pushdown: $q1")
+    assert(!q1.contains("l_partkey") && !q1.contains("l_suppkey"),
+      "q1 must not read join keys it never uses")
+    // Q10: returnflag equality pushed to the lineitem scan
+    val q10 = scanOf("q10_returned_items", "lineitem")
+    assert(q10.contains("EqualTo(l_returnflag,R)"),
+      s"q10 returnflag filter must reach the scan: $q10")
+    // contamination: the benchmark-id range predicates reach the scan
+    val cont = SparkEntry.queries("d_contamination")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(cont.contains("LessThan(doc_id,10)") &&
+      cont.contains("GreaterThanOrEqual(doc_id,10)"),
+      "contamination doc_id split must be pushed to both scans")
+    // graph seeds: the source equality is pushed to the customer scan
+    val cloud = SparkEntry.queries("g_taxon_cloud")(spark, SF)
+      .queryExecution.executedPlan.toString
+    assert(cloud.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "seed source filter must reach the customer scan")
+  }
 }
