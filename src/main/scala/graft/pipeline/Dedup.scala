@@ -201,6 +201,28 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  // ---- incremental (cross-corpus) dedup -----------------------------
+
+  /** Incremental dedup against an already-ingested corpus: keep only
+    * incoming documents whose content hash does NOT appear in the
+    * existing source — the LEFT ANTI join every periodic ingest runs
+    * (dedup the new crawl against everything already stored, without
+    * re-deduping the store). The existing-side hash set is
+    * corpus-proportional, so it is NOT broadcast — the anti join
+    * shuffles both sides on the hash key (AQE may still broadcast at
+    * small SF). `d_incremental_dedup`. */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       existingSource: String = "src0"): DataFrame = {
+    val docs = Docs.docs(spark, dir)
+    val existing = docs.filter(col("source") === existingSource)
+      .select(md5(col("text")).as("content_hash")).distinct()
+    docs.filter(col("source") =!= existingSource)
+      .withColumn("content_hash", md5(col("text")))
+      .join(existing, Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- deterministic stratified sampling ----------------------------
 
   /** Per-language keep rates in percent — the "data mixing" knob of a
@@ -323,6 +345,12 @@ object Dedup {
   }
 
   val oracle: Map[String, String] = Map(
+    "d_incremental_dedup" ->
+      """SELECT d.doc_id, d.source FROM documents d
+         WHERE d.source <> 'src0' AND NOT EXISTS (
+           SELECT 1 FROM documents e
+           WHERE e.source = 'src0' AND md5(e.text) = md5(d.text))
+         ORDER BY d.doc_id""",
     "d_sample_mix" -> {
       val rateCase = MixRates
         .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
@@ -407,5 +435,6 @@ object Dedup {
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "d_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "d_sample_mix"    -> (sampleMix _),
+    "d_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
   )
 }

@@ -275,6 +275,34 @@ object Tpch {
       .orderBy($"day")
   }
 
+  /** Trailing 7-day moving average of daily order revenue — the
+    * RANGE-frame window shape (frame = a VALUE interval on the ordering
+    * key, not a row count, so gap days shrink the frame). Two stages:
+    * a distributed day-keyed aggregate, then the window over the daily
+    * table — which has one row per calendar day, bounded by construction,
+    * so the unpartitioned window is NOT a scale hazard. The frame
+    * average is decimal-sum / count in double (exact operands), never a
+    * float AVG. `q_moving_avg`. */
+  def qMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.orders(spark, dir)
+      .groupBy(
+        date_format($"o_orderdate", "yyyy-MM-dd").as("day"),
+        unix_date(to_date($"o_orderdate")).as("day_num"))
+      .agg(sum($"o_totalprice".cast(DecimalType(14, 2))).as("rev"))
+    val w = Window.orderBy($"day_num").rangeBetween(-6, 0)
+    daily.select($"day",
+        round($"rev", 2).cast("double").as("revenue"),
+        // 4 dp, NOT 2: a scale-2 decimal divided by 1..7 terminates at
+        // ≤ 4 decimals, so no quotient can sit exactly on a 4-dp
+        // rounding midpoint (at 2 dp, sum/2 = x.xx5 did, and HALF_UP
+        // engines disagree with decimal-string engines there)
+        round(sum($"rev").over(w).cast("double") / count(lit(1)).over(w), 4)
+          .as("avg_7d"),
+        count(lit(1)).over(w).as("n_days"))
+      .orderBy($"day")
+  }
+
   /** JSON sidecar extraction: per-type stats over the `props` JSON
     * column (`$.k`). `get_json_object` is a codegen'd path expression —
     * the metadata-extraction shape every training-data pipeline has
@@ -355,6 +383,19 @@ object Tpch {
            AND o_orderdate < TIMESTAMP '1997-04-01'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_moving_avg" ->
+      """WITH daily AS (
+           SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                  CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day_num,
+                  SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+           FROM orders GROUP BY 1, 2)
+         SELECT day,
+                CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+                ROUND(CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w, 4) AS avg_7d,
+                CAST(COUNT(*) OVER w AS BIGINT) AS n_days
+         FROM daily
+         WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY day""",
     "q17_small_qty" ->
       """WITH thr AS (
            SELECT l_partkey AS t_partkey,
@@ -450,6 +491,7 @@ object Tpch {
     "q17_small_qty"        -> q17SmallQty _,
     "q18_large_orders"     -> q18LargeOrders _,
     "q_pivot_daily"        -> qPivotDaily _,
+    "q_moving_avg"         -> qMovingAvg _,
     "q5_local_supplier"    -> q5LocalSupplier _,
     "q_window_rank"        -> qWindowRank _,
     "q_events_sessionize"  -> qEventsSessionize _,

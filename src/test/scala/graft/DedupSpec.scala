@@ -77,6 +77,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).distinct.size == pairs.size, "no duplicate pairs")
   }
 
+  test("incremental dedup drops only incoming docs whose hash exists in the store") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "stored document one", "en", "src0", 19L),
+      (1L, "stored document two", "en", "src0", 19L),
+      (10L, "stored document one", "en", "src1", 19L), // exact dup of stored
+      (11L, "fresh new crawl text", "en", "src1", 20L),
+      (12L, "stored document two", "en", "src2", 19L))) // dup from another source
+    val kept = rowsOf(pipeline.Dedup.incrementalDedup(spark, d))
+      .map(_.getLong(0)).toSet
+    assert(kept == Set(11L),
+      s"only the genuinely new doc survives the anti join, got $kept")
+  }
+
+  test("moving 7-day average frame shrinks at the calendar start") {
+    val r = rowsOf(relational.Tpch.qMovingAvg(spark, SF))
+    assert(r.nonEmpty)
+    val first = r.head
+    assert(first.getLong(first.fieldIndex("n_days")) == 1,
+      "first day's frame holds only itself")
+    r.foreach { row =>
+      assert(row.getLong(row.fieldIndex("n_days")) <= 7)
+      assert(row.getDouble(row.fieldIndex("avg_7d")) > 0)
+    }
+  }
+
   test("dedup clusters collapse transitive chains and keep the min doc per cluster") {
     val r = rowsOf(Dedup.dedupClusters(spark, dir))
     assert(r.size == 5, "every doc gets a cluster row")
