@@ -128,9 +128,57 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Shard capacity for [[shardPack]] — tiny here so the test corpus
+    * spans many shards; ~1 GB in a real training-data writer. */
+  val ShardBytes = 4096L
+
+  /** Writer parallelism per language: payloads pack into independent
+    * (lang, bucket) streams. */
+  val ShardBuckets = 8L
+
+  /** Shard packing — the OUTPUT stage of a training-data pipeline:
+    * assign each payload to a fixed-capacity shard file (webdataset/
+    * tfrecord style). Distributed the way real shard writers are: a
+    * payload hashes to one of [[ShardBuckets]] writer buckets per
+    * language, and each (lang, bucket) stream packs independently by
+    * running byte total in doc-id order — so the window state is
+    * per-writer, never a global sequence (a single global cumsum would
+    * serialize the corpus through one partition at 100 TB; per-writer
+    * packing is exactly how distributed webdataset writers bound shard
+    * sizes). Integer-only arithmetic ⇒ unconditional oracle parity.
+    * `m_shard_pack`. */
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Docs.docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars").as("n_bytes"),
+        pmod(col("doc_id"), lit(ShardBuckets)).as("bucket"))
+      .withColumn("cum_bytes", sum(col("n_bytes")).over(w))
+      // shard index = full shards before this payload's first byte;
+      // the double floor is exact while totals stay far under 2^53
+      .withColumn("shard_idx",
+        floor((col("cum_bytes") - col("n_bytes")).cast("double") / ShardBytes)
+          .cast("long"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("n_bytes"),
+        col("shard_idx"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The payload is ASCII text, so the oracle can recompute byte length,
     * magic and the rolling checksum from character codes. */
   val oracle: Map[String, String] = Map(
+    "m_shard_pack" ->
+      s"""WITH w AS (
+           SELECT doc_id, lang, n_chars AS n_bytes,
+                  doc_id % $ShardBuckets AS bucket,
+                  SUM(n_chars) OVER (
+                    PARTITION BY lang, doc_id % $ShardBuckets ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM documents)
+         SELECT doc_id, lang, bucket, n_bytes,
+                CAST((cum - n_bytes) // $ShardBytes AS BIGINT) AS shard_idx
+         FROM w ORDER BY doc_id""",
     "m_multimodal_meta" ->
       """WITH b AS (
            SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -199,5 +247,6 @@ object Multimodal {
     "m_multimodal_meta" -> (multimodalMeta _),
     "m_frame_sample"    -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "m_resize"          -> ((s: SparkSession, d: String) => resizePlan(s, d)),
+    "m_shard_pack"      -> (shardPack _),
   )
 }

@@ -68,4 +68,26 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(r.fieldIndex("out_bytes")) == ow * oh * 3)
     }
   }
+
+  test("shard packing bounds every shard and packs each writer stream densely") {
+    val rows = rowsOf(graft.pipeline.Multimodal.shardPack(spark, SF))
+      .map(r => (r.getString(r.fieldIndex("lang")), r.getLong(r.fieldIndex("bucket")),
+        r.getLong(r.fieldIndex("shard_idx")), r.getLong(r.fieldIndex("n_bytes")),
+        r.getLong(r.fieldIndex("doc_id"))))
+    assert(rows.nonEmpty)
+    val cap = graft.pipeline.Multimodal.ShardBytes
+    rows.groupBy(t => (t._1, t._2, t._3)).foreach { case (shard, members) =>
+      val bytes = members.map(_._4).sum
+      // a shard only exceeds capacity by (at most) its final payload —
+      // the payload that crossed the boundary still lands in the shard
+      // whose first byte it started in
+      assert(bytes < cap + members.map(_._4).max,
+        s"shard $shard over-packed: $bytes")
+    }
+    // shard indices per writer stream are dense from 0
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, members) =>
+      val idxs = members.map(_._3).distinct.sorted
+      assert(idxs == (0L until idxs.size))
+    }
+  }
 }
