@@ -54,6 +54,13 @@ object Bench {
             .linesIterator.take(1).mkString
       }
       samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      // drop the finished query's localCheckpoint blocks: nothing
+      // references them once the count returned, but left in place they
+      // accumulate across 200+ executions and the block-manager/GC
+      // pressure inflates later queries (pagerank measured 10.2 s late
+      // in a full session vs 4.2 s isolated — same code)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     def median(xs: List[Double]): Double = {
       val s = xs.sorted
