@@ -68,6 +68,54 @@ class GraphPropertySpec extends SparkSpec {
     }
   }
 
+  test("k-core equals driver-side iterative peeling on random graphs") {
+    for (seed <- 31 to 30 + Cases) {
+      val (n, edges) = randomGraph(seed)
+      val k = 2 + (seed % 2)
+      // reference peel over the undirected multigraph view (the kernel
+      // counts sym entries, so duplicate edges count twice — replicate)
+      val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      var members = (0L until n.toLong).toSet
+      var changed = true
+      while (changed) {
+        val deg = sym.filter(e => members(e._1) && members(e._2))
+          .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val next = members.filter(id => deg.getOrElse(id, 0L) >= k)
+        changed = next != members
+        members = next
+      }
+      val expDeg = sym.filter(e => members(e._1) && members(e._2))
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val got = Algorithms.kCore((0L until n.toLong).toDF("id"), edgeDf(edges), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expDeg, s"seed=$seed k=$k edges=$edges")
+    }
+  }
+
+  test("label propagation equals a driver-side synchronous reference on random graphs") {
+    for (seed <- 41 to 40 + Cases) {
+      val (n, edges) = randomGraph(seed)
+      val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      var labels = (0L until n.toLong).map(i => i -> i).toMap
+      for (_ <- 1 to Algorithms.LabelPropRounds) {
+        val next = (0L until n.toLong).map { u =>
+          val nbrLabels = sym.filter(_._1 == u).map(e => labels(e._2))
+          if (nbrLabels.isEmpty) u -> labels(u)
+          else {
+            val counts = nbrLabels.groupBy(identity).view.mapValues(_.size).toMap
+            // most frequent, ties toward the smallest label
+            u -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+          }
+        }.toMap
+        labels = next
+      }
+      val got = Algorithms.labelPropagation(
+        (0L until n.toLong).toDF("id"), edgeDf(edges)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == labels, s"seed=$seed edges=$edges")
+    }
+  }
+
   test("shortest paths equal driver-side Dijkstra on random weighted graphs") {
     for (seed <- 21 to 20 + Cases) {
       val (n, base) = randomGraph(seed)
