@@ -275,6 +275,22 @@ object Tpch {
       .orderBy($"day")
   }
 
+  /** UNPIVOT (melt) — the inverse reshape of [[qPivotDaily]]: the wide
+    * per-day crosstab folds back into tidy (day, event_type, n) rows
+    * via `stack` (a generator expression — codegen'd row explosion, not
+    * a join). Zero cells drop out, so the round trip reproduces exactly
+    * the long-form aggregate a GROUP BY would have produced — which is
+    * what the oracle checks. `q_unpivot`. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stackArgs = PivotEventTypes.map(t => s"'$t', `$t`").mkString(", ")
+    qPivotDaily(spark, dir)
+      .select($"day",
+        expr(s"stack(${PivotEventTypes.size}, $stackArgs) AS (event_type, n)"))
+      .filter($"n" > 0)
+      .orderBy($"day", $"event_type")
+  }
+
   /** Trailing 7-day moving average of daily order revenue — the
     * RANGE-frame window shape (frame = a VALUE interval on the ordering
     * key, not a row count, so gap days shrink the frame). Two stages:
@@ -383,6 +399,9 @@ object Tpch {
            AND o_orderdate < TIMESTAMP '1997-04-01'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_unpivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "q_moving_avg" ->
       """WITH daily AS (
            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
@@ -492,6 +511,7 @@ object Tpch {
     "q18_large_orders"     -> q18LargeOrders _,
     "q_pivot_daily"        -> qPivotDaily _,
     "q_moving_avg"         -> qMovingAvg _,
+    "q_unpivot"            -> qUnpivot _,
     "q5_local_supplier"    -> q5LocalSupplier _,
     "q_window_rank"        -> qWindowRank _,
     "q_events_sessionize"  -> qEventsSessionize _,

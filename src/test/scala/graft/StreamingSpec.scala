@@ -161,4 +161,14 @@ class StreamingSpec extends SparkSpec {
     assert(total == Tables.events(spark, SF).count(),
       "every event lands in exactly one (day, type) cell")
   }
+
+  test("unpivot is the exact inverse of the pivot (round trip to long form)") {
+    val melted = rowsOf(relational.Tpch.qUnpivot(spark, SF))
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = rowsOf(Tables.events(spark, SF)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .count())
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(melted == direct, "melt(pivot(x)) == groupBy long form")
+  }
 }
