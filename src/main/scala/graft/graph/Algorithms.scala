@@ -90,6 +90,24 @@ object Algorithms {
   private def rebase(session: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
     session.createDataFrame(df.rdd, df.schema)
 
+  /** Release the executor blocks behind a SUPERSEDED loop iterate.
+    * Eager `localCheckpoint(true)` pins each iterate's partitions in
+    * executor storage; without explicit release a k-round loop holds k
+    * iterates' worth of blocks — harmless on a laptop corpus, an OOM/
+    * eviction-thrash source at 100 TB (and measurably inflating
+    * late-session queries here). Safe ONLY once the successor iterate
+    * has been eagerly materialized: checkpointing truncated the old
+    * plan's lineage, so it must never be executed again. Targets
+    * exactly the checkpoint RDD inside the frame's plan (never the
+    * session-wide persistent-RDD list, which would race with
+    * concurrent queries). */
+  private[graft] def releaseIterate(df: DataFrame): Unit =
+    if (df != null) df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Connected components on an undirected view of `edges` (src,dst).
     * Returns (id, component) where component = min node id of the
     * component. Hash-to-min + pointer doubling: each round takes the min
@@ -140,6 +158,7 @@ object Algorithms {
         .map(BigDecimal(_)).getOrElse(BigDecimal(0))
       done = s == prevSum
       prevSum = s
+      releaseIterate(labels) // superseded: jumped is materialized, labels is dead
       labels = jumped
       iter += 1
     }
@@ -186,6 +205,7 @@ object Algorithms {
         .localCheckpoint(true)
       val m = next.count()
       done = m == size // monotone: equal size ⇒ identical set ⇒ fixpoint
+      releaseIterate(members)
       members = next
       size = m
       round += 1
@@ -231,9 +251,11 @@ object Algorithms {
         .groupBy(col("id"))
         .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("b"))
         .select(col("id"), (-col("b.neg")).as("blbl"))
-      labels = labels.join(best, Seq("id"), "left_outer")
+      val next = labels.join(best, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("blbl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
+      releaseIterate(labels)
+      labels = next
     }
     labels
   }
@@ -273,13 +295,15 @@ object Algorithms {
       // a shuffle aggregate whose double-addition order is run- and
       // engine-dependent (~1e-18 noise); quantizing makes every iterate
       // bit-deterministic, so the DuckDB oracle replays the loop exactly
-      pr = pr.select(col("id"), col("odeg"))
+      val next = pr.select(col("id"), col("odeg"))
         .join(contribs, Seq("id"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("id"), col("odeg"),
           round(lit(reset / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("dang") / n), 12).as("rank"))
         .localCheckpoint(true)
+      releaseIterate(pr)
+      pr = next
     }
     pr.select(col("id"), col("rank"))
   }
@@ -311,12 +335,14 @@ object Algorithms {
     val loopSpark = loopSession(spark, width)
     val e = rebase(loopSpark, e0)
       .repartition(width, col("src")).localCheckpoint(true)
+    releaseIterate(e0) // e is the loop's copy; the staging blocks are dead
     var dist = rebase(loopSpark,
       nodes.select(col("id"))
         .join(seedIds.select(col("id"), lit(0.0).as("dist0")), Seq("id"), "left_outer")
         .select(col("id"), col("dist0").as("dist")) // null = unreachable (yet)
         .localCheckpoint(true))
     var frontier = dist.filter(col("dist").isNotNull)
+    var roundChk: DataFrame = null // the live iterate's checkpoint
     var iter = 0
     while (iter < maxIter && frontier.limit(1).count() > 0) {
       // `relaxPerRound` relaxations share ONE checkpoint action: extra
@@ -326,6 +352,7 @@ object Algorithms {
       // nodes improved by the FINAL relaxation form the next frontier:
       // earlier improvements have already been propagated within the
       // round.
+      val prevChk = roundChk
       var d = dist
       var f = frontier
       var lastJoined: DataFrame = null
@@ -344,6 +371,8 @@ object Algorithms {
         lastJoined = joined
       }
       val chk = lastJoined.localCheckpoint(true)
+      releaseIterate(prevChk) // this round read it; now superseded
+      roundChk = chk
       dist = chk.select(col("id"),
         when(col("improved"), col("cand")).otherwise(col("dist")).as("dist"))
       frontier = chk.filter(col("improved"))
@@ -353,6 +382,8 @@ object Algorithms {
     // hand the result back rooted in the CALLER's session, so whatever
     // the caller appends (sorts, joins) plans under the caller's conf,
     // not the loop's pinned width
-    rebase(spark, dist.select(col("id"), col("dist")).localCheckpoint(true))
+    val result = dist.select(col("id"), col("dist")).localCheckpoint(true)
+    releaseIterate(roundChk) // the result is its own copy; the iterate is dead
+    rebase(spark, result)
   }
 }

@@ -296,6 +296,7 @@ object Similarity {
           s => s.getField("m")).as("cv"))
         .withColumn("cn", sqrt(arrayDot(col("cv"), col("cv"))))
         .localCheckpoint(true) // 5-round lineage stays flat; K rows, trivial
+      graft.graph.Algorithms.releaseIterate(cent) // superseded centroid blocks
       cent = newCent
       assign = assignTo(cent)
     }
