@@ -358,6 +358,46 @@ object Tpch {
       .orderBy($"gid", $"l_returnflag", $"l_linestatus")
   }
 
+  /** Full CUBE over (returnflag, linestatus): every grouping-set combo
+    * — leaf, both one-dimension margins, grand total — from ONE shuffle
+    * (the expand operator replicates rows per grouping set map-side;
+    * the alternative is four scans). Complements [[qRollup]]'s
+    * hierarchy with the complete lattice. `q_cube`. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        round(sum($"l_quantity".cast(D12_2)), 2).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select($"l_returnflag", $"l_linestatus", $"gid", $"sum_qty", $"n_rows")
+      .orderBy($"gid", $"l_returnflag", $"l_linestatus")
+  }
+
+  /** SCD-2 versioning: each customer's orders become a timeline of
+    * validity ranges — `valid_from` = the order date, `valid_to` = the
+    * next order's date (open-ended sentinel for the current version).
+    * The warehouse upsert-history shape: one window pass per key, no
+    * self-join (the naive formulation joins the table to itself on
+    * "next change"). Ties broken by order key so the chain is total.
+    * `q_scd2`. */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .withColumn("next_date", lead($"o_orderdate", 1).over(w))
+      .select(
+        $"o_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format($"next_date", "yyyy-MM-dd"), lit("9999-12-31"))
+          .as("valid_to"),
+        $"next_date".isNull.as("is_current"),
+        $"o_totalprice")
+      .orderBy($"o_custkey", $"valid_from", $"o_orderkey")
+  }
+
   val oracle: Map[String, String] = Map(
     // percentiles are exact at gate SFs (accuracy > n, see PctAccuracy);
     // hll_sanity is pinned to 1 — any ≥50% HLL drift fails the hash
@@ -399,6 +439,27 @@ object Tpch {
            AND o_orderdate < TIMESTAMP '1997-04-01'
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE)
+                  AS sum_qty,
+                COUNT(*) AS n_rows
+         FROM lineitem
+         GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+    "q_scd2" ->
+      """WITH v AS (
+           SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS next_date
+           FROM orders)
+         SELECT o_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                COALESCE(strftime(next_date, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+                next_date IS NULL AS is_current,
+                o_totalprice
+         FROM v ORDER BY o_custkey, valid_from, o_orderkey""",
     "q_unpivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, COUNT(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
@@ -512,6 +573,8 @@ object Tpch {
     "q_pivot_daily"        -> qPivotDaily _,
     "q_moving_avg"         -> qMovingAvg _,
     "q_unpivot"            -> qUnpivot _,
+    "q_cube"               -> qCube _,
+    "q_scd2"               -> qScd2 _,
     "q5_local_supplier"    -> q5LocalSupplier _,
     "q_window_rank"        -> qWindowRank _,
     "q_events_sessionize"  -> qEventsSessionize _,

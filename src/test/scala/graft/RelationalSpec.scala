@@ -94,6 +94,37 @@ class RelationalSpec extends SparkSpec {
     assert(n == expect, s"small-qty row count: got $n, reference $expect")
   }
 
+  test("CUBE carries the complete grouping lattice with consistent totals") {
+    val r = rowsOf(Tpch.qCube(spark, SF))
+    val byGid = r.groupBy(_.getLong(r.head.fieldIndex("gid")))
+    assert(byGid.keySet == Set(0L, 1L, 2L, 3L), "all four grouping sets present")
+    val nIdx = r.head.fieldIndex("n_rows")
+    val total = byGid(3L).head.getLong(nIdx)
+    assert(total == Tables.lineitem(spark, SF).count())
+    // every margin re-sums to the grand total
+    Seq(0L, 1L, 2L).foreach { gid =>
+      assert(byGid(gid).map(_.getLong(nIdx)).sum == total, s"gid=$gid margin")
+    }
+  }
+
+  test("SCD-2 validity ranges chain per customer without gaps or overlaps") {
+    val r = rowsOf(Tpch.qScd2(spark, SF))
+    assert(r.nonEmpty)
+    val fIdx = r.head.fieldIndex("valid_from")
+    val tIdx = r.head.fieldIndex("valid_to")
+    val cIdx = r.head.fieldIndex("is_current")
+    r.groupBy(_.getLong(0)).foreach { case (cust, versions) =>
+      // exactly one open-ended current version per key
+      assert(versions.count(_.getBoolean(cIdx)) == 1, s"customer $cust")
+      assert(versions.filter(_.getBoolean(cIdx)).forall(_.getString(tIdx) == "9999-12-31"))
+      // consecutive versions chain: each valid_to equals the next valid_from
+      val chain = versions.map(v => (v.getString(fIdx), v.getString(tIdx)))
+      chain.zip(chain.tail).foreach { case ((_, to), (from2, _)) =>
+        assert(to == from2, s"customer $cust: gap/overlap between $to and $from2")
+      }
+    }
+  }
+
   test("JSON props extraction: per-type stats with consistent bounds") {
     val r = rowsOf(Tpch.qEventsProps(spark, SF))
     assert(r.nonEmpty)
