@@ -30,6 +30,36 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_doc_id"))
 
+  // ---- high-df gram cap ---------------------------------------------
+
+  /** Document-frequency cap for the candidate-generating gram joins
+    * ([[minhashLsh]], [[ngramJaccard]]): a gram shared by df documents
+    * puts all df of them in one join bucket, i.e. O(df²) candidate
+    * pairs — one piece of site chrome shared by a million documents is
+    * a pair bomb no skew handling can absorb (AQE only subdivides the
+    * partition; the pair count stays quadratic). Grams with df > cap are
+    * boilerplate by definition (cf. [[Text.boilerplate]]) and carry no
+    * duplicate signal — near-dup pairs share plenty of rare grams — so
+    * they are dropped from the dedup gram set entirely: candidate
+    * generation, sizes and signatures all see the capped table, and the
+    * DuckDB oracles replay the cap, keeping the hash gate end-to-end.
+    * The cap bounds every bucket at cap² pairs ⇒ total candidates
+    * ≤ cap × |kept grams|, linear in corpus size. */
+  val GramDfCap = 20
+
+  /** The capped gram table: `grams` minus the df > `cap` stoplist, via a
+    * left-anti join on the gram key. The stoplist aggregate shuffles on
+    * the same key as the downstream pair join, and the anti join leaves
+    * the big side partitioned on that key — the stoplist costs one
+    * (map-side-combined) aggregate, not a new join shape. */
+  private[graft] def dropHighDfGrams(grams: DataFrame,
+                                     cap: Int = GramDfCap): DataFrame = {
+    val stop = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select(col("gram"))
+    grams.join(stop, Seq("gram"), "left_anti")
+  }
+
   // ---- MinHash + LSH ------------------------------------------------
 
   /** 2^31 − 1, the classic Mersenne-prime modulus: keeps `a*h + b` under
@@ -63,12 +93,17 @@ object Dedup {
   private val permB: IndexedSeq[Long] =
     (0 until NumPerm).map(i => (12345L * (i + 1) + 1103515245L) % P)
 
-  /** Per-document MinHash signature: one row (doc_id, mh0..mh31).
-    * Explode-then-aggregate: a single shuffle on doc_id with map-side
-    * partial min — the 100 TB-safe shape (vs per-row array traversals
-    * which recompute the gram set k times). */
+  /** Per-document MinHash signature: one row (doc_id, mh0..mh31) over
+    * the df-capped gram set ([[dropHighDfGrams]] — boilerplate grams
+    * dominate min values without carrying duplicate signal, and capping
+    * here keeps the signature consistent with [[ngramJaccard]]'s gram
+    * universe). Explode-then-aggregate: a single shuffle on doc_id with
+    * map-side partial min — the 100 TB-safe shape (vs per-row array
+    * traversals which recompute the gram set k times). A document whose
+    * every gram is boilerplate has no signature and exits the dedup path
+    * (it carries nothing to match on). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Docs.gramTable(spark, dir)
+    val grams = dropHighDfGrams(Docs.gramTable(spark, dir))
       .withColumn("h", pmod(md5Hash60(col("gram")), lit(P)))
     val mins = (0 until NumPerm).map(i =>
       min(pmod(col("h") * lit(permA(i)) + lit(permB(i)), lit(P))).as(s"mh$i"))
@@ -180,11 +215,15 @@ object Dedup {
 
   /** Exact word-3-gram Jaccard similarity for all pairs ≥ `minSim`.
     * Candidates come from the gram-key join (pairs must share a gram),
-    * so no all-pairs product ever materializes. `d_ngram_jaccard`.
-    * Integer intersection/union counts make the double division
-    * bit-identical to the DuckDB oracle. */
+    * so no all-pairs product ever materializes, and the gram table is
+    * df-capped first ([[dropHighDfGrams]]) so no single boilerplate gram
+    * can put an O(df²) bucket into that join. `d_ngram_jaccard`.
+    * Integer intersection/union counts (over the capped gram set — sizes
+    * and intersections see the same table, so jaccard stays a true
+    * Jaccard of kept grams) make the double division bit-identical to
+    * the DuckDB oracle, which replays the cap. */
   def ngramJaccard(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
-    val grams = Docs.gramTable(spark, dir)
+    val grams = dropHighDfGrams(Docs.gramTable(spark, dir))
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     val inter = grams.as("g1")
       .join(grams.as("g2"),
@@ -297,6 +336,16 @@ object Dedup {
                           i -> array_to_string(t[i:i+2], ' ')))) AS gram
          FROM toks)"""
 
+  /** [[GramCte]] extended with the [[dropHighDfGrams]] replay: `kept` is
+    * the gram table minus the df > [[GramDfCap]] stoplist — the dedup
+    * oracles read `kept` where the Spark plans read the capped table, so
+    * the hash gate proves the cap, not just the happy path. */
+  private val KeptGramCte =
+    s"""$GramCte,
+       stopg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > $GramDfCap),
+       kept AS (SELECT doc_id, gram FROM grams
+                WHERE gram NOT IN (SELECT gram FROM stopg))"""
+
   /** SimHash fingerprint pipeline as a DuckDB CTE chain ending in
     * `fp(doc_id, simhash)` — replays [[simhash]]'s tf-weighted bit sums
     * and reassembly (disjoint bit fields, so `+` == bitwise OR). */
@@ -329,8 +378,8 @@ object Dedup {
     val matches = (0 until NumPerm)
       .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH $GramCte,
-       gh AS (SELECT doc_id, ${hexFoldSql("gram")} % $P AS h FROM grams),
+    s"""WITH $KeptGramCte,
+       gh AS (SELECT doc_id, ${hexFoldSql("gram")} % $P AS h FROM kept),
        sig AS (SELECT doc_id, $mhs FROM gh GROUP BY doc_id),
        bands AS ($bandSelects),
        cand AS (
@@ -387,11 +436,11 @@ object Dedup {
                 COUNT(*) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
     "d_ngram_jaccard" ->
-      s"""WITH $GramCte,
-          sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      s"""WITH $KeptGramCte,
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
           inter AS (
             SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
-            FROM grams g1 JOIN grams g2
+            FROM kept g1 JOIN kept g2
               ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
             GROUP BY g1.doc_id, g2.doc_id)
           SELECT a, b,
@@ -404,11 +453,11 @@ object Dedup {
     // transitive closure over the pair graph (tiny: only near-dup pairs),
     // then min id per reachable set = the cluster label
     "d_dedup_clusters" ->
-      s"""WITH RECURSIVE $GramCte,
-          sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      s"""WITH RECURSIVE $KeptGramCte,
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
           inter AS (
             SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
-            FROM grams g1 JOIN grams g2
+            FROM kept g1 JOIN kept g2
               ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
             GROUP BY g1.doc_id, g2.doc_id),
           pairs AS (

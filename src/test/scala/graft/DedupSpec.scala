@@ -102,6 +102,53 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("df cap defuses the high-df gram pair bomb without losing rare-gram recall") {
+    // 30 docs = one shared 20-token boilerplate header (every internal
+    // 3-gram has df = 30 > GramDfCap) + a 2-token unique tail, so the
+    // only non-boilerplate grams are the two per-doc boundary grams.
+    // Uncapped, the shared header alone would make all C(30,2) = 435
+    // pairs ~90%-similar candidates — the pair bomb. Docs 100/101 share
+    // a RARE 20-token body instead (df = 2), the signal the cap must keep.
+    val boiler = (0 until 20).map(i => s"b$i").mkString(" ")
+    val rare = (0 until 20).map(i => s"r$i").mkString(" ")
+    val bombDocs = (0 until 30).map { i =>
+      val text = s"$boiler u${i}x u${i}y"
+      (i.toLong, text, "en", "src0", text.length.toLong)
+    }
+    val d = TestSession.docsFixture(bombDocs ++ Seq(
+      (100L, s"$rare tail one", "en", "src0", 0L),
+      (101L, s"$rare tail two", "en", "src0", 0L)))
+
+    // the capped gram table carries no gram over the cap, and no two
+    // bomb docs share a kept gram ⇒ the candidate join is exactly the
+    // rare-pair bucket, not 435 boilerplate pairs
+    val kept = Dedup.dropHighDfGrams(pipeline.Docs.gramTable(spark, d))
+      .localCheckpoint(true)
+    val maxDf = kept.groupBy("gram").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(maxDf <= Dedup.GramDfCap, s"capped table still has df $maxDf")
+    val candPairs = rowsOf(
+      kept.select("doc_id", "gram").as("x")
+        .join(kept.select("doc_id", "gram").as("y"), Seq("gram"))
+        .filter(org.apache.spark.sql.functions.col("x.doc_id") <
+          org.apache.spark.sql.functions.col("y.doc_id"))
+        .select("x.doc_id", "y.doc_id").distinct())
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candPairs.forall(p => p._1 >= 100L),
+      s"bomb docs must generate zero candidates, got ${candPairs.size}")
+    assert(candPairs.contains((100L, 101L)), "rare-gram pair must survive the cap")
+
+    // end to end: the operators report only the rare near-dup pair
+    val jac = rowsOf(Dedup.ngramJaccard(spark, d, minSim = 0.5))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac == Set((100L, 101L)),
+      s"ngram jaccard must pair only the rare-body docs, got $jac")
+    val lsh = rowsOf(Dedup.minhashLsh(spark, d, minSim = 0.5))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((100L, 101L)),
+      s"minhash LSH must pair only the rare-body docs, got $lsh")
+  }
+
   test("dedup clusters collapse transitive chains and keep the min doc per cluster") {
     val r = rowsOf(Dedup.dedupClusters(spark, dir))
     assert(r.size == 5, "every doc gets a cluster row")
