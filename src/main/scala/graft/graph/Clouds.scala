@@ -314,12 +314,17 @@ object Clouds {
   /** Self-contained HTML page rendering the cloud with vis-network —
     * the same artifact the reference's pyvis `save_graph` emits
     * (gdb.py:118-120), with the reference's physics-solver choice
-    * (gdb.py:102-105) exposed as `solver`. Node/edge attrs are embedded
+    * (gdb.py:102-105) exposed as `solver` and the reference's
+    * `show_buttons()` control panel (gdb.py:118) as `controls`:
+    * vis-network's built-in `configure` pane is the same physics-tuning
+    * UI pyvis renders, scoped to the physics section like
+    * `show_buttons(filter_=['physics'])`. Node/edge attrs are embedded
     * as JSON arrays; only the (small, already-induced) cloud is
     * collected, never the graph. */
   def exportCloudHtml(spark: SparkSession, dir: String, outFile: String,
                       taxon: String = Taxon, threshold: Double = QueryThreshold,
-                      solver: String = "forceAtlas2Based"): Unit = {
+                      solver: String = "forceAtlas2Based",
+                      controls: Boolean = true): Unit = {
     require(PhysicsSolvers(solver),
       s"solver must be one of $PhysicsSolvers, got '$solver'")
     def jsonArray(df: DataFrame): String =
@@ -330,16 +335,23 @@ object Clouds {
       col("color")))
     val edges = jsonArray(cloudEdges(spark, dir, taxon, threshold).select(
       col("src").as("from"), col("dst").as("to"), col("value")))
+    val configure =
+      if (controls)
+        """configure: {enabled: true, filter: "physics",
+          |    container: document.getElementById("controls")},
+          |  """.stripMargin
+      else ""
     val html =
       s"""<!DOCTYPE html>
          |<html><head><meta charset="utf-8"/>
          |<script src="https://unpkg.com/vis-network/standalone/umd/vis-network.min.js"></script>
-         |<style>#cloud{width:1500px;height:1500px;border:1px solid #ddd}</style>
-         |</head><body><div id="cloud"></div><script>
+         |<style>#cloud{width:1500px;height:1500px;border:1px solid #ddd}
+         |#controls{width:1500px;max-height:400px;overflow-y:auto}</style>
+         |</head><body><div id="cloud"></div><div id="controls"></div><script>
          |const nodes = new vis.DataSet($nodes);
          |const edges = new vis.DataSet($edges);
          |new vis.Network(document.getElementById("cloud"), {nodes, edges},
-         |  {physics: {solver: "$solver"}});
+         |  {${configure}physics: {solver: "$solver"}});
          |</script></body></html>""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), html)
   }

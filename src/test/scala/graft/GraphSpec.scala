@@ -221,6 +221,13 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Clouds.exportCloudHtml(spark, SF, out, solver = "antigravity")
     }
+    // the reference's show_buttons() panel (gdb.py:118): on by default,
+    // scoped to physics, and removable
+    assert(html.contains("configure") && html.contains("\"physics\"") &&
+      html.contains("id=\"controls\""), "physics control panel emitted by default")
+    Clouds.exportCloudHtml(spark, SF, out, controls = false)
+    val bare = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
+    assert(!bare.contains("configure:"), "controls=false drops the panel")
   }
 
   test("exportCloud persists nodes + edges as readable JSON directories") {
