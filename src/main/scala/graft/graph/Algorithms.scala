@@ -114,30 +114,57 @@ object Algorithms {
     * of a node's neighbours' labels, then jumps labels through themselves
     * (comp := comp(comp)), halving chain lengths — convergence in
     * O(log diameter) rounds vs O(diameter) for plain propagation.
-    * Convergence is checked on sum(comp) — it strictly decreases until
-    * the fixpoint (labels only ever decrease) — computed from the
-    * already-checkpointed iterate, so it costs a cached scan, not a
-    * recompute. The symmetrized edge list is NOT deduplicated (a min
-    * aggregate is idempotent under duplicates; a distinct would add a
-    * full shuffle of the biggest table in the job) and is pre-partitioned
-    * on the join key so only the label side shuffles per round. */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    *
+    * FRONTIER DELTA: only labels that changed last round rejoin the edge
+    * list. Min-propagation is monotone — a neighbour whose label did not
+    * change since it was last gathered contributes nothing new (its old
+    * contribution is already folded into the monotonically-decreasing
+    * comp), so the gather join shrinks from |E| output rows per round to
+    * Σdeg(changed), which collapses as components settle. The pointer
+    * jump stays FULL-width on purpose: a node's comp can point at a root
+    * that is not a graph neighbour, and the jump is how a root's relabel
+    * reaches its whole tree. Next round's frontier = rows whose comp
+    * moved this round, whether via gather or jump. Convergence = empty
+    * frontier, probed on the already-checkpointed iterate (a cached
+    * scan, not a recompute). The symmetrized edge list is NOT
+    * deduplicated (a min aggregate is idempotent under duplicates; a
+    * distinct would add a full shuffle of the biggest table in the job)
+    * and is pre-partitioned on the join key so only the (frontier-sized)
+    * label side shuffles per round. */
+  /** Gather+jump cycles folded into ONE checkpoint action per round —
+    * the same action-batching knob as [[RelaxPerRound]]: extra cycles
+    * are monotone (at worst no-ops), so batching halves the Spark
+    * action count on long label chains at the cost of a deeper
+    * per-round plan. Measured at sf0.1/local[32] (median-of-5,
+    * frontier-delta loop): 1 cycle = 6.5 s, 2 cycles = 7.8 s — the
+    * doubled plan (each cycle references the previous cycle's
+    * dual-referenced self-join) costs more than the halved action
+    * count saves, the same result as SSSP's RelaxPerRound=4 A/B. */
+  val CcCyclesPerRound = 1
+
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
+                          cyclesPerRound: Int = CcCyclesPerRound): DataFrame = {
+    // deliberately NOT on a pinned-width loopSession: measured at sf0.1
+    // median-of-5, the pinned session is 14.2 s vs 6.5 s under the
+    // caller's adaptive session — unlike SSSP's shrinking frontier,
+    // CC's dual-referenced self-join rounds benefit from the coalescer
+    // collapsing the tiny exchanges every round
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .repartition(col("v"))
       .localCheckpoint(true)
 
-    var labels = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(true)
-    var prevSum = BigDecimal(-1)
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      // min over neighbours' labels
-      val nbrMin = sym
-        .join(labels.select(col("id").as("v"), col("comp").as("vcomp")), Seq("v"))
+    // one hash-to-min + pointer-jump cycle: (id, comp, changed) in,
+    // (id, comp, changed) out, unmaterialized
+    def cycle(labels: DataFrame): DataFrame = {
+      // min over CHANGED neighbours' labels only (see frontier note above)
+      val delta = labels.filter(col("changed"))
+        .select(col("id").as("v"), col("comp").as("vcomp"))
+      val nbrMin = sym.join(delta, Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("nbr_comp"))
       val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // pointer jumping: comp := comp(comp). comp values are node ids, so
       // the inner self-join is total. `stepped` is referenced twice but
       // deliberately NOT checkpointed: AQE's runtime exchange reuse
@@ -145,24 +172,32 @@ object Algorithms {
       // sf0.1 as-is vs 8.0 s with an eager checkpoint here — the extra
       // per-round action costs more than the reuse saves; SURVEY §4
       // rule 8 yields to measurement inside one-action-per-round loops).
-      val jumped = stepped.alias("l")
+      // comp(x) ≤ x always, so the jump only ever lowers the label and
+      // `ccomp < prev` is exactly "this row moved this cycle".
+      stepped.alias("l")
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("l.comp") === col("cid"))
-        .select(col("l.id").as("id"), col("ccomp").as("comp"))
+        .select(col("l.id").as("id"), col("ccomp").as("comp"),
+          (col("ccomp") < col("l.prev")).as("changed"))
+    }
+
+    var labels = nodes.select(col("id"), col("id").as("comp"), lit(true).as("changed"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      // a node changed in an inner cycle propagates in the NEXT inner
+      // cycle (its delta is cycle-local), so only the final cycle's
+      // changes need to carry into the next round's frontier — the same
+      // argument as the SSSP round batching
+      val jumped = (1 to cyclesPerRound).foldLeft(labels)((d, _) => cycle(d))
         .localCheckpoint(true)
-      // sum over an EMPTY label set is SQL NULL — map it to 0 so an
-      // empty graph (e.g. a dedup corpus with zero near-dup pairs)
-      // converges instead of NPE-ing
-      val s = Option(
-        jumped.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
-        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
-      done = s == prevSum
-      prevSum = s
+      done = jumped.filter(col("changed")).limit(1).count() == 0
       releaseIterate(labels) // superseded: jumped is materialized, labels is dead
       labels = jumped
       iter += 1
     }
-    labels
+    labels.select(col("id"), col("comp"))
   }
 
   /** k-core peeling budget: the peel loop strictly shrinks the member
