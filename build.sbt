@@ -31,4 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // GC A/B knob for bench-variance hunts (e.g. SPARK_GRAFT_GC=Parallel/G1/Z)
+  sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq ++
+  sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq

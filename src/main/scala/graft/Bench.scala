@@ -45,8 +45,20 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    // JVM-wide GC time per query sample: collector-bean deltas around the
+    // action. Identical bytes have measured 2× median-of-5 swings between
+    // bench invocations; attributing wall time to GC vs compute is the
+    // first split any variance hunt needs.
+    val gcSec = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    def gcMillisNow(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     for (_ <- 1 to runs; name <- keys) {
       val fn = SparkEntry.queries(name)
+      val g0 = gcMillisNow()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -54,6 +66,7 @@ object Bench {
             .linesIterator.take(1).mkString
       }
       samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      gcSec(name) = ((gcMillisNow() - g0) / 1e3) :: gcSec(name)
       // drop the finished query's localCheckpoint blocks: nothing
       // references them once the count returned, but left in place they
       // accumulate across 200+ executions and the block-manager/GC
@@ -69,11 +82,29 @@ object Bench {
     val results = keys.map(k => k -> median(samples(k)))
     val qs = results.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
+    // min + spread (max − min) per query alongside the median: a stable
+    // query has spread ≪ median; a round-over-round delta smaller than
+    // the spread is noise, not signal — emitting both makes that call
+    // mechanical instead of folklore
+    def field(f: List[Double] => Double): String =
+      keys.map(k => Json.q(k) + ":" + f(samples(k))).mkString("{", ",", "}")
+    val minsJson = field(_.min)
+    val spreadsJson = field(xs => xs.max - xs.min)
+    val gcJson = keys.map(k => Json.q(k) + ":" + median(gcSec(k)))
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${Json.q(k)}:${Json.q(v)}" }
       .mkString("{", ",", "}")
     val total = results.filter { case (k, _) => !errors.contains(k) }.map(_._2).sum
+    // raw per-pass samples only on SPARK_GRAFT_ONLY debug runs — the
+    // driver's full-fleet JSON line stays compact
+    val samplesJson =
+      if (warmKeys.isDefined)
+        s""","samples":${keys.map(k =>
+          Json.q(k) + ":" + samples(k).reverse.mkString("[", ",", "]"))
+          .mkString("{", ",", "}")}"""
+      else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"mins":$minsJson,"spreads":$spreadsJson,"gc_sec":$gcJson,"errors":$errJson,"n_errors":${errors.size}$samplesJson,"sf":"$sfDir"}"""
     // Clean stdout line AND a file: the driver's r1 parse of sbt-noisy
     // stdout yielded "parsed": null.
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
