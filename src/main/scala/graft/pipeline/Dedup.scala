@@ -69,23 +69,13 @@ object Dedup {
   val NumBands = 8 // × 4 rows/band
   private val RowsPerBand = NumPerm / NumBands
 
-  /** 60-bit hash from the first 15 hex chars of md5 — the cross-engine
-    * workhorse: md5 is bit-identical everywhere, and 15 hex digits stay
-    * under 2^60 so signed-long math never overflows. A DuckDB oracle
-    * replays it as a fold over the hex digits ([[hexFoldSql]]). Swapping
-    * in xxhash64 (same call shape, ~5× faster on long strings, but with
-    * no SQL-engine equivalent) is a one-line production change. */
+  /** The cross-engine 60-bit md5-prefix hash + its DuckDB replay — see
+    * [[graft.Hashing]] (shared with the graph operators). */
   private[pipeline] def md5Hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.Hashing.md5Hash60(c)
 
-  /** DuckDB rendering of [[md5Hash60]]: parse the 15-char md5 prefix as
-    * base-16 via a seeded list fold (list_reduce has no init argument in
-    * DuckDB 1.x — list_prepend seeds the accumulator). */
   private[pipeline] def hexFoldSql(expr: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split_regex(substring(md5($expr), 1, 15), ''),
-            c -> CAST(strpos('0123456789abcdef', c) AS BIGINT) - 1)),
-          (acc, d) -> acc * 16 + d)"""
+    graft.Hashing.hexFoldSql(expr)
 
   /** Deterministic affine-permutation constants (a odd, < 2^31). */
   private val permA: IndexedSeq[Long] =

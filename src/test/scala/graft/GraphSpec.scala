@@ -230,6 +230,39 @@ class GraphSpec extends SparkSpec {
     assert(!bare.contains("configure:"), "controls=false drops the panel")
   }
 
+  test("capped neighbour jaccard: exact at test SF, precision 1 + measured recall when the cap bites") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Double] =
+      rowsOf(df).map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val exact = pairs(Clouds.neighborJaccard(spark, SF))
+    assert(exact.nonEmpty)
+    // default cap: no bucket exceeds 32 at this SF, so the sample is the
+    // whole bucket and the capped operator reproduces the exact result
+    val capped = pairs(Clouds.neighborJaccardCapped(spark, SF))
+    assert(capped == exact, "cap=32 must not bite at sf0.001")
+    // cap=2 bites: exact rescore keeps precision at 1 (every reported
+    // pair is an exact pair with the identical jaccard); recall drops
+    // but must stay useful — the hub trade the Scaladoc documents
+    val tiny = pairs(Clouds.neighborJaccardCapped(spark, SF, cap = 2))
+    tiny.foreach { case (p, j) =>
+      assert(exact.contains(p) && exact(p) == j,
+        s"capped pair $p must be an exact pair with identical jaccard")
+    }
+    val recall = tiny.size.toDouble / exact.size
+    assert(recall >= 0.2 && recall <= 1.0,
+      s"cap=2 recall $recall out of the useful range (${tiny.size}/${exact.size})")
+  }
+
+  test("capped candidates bound a hub bucket at C(cap,2)") {
+    import spark.implicits._
+    // one degree-200 hub: every leaf co-members with every other leaf
+    // through it — the Σdeg² pair bomb in miniature
+    val star = (1L to 200L).map(leaf => (leaf, 0L)).toDF("node", "nbr")
+    val cap = Clouds.JaccardHubCap
+    val n = Clouds.cappedCandidates(star, cap).count()
+    assert(n == cap.toLong * (cap - 1) / 2,
+      s"hub bucket must shrink C(200,2)=19900 → C($cap,2), got $n")
+  }
+
   test("exportCloud persists nodes + edges as readable JSON directories") {
     val out = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "cloudexport").toString
