@@ -88,6 +88,67 @@ object GraphXFastPath {
       .toDF("node", "n_triangles")
   }
 
+  /** k-core via GraphX aggregateMessages peeling — same contract and
+    * round budget as [[Algorithms.kCore]]: the member-flag graph drops
+    * vertices whose within-member degree fell under k each round, until
+    * the set is stable or the budget runs out, then reports the final
+    * member-restricted degrees. The degree gather only fires when BOTH
+    * endpoints are members (the induced subgraph), and parallel edges
+    * count once per instance — both exactly as the DataFrame kernel's
+    * member-restricted symmetrized count. */
+  def kCore(spark: SparkSession, nodes: DataFrame, edges: DataFrame, k: Int,
+            maxRounds: Int = Algorithms.KCoreMaxRounds): DataFrame = {
+    import spark.implicits._
+    def coreDeg(g: Graph[Boolean, Unit]) =
+      g.aggregateMessages[Long](
+        ctx => if (ctx.srcAttr && ctx.dstAttr) { ctx.sendToSrc(1L); ctx.sendToDst(1L) },
+        _ + _)
+    var g = toGraph(spark, nodes, edges).mapVertices((_, _) => true).cache()
+    var size = g.vertices.filter(_._2).count()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val next = g.outerJoinVertices(coreDeg(g))(
+        (_, member, deg) => member && deg.exists(_ >= k)).cache()
+      val m = next.vertices.filter(_._2).count()
+      done = m == size // monotone: equal size ⇒ identical set ⇒ fixpoint
+      g = next; size = m; round += 1
+    }
+    coreDeg(g).map { case (id, d) => (id, d) }.toDF("node", "core_deg")
+  }
+
+  /** Synchronous label propagation via GraphX aggregateMessages — same
+    * contract as [[Algorithms.labelPropagation]]: fixed round count,
+    * every round adopts the most frequent neighbour label with ties
+    * broken toward the SMALLEST label (max on (count, −label) — GraphX's
+    * own `lib.LabelPropagation` breaks ties by map-iteration order, so
+    * it cannot serve as the parity reference). Isolated nodes keep
+    * their own label. */
+  def labelPropagation(spark: SparkSession, nodes: DataFrame, edges: DataFrame,
+                       rounds: Int = Algorithms.LabelPropRounds): DataFrame = {
+    import spark.implicits._
+    val vertexRdd = nodes.select(col("id")).rdd.map(r => (r.getLong(0), r.getLong(0)))
+    val edgeRdd = edges.select(col("src"), col("dst"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    var g = Graph(vertexRdd, edgeRdd, defaultVertexAttr = -1L,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      val msgs = g.aggregateMessages[Map[Long, Long]](
+        ctx => {
+          ctx.sendToDst(Map(ctx.srcAttr -> 1L))
+          ctx.sendToSrc(Map(ctx.dstAttr -> 1L))
+        },
+        (a, b) => (a.keySet ++ b.keySet).iterator
+          .map(l => l -> (a.getOrElse(l, 0L) + b.getOrElse(l, 0L))).toMap)
+      g = g.outerJoinVertices(msgs) { (_, old, m) =>
+        m.map(counts => -counts.iterator.map { case (l, c) => (c, -l) }.max._2)
+          .getOrElse(old)
+      }.cache()
+    }
+    g.vertices.map { case (id, l) => (id, l) }.toDF("id", "lbl")
+  }
+
   /** PageRank via GraphX's static implementation (`resetProb = 1 − d`).
     *
     * NOTE: GraphX normalizes differently from the textbook recurrence in

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.graph.{Algorithms, GraphXFastPath, TestGraph}
+import graft.graph.{Algorithms, Clouds, GraphXFastPath, TestGraph}
 
 /** The GraphX fast path must agree with the 100 TB DataFrame loops. */
 class GraphXFastPathSpec extends SparkSpec {
@@ -39,6 +39,58 @@ class GraphXFastPathSpec extends SparkSpec {
     val gx = GraphXFastPath.shortestPaths(spark, g.nodes, sym, seeds).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(df == gx, "identical reachable sets and bitwise-equal distances")
+  }
+
+  test("GraphX k-core equals the DataFrame peel on the test graph and random graphs") {
+    val g = TestGraph.graph(spark, SF)
+    val edges = g.edges.filter(col("distance") <= TestGraph.QueryThreshold)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(
+      toMap(Algorithms.kCore(g.nodes, edges, Clouds.KCoreK).collect()) ==
+        toMap(GraphXFastPath.kCore(spark, g.nodes, edges, Clouds.KCoreK).collect()))
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed * 7)
+      val n = 5 + rng.nextInt(20)
+      val es = List.fill(3 * n) {
+        val a = rng.nextInt(n).toLong
+        var b = rng.nextInt(n).toLong
+        if (a == b) b = (a + 1) % n
+        (a, b)
+      }
+      val nodes = (0L until n.toLong).toDF("id")
+      val edf = es.toDF("src", "dst")
+      assert(
+        toMap(Algorithms.kCore(nodes, edf, 3).collect()) ==
+          toMap(GraphXFastPath.kCore(spark, nodes, edf, 3).collect()),
+        s"seed=$seed edges=$es")
+    }
+  }
+
+  test("GraphX label propagation equals the DataFrame rounds on the test graph and random graphs") {
+    val g = TestGraph.graph(spark, SF)
+    val edges = g.edges.filter(col("distance") <= TestGraph.QueryThreshold)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(
+      toMap(Algorithms.labelPropagation(g.nodes, edges).collect()) ==
+        toMap(GraphXFastPath.labelPropagation(spark, g.nodes, edges).collect()))
+    for (seed <- 1 to 3) {
+      val rng = new scala.util.Random(seed * 13)
+      val n = 5 + rng.nextInt(20)
+      val es = List.fill(2 * n) {
+        val a = rng.nextInt(n).toLong
+        var b = rng.nextInt(n).toLong
+        if (a == b) b = (a + 1) % n
+        (a, b)
+      }
+      val nodes = (0L until n.toLong).toDF("id")
+      val edf = es.toDF("src", "dst")
+      assert(
+        toMap(Algorithms.labelPropagation(nodes, edf).collect()) ==
+          toMap(GraphXFastPath.labelPropagation(spark, nodes, edf).collect()),
+        s"seed=$seed edges=$es")
+    }
   }
 
   test("GraphX pagerank ranks a dangling-free fixture like the DataFrame loop") {
