@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The reference's query surface, re-expressed Spark-first over the
   * [[TestGraph]] mapping. Each entry cites the Cypher it re-implements.
@@ -328,6 +329,68 @@ object Clouds {
     Algorithms.labelPropagation(g.nodes, g.edges)
       .select(col("id").as("node"), col("lbl").as("community"))
       .orderBy(col("node"))
+  }
+
+  /** Local clustering coefficient: how close each genome's neighbourhood
+    * is to a clique — 2·triangles(v) / (deg(v)·(deg(v)−1)) over the
+    * undirected thresholded graph. Within a phage cloud this separates
+    * the densely inter-similar core (coeff → 1) from bridge genomes that
+    * merely connect sub-clouds (coeff → 0) — the per-node refinement of
+    * [[kCore]]'s binary dense/sparse cut. Reuses the degree-oriented
+    * triangle enumeration (arboricity-bounded wedges, see
+    * [[PropertyGraph.triangleCounts]]) plus one more degree aggregate;
+    * all counts are integers, so the single final division is bit-exact
+    * cross-engine. `g_clustering_coeff`. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val canon = g.edges.filter(col("distance") <= QueryThreshold)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = canon.select(col("u").as("node")).union(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    g.triangleCounts(col("distance") <= QueryThreshold)
+      .join(deg, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"), col("n_triangles"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          round((col("n_triangles") * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .orderBy(col("node"))
+  }
+
+  /** Per-cloud summary statistics: size, edge count, genome-size range
+    * and mean edge distance for every connected component — the "cloud
+    * catalogue" a browser over the full corpus starts from (the
+    * reference renders one cloud at a time; at 640k genomes you first
+    * need the list of clouds worth looking at). Composes the CC kernel
+    * with two single-shuffle aggregates keyed on the component label;
+    * the component table is the kernel's already-checkpointed iterate,
+    * so the dual reference (node stats + edge stats) rescans cached
+    * blocks rather than re-running the loop. Mean distance sums
+    * DECIMAL(18,12)-cast distances (order-independent) and divides
+    * once in double. `g_cloud_stats`. */
+  def cloudStats(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val comp = Algorithms.connectedComponents(g.nodes, g.edges)
+    val nodeStats = comp.join(g.nodes, Seq("id"))
+      .groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("genome_size")).as("min_genome"),
+        max(col("genome_size")).as("max_genome"))
+    val edgeStats = g.edges
+      .join(comp.select(col("id").as("src"), col("comp")), Seq("src"))
+      .groupBy(col("comp").as("component"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("distance").cast(DecimalType(18, 12))).as("dist_sum"))
+    nodeStats.join(edgeStats, Seq("component"), "left_outer")
+      .select(col("component"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        col("min_genome"), col("max_genome"),
+        when(col("n_edges").isNotNull,
+          round(col("dist_sum").cast("double") / col("n_edges"), 6))
+          .otherwise(lit(0.0)).as("avg_distance"))
+      .orderBy(col("component"))
   }
 
   def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
@@ -819,6 +882,62 @@ object Clouds {
            SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
          SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u
          ORDER BY node""",
+    "g_clustering_coeff" ->
+      s"""$OracleCte,
+         te AS (SELECT src, dst FROM edges WHERE distance <= 0.10),
+         dg AS (
+           SELECT x AS node, COUNT(*) AS deg FROM (
+             SELECT src AS x FROM te UNION ALL SELECT dst FROM te) u
+           GROUP BY x),
+         tri AS (
+           SELECT e1.src AS a, e1.dst AS b, e2.dst AS c FROM te e1
+           JOIN te e2 ON e2.src = e1.dst
+           JOIN te e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         pernode AS (
+           SELECT x AS node, COUNT(*) AS tri FROM (
+             SELECT a AS x FROM tri UNION ALL
+             SELECT b FROM tri UNION ALL
+             SELECT c FROM tri) u GROUP BY x)
+         SELECT n.id AS node,
+                COALESCE(d.deg, 0) AS deg,
+                COALESCE(p.tri, 0) AS n_triangles,
+                CASE WHEN COALESCE(d.deg, 0) >= 2
+                     THEN ROUND(CAST(2 * COALESCE(p.tri, 0) AS DOUBLE) /
+                                (d.deg * (d.deg - 1)), 6)
+                     ELSE 0.0 END AS clustering_coeff
+         FROM nodes n
+         LEFT JOIN dg d ON d.node = n.id
+         LEFT JOIN pernode p ON p.node = n.id
+         ORDER BY node""",
+    "g_cloud_stats" ->
+      s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         und AS (
+           SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+           UNION ALL
+           SELECT dst, src FROM edges WHERE distance <= 0.10),
+         reach(u, v) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+         comp AS (SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u),
+         ns AS (
+           SELECT c.component, COUNT(*) AS n_nodes,
+                  MIN(n.genome_size) AS min_genome,
+                  MAX(n.genome_size) AS max_genome
+           FROM comp c JOIN nodes n ON n.id = c.id GROUP BY c.component),
+         es AS (
+           SELECT c.component, COUNT(*) AS n_edges,
+                  SUM(CAST(e.distance AS DECIMAL(18,12))) AS dist_sum
+           FROM edges e JOIN comp c ON c.id = e.src
+           WHERE e.distance <= 0.10 GROUP BY c.component)
+         SELECT ns.component, ns.n_nodes,
+                COALESCE(es.n_edges, 0) AS n_edges,
+                ns.min_genome, ns.max_genome,
+                CASE WHEN es.n_edges IS NOT NULL
+                     THEN ROUND(CAST(es.dist_sum AS DOUBLE) / es.n_edges, 6)
+                     ELSE 0.0 END AS avg_distance
+         FROM ns LEFT JOIN es USING (component)
+         ORDER BY component""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -846,6 +965,8 @@ object Clouds {
                                     neighborJaccardCapped(s, d)),
     "g_pagerank"              -> pageRank _,
     "g_shortest_paths"        -> shortestPaths _,
+    "g_clustering_coeff"      -> clusteringCoeff _,
+    "g_cloud_stats"           -> cloudStats _,
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),
   )
 }

@@ -244,6 +244,73 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ---- product quantization (PQ-ADC) ---------------------------------
+
+  val NumSub = 4    // subspaces (m): 64 dims → 4 × 16
+  val SubDim = Dim / NumSub
+  val PqK = 8       // codewords per subspace (2^3 → 3 bits/subspace)
+
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    * the COMPRESSED-SCAN path (Jégou et al., TPAMI 2011): each vector is
+    * encoded as [[NumSub]] codeword ids (12 bits here vs 64×32-bit
+    * floats — the compression that lets a 100 TB corpus's index fit in
+    * cluster memory); a query scores every encoded vector with table
+    * lookups instead of full dot products, then exactly rescores its
+    * top-k. PQ does NOT prune the scan (that is [[ivfAnn]]'s job — IVF
+    * lists of PQ codes is the classic composition); it makes each
+    * scanned row ~m lookups.
+    *
+    * Spark-first shape: the codebook ([[NumSub]]×[[PqK]] sub-vectors,
+    * sampled from the lowest-id vectors — Lloyd refinement drops in per
+    * subspace without changing the plan) and the per-query distance
+    * table (nQueries×m×[[PqK]] rows) are bounded → both broadcast, so
+    * encoding and ADC scoring are narrow maps; the only wide exchanges
+    * are the encode argmax groupBy and the per-(query, vector) ADC sum,
+    * both keyed and map-side combined, and the final top-k runs through
+    * the native [[graft.plans.TopKPerGroup]] heap.
+    *
+    * Cross-engine determinism: codeword assignment = argmax of the 4-dp
+    * ROUNDED sub-vector dot with a codeword-id tiebreak (the kmeans/IVF
+    * pattern; dot not cosine — sub-norms add a division for no ranking
+    * benefit on these spherical embeddings); distance-table entries are
+    * 4-dp-rounded doubles summed as DECIMAL(18,4) (order-independent),
+    * cast to double once. `s_pq_ann`. */
+  def pqAnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val v = vectors(spark, dir).localCheckpoint(true)
+    val sliceStructs = (0 until NumSub).map(s =>
+      struct(lit(s).as("s"), slice(col("v"), s * SubDim + 1, SubDim).as("vs")))
+    val slices = v.select(col("vec_id"), explode(array(sliceStructs: _*)).as("sl"))
+      .select(col("vec_id"), col("sl.s").as("s"), col("sl.vs").as("vs"))
+    val cb = slices.filter(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("cid"), col("vs").as("cvs"))
+    val enc = slices.join(broadcast(cb), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        round(arrayDot(col("vs"), col("cvs")), 4).as("sim"), col("cid"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("vec_id"), col("s"), (-col("best.negcid")).as("code"))
+    val dt = slices.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("vs").as("qs"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid").as("code"),
+        round(arrayDot(col("qs"), col("cvs")), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("d"))
+    val score = enc.join(broadcast(dt), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).cast("double").as("adc_score"))
+    val top = graft.plans.TopKPerGroup.rankTopK(score, Seq("query_id"),
+      Seq("adc_score" -> true, "vec_id" -> false), k)
+    top
+      .join(v.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn")), Seq("query_id"))
+      .join(v, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor"), col("adc_score"),
+        round(arrayDot(col("qv"), col("v")) / (col("qn") * col("norm")), 4).as("cos_sim"),
+        col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---- spherical k-means (Lloyd) -------------------------------------
 
   val KmeansK = 8       // clusters
@@ -342,6 +409,44 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
+    "s_pq_ann" ->
+      s"""$VecCte,
+         sub AS (SELECT unnest(range($NumSub)) AS s),
+         slices AS (
+           SELECT vec_id, sub.s,
+                  v[sub.s*$SubDim + 1 : sub.s*$SubDim + $SubDim] AS vs
+           FROM e, sub),
+         cb AS (SELECT s, vec_id AS cid, vs AS cvs FROM slices WHERE vec_id < $PqK),
+         enc AS (
+           SELECT vec_id, s, cid AS code FROM (
+             SELECT sl.vec_id, sl.s, cb.cid,
+                    ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.s
+                      ORDER BY ROUND(list_dot_product(sl.vs, cb.cvs), 4) DESC,
+                               cb.cid) AS rn
+             FROM slices sl JOIN cb USING (s)) WHERE rn = 1),
+         dt AS (
+           SELECT q.vec_id AS query_id, q.s, cb.cid AS code,
+                  CAST(ROUND(list_dot_product(q.vs, cb.cvs), 4)
+                       AS DECIMAL(18,4)) AS d
+           FROM slices q JOIN cb USING (s) WHERE q.vec_id < 10),
+         score AS (
+           SELECT dt.query_id, enc.vec_id,
+                  CAST(SUM(dt.d) AS DOUBLE) AS adc_score
+           FROM enc JOIN dt ON dt.s = enc.s AND dt.code = enc.code
+           WHERE enc.vec_id <> dt.query_id
+           GROUP BY dt.query_id, enc.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id AS neighbor, adc_score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_score DESC, vec_id) AS BIGINT) AS rnk
+           FROM score)
+         SELECT r.query_id, r.neighbor, r.adc_score,
+                ROUND(list_cosine_similarity(qe.v, ne.v), 4) AS cos_sim, r.rnk
+         FROM ranked r
+         JOIN e qe ON qe.vec_id = r.query_id
+         JOIN e ne ON ne.vec_id = r.neighbor
+         WHERE r.rnk <= 5
+         ORDER BY query_id, rnk""",
     // replays hpComponent: an LCG step per (table t, bit j, dim d),
     // mapped to [-0.5, 0.5) with the identical IEEE division
     "s_lsh_ann" ->
@@ -437,5 +542,6 @@ object Similarity {
     "s_lsh_ann"           -> ((s: SparkSession, d: String) => lshAnn(s, d)),
     "s_ivf_ann"           -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "s_kmeans"            -> ((s: SparkSession, d: String) => kmeans(s, d)),
+    "s_pq_ann"            -> ((s: SparkSession, d: String) => pqAnn(s, d)),
   )
 }

@@ -176,6 +176,58 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document repetition score (the Gopher-style quality rule:
+    * heavily self-repeating documents are template/spam shaped): the
+    * fraction of a document's word 3-grams that are repeats of an
+    * earlier gram, plus the highest single-gram multiplicity. Counts
+    * NON-distinct grams — [[Docs.gramTable]] deliberately dedups, so
+    * this op builds the raw gram stream and aggregates twice ((doc,
+    * gram) then doc), both map-side combined on the same key prefix.
+    * All counts are integers; the one division is the final ratio.
+    * Docs shorter than 3 tokens have no grams and drop out (mirrored in
+    * the oracle). `t_repetition`. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val gramsAll = Docs.docs(spark, dir)
+      .select(col("doc_id"), Docs.tokens.as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 3 THEN
+             transform(sequence(1, size(toks) - 2),
+                       i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))
+           ELSE array() END""")).as("gram"))
+    gramsAll
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        max(col("c")).as("max_gram_freq"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct_grams"),
+        col("max_gram_freq"),
+        round((col("n_grams") - col("n_distinct_grams")).cast("double") /
+          col("n_grams"), 4).as("dup_gram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Most DISTINCTIVE terms per document: the k tokens with the lowest
+    * corpus-wide document frequency — the integer-exact stand-in for
+    * per-doc TF-IDF keywords (df ordering is what IDF orders by; no
+    * logs, so cross-engine parity is unconditional). Corpus df is one
+    * map-side-combined aggregate over the distinct (doc, token) table;
+    * the per-doc top-k runs through the native
+    * [[graft.plans.TopKPerGroup]] heap operator (≤ k rows per doc per
+    * partition shuffled, no per-group sort) — the vocabulary join is
+    * token-keyed and SF-proportional, NOT broadcast.
+    * `t_distinctive_terms`. */
+  def distinctiveTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docToks = Docs.docs(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(Docs.tokens)).as("token"))
+    val df = docToks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val ranked = graft.plans.TopKPerGroup.rankTopK(
+      docToks.join(df, Seq("token")),
+      Seq("doc_id"), Seq("df" -> false, "token" -> false), k)
+    ranked.select(col("doc_id"), col("token"), col("df"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   // ---- oracles -------------------------------------------------------
 
   private val ToksCte =
@@ -212,6 +264,32 @@ object Text {
          FROM ov JOIN bs USING (bench_id)
          WHERE CAST(ov.n_shared AS DOUBLE) / bs.n_bench_grams >= 0.5
          ORDER BY doc_id, bench_id""",
+    "t_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         gr AS (
+           SELECT doc_id, unnest(
+             list_transform(range(1, len(t) - 1),
+                            i -> array_to_string(t[i:i+2], ' '))) AS gram
+           FROM toks),
+         c AS (SELECT doc_id, gram, COUNT(*) AS c FROM gr GROUP BY doc_id, gram)
+         SELECT doc_id,
+                CAST(SUM(c) AS BIGINT) AS n_grams,
+                COUNT(*) AS n_distinct_grams,
+                CAST(MAX(c) AS BIGINT) AS max_gram_freq,
+                ROUND(CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c), 4) AS dup_gram_ratio
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "t_distinctive_terms" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, token FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+         dfreq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+         r AS (
+           SELECT doc_id, token, df,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY df, token) AS BIGINT) AS rnk
+           FROM tok JOIN dfreq USING (token))
+         SELECT doc_id, token, df, rnk FROM r WHERE rnk <= 3
+         ORDER BY doc_id, rnk""",
     "t_rarity" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
@@ -288,5 +366,7 @@ object Text {
     "t_boilerplate" -> ((s: SparkSession, d: String) => boilerplate(s, d)),
     "d_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "t_rarity"      -> (rarity _),
+    "t_repetition"  -> (repetition _),
+    "t_distinctive_terms" -> ((s: SparkSession, d: String) => distinctiveTerms(s, d)),
   )
 }

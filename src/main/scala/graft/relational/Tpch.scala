@@ -174,6 +174,92 @@ object Tpch {
         count(lit(1)).as("n_small_orders"))
   }
 
+  /** TPC-H Q4 shape: order-priority checking — orders in a quarter with
+    * at least one line item shipped after the order date, counted per
+    * priority. THE `EXISTS` correlated-subquery pattern, planned as a
+    * LEFT-SEMI join (equi key + residual inequality): lineitem never
+    * duplicates order rows, no post-join distinct. The date filter is
+    * pushed to the orders scan; at 100 TB the semi join shuffles on the
+    * order key only. `q4_priority_exists`. */
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    ord.join(li, $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate",
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q12 shape: late-shipment priority audit — line items shipped
+    * more than 60 days after their order, split per line status into
+    * high-priority (URGENT/HIGH) vs low-priority counts. The
+    * CONDITIONAL-AGGREGATION pattern: both counters fold into ONE
+    * map-side-combined aggregate over the join (the naive form runs two
+    * filtered scans). Join shuffles on the order key; the `CASE` sums
+    * are integers, so parity is unconditional. `q12_late_priority`. */
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val high = when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > to_timestamp(date_add(to_date($"o_orderdate"), 60)))
+      .groupBy($"l_linestatus")
+      .agg(sum(high).as("high_line_count"),
+        sum(lit(1L) - high).as("low_line_count"),
+        count(lit(1)).as("n_late"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** TPC-H Q14 shape: promotion-revenue share — what fraction of a
+    * quarter's discounted revenue came from PROMO-type parts. The
+    * CONDITIONAL-RATIO pattern: numerator and denominator are decimal
+    * sums out of ONE aggregate (the conditional sum is null-skipping,
+    * not a second scan); the single double division + round(4) is the
+    * only float op. Part is SF-proportional → stats/AQE-decided join,
+    * no forced broadcast. `q14_promo_revenue`. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val disc = $"l_extendedprice".cast(D12_4) * (lit(1.0) - $"l_discount").cast(D12_4)
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(when($"p_type" === "PROMO", disc)).as("promo_sum"),
+        sum(disc).as("total_sum"))
+      .select(
+        round(lit(100.0) * (coalesce($"promo_sum", lit(0)).cast("double") /
+          $"total_sum".cast("double")), 4).as("promo_pct"),
+        round(coalesce($"promo_sum", lit(0)), 2).cast("double").as("promo_revenue"),
+        round($"total_sum", 2).cast("double").as("total_revenue"))
+  }
+
+  /** Explicit GROUPING SETS — the two one-dimension margins plus the
+    * leaf, WITHOUT the grand total (the lattice subset neither
+    * [[qRollup]]'s hierarchy nor [[qCube]]'s full lattice expresses):
+    * the planner expands rows once map-side per grouping set and
+    * aggregates through a single shuffle, where the UNION-of-three-
+    * GROUP-BYs formulation scans and shuffles three times.
+    * `q_grouping_sets`. */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderpriority", $"o_orderstatus"),
+          Seq($"o_orderpriority"), Seq($"o_orderstatus")),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(grouping_id().as("gid"),
+        round(sum($"o_totalprice".cast(DecimalType(14, 2))), 2).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n_orders"))
+      .select($"o_orderpriority", $"o_orderstatus", $"gid", $"sum_price", $"n_orders")
+      .orderBy($"gid", $"o_orderpriority", $"o_orderstatus")
+  }
+
   /** Window functions: deterministic top-3 parts by retail price per brand. */
   def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -562,6 +648,51 @@ object Tpch {
          SELECT user_id, session_id, COUNT(*) AS n_events,
            MIN(ts_sec) AS start_sec, MAX(ts_sec) AS end_sec
          FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+         FROM orders o
+         WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o.o_orderdate < TIMESTAMP '1997-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
+                COUNT(*) AS n_late
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+         GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q14_promo_revenue" ->
+      """WITH s AS (
+           SELECT
+             SUM(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                           * CAST(1.0 - l_discount AS DECIMAL(12,4)) END) AS promo_sum,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS total_sum
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01')
+         SELECT ROUND(100.0 * (CAST(COALESCE(promo_sum, 0) AS DOUBLE)
+                               / CAST(total_sum AS DOUBLE)), 4) AS promo_pct,
+                CAST(ROUND(COALESCE(promo_sum, 0), 2) AS DOUBLE) AS promo_revenue,
+                CAST(ROUND(total_sum, 2) AS DOUBLE) AS total_revenue
+         FROM s""",
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+                CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+                  AS sum_price,
+                COUNT(*) AS n_orders
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                 (o_orderpriority), (o_orderstatus))
+         ORDER BY gid, o_orderpriority, o_orderstatus""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -581,5 +712,9 @@ object Tpch {
     "q_events_props"       -> qEventsProps _,
     "q_approx_stats"       -> qApproxStats _,
     "q_rollup"             -> qRollup _,
+    "q4_priority_exists"   -> q4PriorityExists _,
+    "q12_late_priority"    -> q12LatePriority _,
+    "q14_promo_revenue"    -> q14PromoRevenue _,
+    "q_grouping_sets"      -> qGroupingSets _,
   )
 }

@@ -43,6 +43,35 @@ object Windowed {
   def streaming(events: DataFrame): DataFrame =
     windowedAgg(events.withWatermark("ts", "2 hours"))
 
+  /** SLIDING 1-hour windows every 30 minutes × event_type — the
+    * overlapping-window shape ([[windowedAgg]] tumbles; a rate monitor
+    * wants "the last hour, refreshed every half hour"). Each event lands
+    * in exactly duration/slide = 2 windows: Spark's window generator
+    * replicates rows map-side (no join against a window table), then one
+    * shuffle on (window, type). The oracle replays the replication as a
+    * 2-offset cross join on the same epoch-aligned grid. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(D12_2)), 2).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start_sec"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Batch path of the sliding window — the oracle-checked
+    * `st_sliding_window` entry. */
+  def slidingBatch(spark: SparkSession, dir: String): DataFrame =
+    slidingAgg(Tables.events(spark, dir))
+      .orderBy(col("window_start_sec"), col("event_type"))
+
+  /** Streaming path: same sliding agg under a watermark (a window closes
+    * when the watermark passes its END; with a 30-min slide two windows
+    * are open per event, both bounded). */
+  def slidingStreaming(events: DataFrame): DataFrame =
+    slidingAgg(events.withWatermark("ts", "2 hours"))
+
   /** Streaming exact dedup — the streaming counterpart of
     * `d_exact_dedup`: drops payloads whose content hash was already
     * seen, with the watermark bounding how long seen-hashes state is
@@ -96,10 +125,23 @@ object Windowed {
                 COUNT(*) AS n_events,
                 CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
          FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+    "st_sliding_window" ->
+      """WITH e AS (
+           SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value
+           FROM events),
+         w AS (
+           SELECT (ts_sec - ts_sec % 1800) - off AS window_start_sec,
+                  event_type, value
+           FROM e CROSS JOIN (SELECT unnest([0, 1800]) AS off) o)
+         SELECT window_start_sec, event_type,
+                COUNT(*) AS n_events,
+                CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st_windowed_agg" -> (batch _),
-    "st_dedup"        -> (dedupBatch _),
+    "st_windowed_agg"   -> (batch _),
+    "st_dedup"          -> (dedupBatch _),
+    "st_sliding_window" -> (slidingBatch _),
   )
 }

@@ -275,6 +275,50 @@ class GraphSpec extends SparkSpec {
     assert(edges.columns.toSet == Set("src", "dst", "attrs"))
   }
 
+  test("clustering coefficient: bounded, zero below degree 2, exact vs brute force") {
+    val r = rowsOf(Clouds.clusteringCoeff(spark, SF))
+    assert(r.nonEmpty)
+    // brute-force recompute from the collected thresholded adjacency
+    val edges = rowsOf(Clouds.edgesBuild(spark, SF)
+      .filter(col("distance") <= TestGraph.QueryThreshold))
+      .map(e => (e.getLong(0), e.getLong(1))).toSet
+    val nbrs = (edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    r.foreach { row =>
+      val (node, deg, tri, cc) = (row.getLong(0), row.getLong(1),
+        row.getLong(2), row.getDouble(3))
+      assert(cc >= 0.0 && cc <= 1.0)
+      val ns = nbrs.getOrElse(node, Set.empty)
+      assert(deg == ns.size.toLong, s"node $node degree")
+      val pairs = (for {
+        a <- ns; b <- ns if a < b
+        if edges(math.min(a, b) -> math.max(a, b))
+      } yield (a, b)).size
+      assert(tri == pairs.toLong, s"node $node triangles")
+      if (deg < 2) assert(cc == 0.0)
+      else assert(math.abs(cc - 2.0 * tri / (deg * (deg - 1.0))) < 1e-6)
+    }
+  }
+
+  test("cloud stats partition the node and edge sets exactly, one row per component") {
+    val stats = rowsOf(Clouds.cloudStats(spark, SF))
+    assert(stats.nonEmpty)
+    val g = TestGraph.graph(spark, SF)
+      .filterEdges(col("distance") <= TestGraph.QueryThreshold)
+    assert(stats.map(_.getLong(stats.head.fieldIndex("n_nodes"))).sum ==
+      g.nodes.count(), "every node in exactly one cloud")
+    assert(stats.map(_.getLong(stats.head.fieldIndex("n_edges"))).sum ==
+      g.edges.count(), "every edge in exactly one cloud")
+    assert(stats.map(_.getLong(0)).distinct.size == stats.size, "one row per component")
+    stats.foreach { row =>
+      assert(row.getLong(row.fieldIndex("min_genome")) <=
+        row.getLong(row.fieldIndex("max_genome")))
+      val avg = row.getDouble(row.fieldIndex("avg_distance"))
+      assert(avg >= 0.0 && avg <= TestGraph.QueryThreshold + 1e-9)
+      assert(row.getLong(0) <= row.getLong(0), "component label is a node id")
+    }
+  }
+
   test("viz export round-trips as JSON with the cloud node attributes") {
     val export = Clouds.vizExport(spark, SF)
     val schema = StructType(Seq(

@@ -140,6 +140,69 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q4 semi join counts each qualifying order exactly once") {
+    import spark.implicits._
+    val r = rowsOf(Tpch.q4PriorityExists(spark, SF))
+    assert(r.nonEmpty && r.size <= 5)
+    val total = r.map(_.getLong(1)).sum
+    // brute force: inner join + distinct (the semi join must not duplicate)
+    val expect = Tables.orders(spark, SF)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, SF),
+        $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate")
+      .select($"o_orderkey").distinct().count()
+    assert(total == expect, "semi-join count equals distinct inner-join count")
+  }
+
+  test("q12 high/low priority counters partition the late line items") {
+    import spark.implicits._
+    val r = rowsOf(Tpch.q12LatePriority(spark, SF))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(row.fieldIndex("high_line_count")) +
+        row.getLong(row.fieldIndex("low_line_count")) ==
+        row.getLong(row.fieldIndex("n_late")), "CASE counters partition")
+    }
+    val expect = Tables.lineitem(spark, SF)
+      .join(Tables.orders(spark, SF), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > to_timestamp(date_add(to_date($"o_orderdate"), 60)))
+      .count()
+    assert(r.map(_.getLong(r.head.fieldIndex("n_late"))).sum == expect)
+  }
+
+  test("q14 promo share is a bounded ratio of the one-scan sums") {
+    val r = rowsOf(Tpch.q14PromoRevenue(spark, SF))
+    assert(r.size == 1)
+    val row = r.head
+    val pct = row.getDouble(row.fieldIndex("promo_pct"))
+    val promo = row.getDouble(row.fieldIndex("promo_revenue"))
+    val total = row.getDouble(row.fieldIndex("total_revenue"))
+    assert(pct >= 0.0 && pct <= 100.0)
+    assert(promo >= 0.0 && promo <= total)
+    assert(math.abs(pct - 100.0 * promo / total) < 0.01,
+      "ratio consistent with the reported sums")
+  }
+
+  test("grouping sets: leaf rows re-aggregate to both margins, no grand total") {
+    val r = rowsOf(Tpch.qGroupingSets(spark, SF))
+    val gidIdx = r.head.fieldIndex("gid")
+    val byGid = r.groupBy(_.getLong(gidIdx))
+    assert(byGid.keySet == Set(0L, 1L, 2L), "leaf + two margins, no grand total")
+    val leaf = byGid(0L)
+    val sumIdx = r.head.fieldIndex("sum_price")
+    val nIdx = r.head.fieldIndex("n_orders")
+    // margin totals equal the leaf totals (same one-shuffle expand)
+    Seq(1L, 2L).foreach { gid =>
+      assert(math.abs(byGid(gid).map(_.getDouble(sumIdx)).sum -
+        leaf.map(_.getDouble(sumIdx)).sum) < 0.01)
+      assert(byGid(gid).map(_.getLong(nIdx)).sum == leaf.map(_.getLong(nIdx)).sum)
+    }
+    // gid encodes which column is grouped out
+    byGid(1L).foreach(row => assert(row.isNullAt(row.fieldIndex("o_orderstatus"))))
+    byGid(2L).foreach(row => assert(row.isNullAt(row.fieldIndex("o_orderpriority"))))
+  }
+
   test("sessionization: no intra-session gap exceeds 30 minutes and sessions are ordered") {
     val s = Tpch.qEventsSessionize(spark, SF)
     // session spans must not overlap for the same user, and ids are 1..n

@@ -69,6 +69,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ-ADC recovers planted twins through the compressed scan") {
+    // a twin shares its query's codeword in every subspace (near-identical
+    // sub-vectors → same argmax), so its ADC score equals the query's own
+    // self-score — the top of the compressed ranking
+    val byQuery = rowsOf(Similarity.pqAnn(spark, dir))
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalled = (0L until 10L).count(q =>
+      byQuery.getOrElse(q, Set.empty).contains(q + 10))
+    assert(recalled >= 8, s"PQ recall too low: $recalled/10")
+  }
+
+  test("PQ-ADC on the driver corpus: dense ranks, ADC-ordered, exact rescore bounded") {
+    val pq = rowsOf(Similarity.pqAnn(spark, SF))
+    assert(pq.nonEmpty)
+    val exactBest = rowsOf(Similarity.cosineTopK(spark, SF))
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(2)).max).toMap
+    pq.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(4)).sorted == (1L to rs.size.toLong), "ranks dense")
+      val adc = rs.sortBy(_.getLong(4)).map(_.getDouble(2))
+      assert(adc == adc.sorted.reverse, "ranking follows the ADC score")
+      rs.foreach(r => assert(r.getLong(1) != q, "never self"))
+      // the rescored cosine is exact, so it can never beat the true best
+      assert(rs.map(_.getDouble(3)).max <= exactBest(q) + 1e-9)
+    }
+  }
+
   test("near-dup pairs on the fixture are exactly the planted twins") {
     val pairs = rowsOf(Similarity.embeddingNearDup(spark, dir, minCos = 0.9))
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -92,6 +92,97 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows replicate every event into exactly duration/slide windows") {
+    val r = rowsOf(Windowed.slidingBatch(spark, SF))
+    assert(r.nonEmpty)
+    r.foreach(row => assert(row.getLong(0) % 1800 == 0,
+      "window starts on the 30-min grid"))
+    val total = r.map(_.getLong(r.head.fieldIndex("n_events"))).sum
+    assert(total == 2 * Tables.events(spark, SF).count(),
+      "each event lands in exactly 2 overlapping windows")
+  }
+
+  test("streaming sliding agg equals the batch plan once windows close") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    val q = Windowed.slidingStreaming(stream.toDF.toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("sliding_sink")
+      .outputMode("append").start()
+    try {
+      val data = Seq((ts(0, 10), "click", 1.0), (ts(0, 40), "click", 2.0))
+      stream.addData(data: _*)
+      q.processAllAvailable()
+      stream.addData((ts(9, 0), "click", 1.0)) // advance watermark far past hour 0
+      q.processAllAvailable()
+      val got = spark.table("sliding_sink")
+        .select("window_start_sec", "event_type", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val expect = Windowed.slidingAgg(data.toDF("ts", "event_type", "value"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      expect.foreach { case (k, v) =>
+        assert(got.get(k).contains(v), s"window $k: stream=${got.get(k)} batch=$v")
+      }
+      // the 00:00 window holds both events; the 00:30 straddler only the second
+      val h0 = ts(0, 0).getTime / 1000
+      assert(got((h0, "click")) == ((2L, 3.0)))
+      assert(got((h0 + 1800, "click")) == ((1L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("batch left join keeps clickless purchases as a single null-padded row") {
+    val pairs = rowsOf(streaming.StreamJoin.leftJoinBatch(spark, SF))
+    assert(pairs.nonEmpty)
+    val counts = rowsOf(streaming.StreamJoin.intervalJoinBatch(spark, SF))
+      .map(r => r.getLong(1) -> r.getLong(r.fieldIndex("n_recent_clicks"))).toMap
+    val byPurchase = pairs.groupBy(_.getLong(1))
+    assert(byPurchase.keySet == counts.keySet, "every purchase appears")
+    byPurchase.foreach { case (pid, rows) =>
+      val cIdx = rows.head.fieldIndex("click_id")
+      if (counts(pid) == 0)
+        assert(rows.size == 1 && rows.head.isNullAt(cIdx),
+          s"purchase $pid: one null-padded row")
+      else {
+        assert(rows.size.toLong == counts(pid), s"purchase $pid: one row per click")
+        rows.foreach(r => assert(!r.isNullAt(cIdx)))
+      }
+    }
+  }
+
+  test("streaming left-outer join null-pads once the watermark retires the purchase") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = streaming.StreamJoin.leftJoinStreaming(
+        purchases.toDF.toDF("ts", "user_id", "event_id"),
+        clicks.toDF.toDF("ts", "user_id", "event_id"))
+      .writeStream.format("memory").queryName("slj_sink")
+      .outputMode("append").start()
+    try {
+      // user 1 purchase has an in-window click; user 2 purchase has none
+      clicks.addData((ts(9, 0), 1L, 101L))
+      purchases.addData((ts(9, 30), 1L, 500L), (ts(9, 40), 2L, 501L))
+      q.processAllAvailable()
+      // push both watermarks far past purchase time + lookback so the
+      // unmatched purchase's state is provably complete, then nudge an
+      // extra batch (outer results emit on state eviction)
+      clicks.addData((ts(20, 0), 9L, 900L))
+      purchases.addData((ts(20, 0), 9L, 901L))
+      q.processAllAvailable()
+      clicks.addData((ts(23, 0), 9L, 902L))
+      purchases.addData((ts(23, 0), 9L, 903L))
+      q.processAllAvailable()
+      val got = spark.table("slj_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+      assert(got.contains((1L, 500L, Some(101L))), s"matched pair emitted: $got")
+      assert(got.contains((2L, 501L, None)), s"clickless purchase null-padded: $got")
+    } finally q.stop()
+  }
+
   test("interval-join batch equivalent: counts verified against a brute-force scan") {
     val ev = rowsOf(Tables.events(spark, SF)
       .select(col("user_id"), col("event_type"), col("event_id"),

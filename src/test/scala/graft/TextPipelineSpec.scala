@@ -106,6 +106,41 @@ class TextPipelineSpec extends SparkSpec {
       "(4 + 1) / 2 tokens")
   }
 
+  test("repetition score counts repeated 3-grams exactly on a planted template") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "a b c a b c a b c", "en", "s", 17L), // 7 grams, 3 distinct
+      (1L, "one two three four five", "en", "s", 23L), // 3 grams, all distinct
+      (2L, "xx yy", "en", "s", 5L))) // < 3 tokens → no grams, drops out
+    val r = rowsOf(Text.repetition(spark, d)).map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(0L, 1L), "short doc has no grams")
+    assert(r(0L).getLong(r(0L).fieldIndex("n_grams")) == 7L)
+    assert(r(0L).getLong(r(0L).fieldIndex("n_distinct_grams")) == 3L)
+    assert(r(0L).getLong(r(0L).fieldIndex("max_gram_freq")) == 3L)
+    assert(r(0L).getDouble(r(0L).fieldIndex("dup_gram_ratio")) == 0.5714)
+    assert(r(1L).getDouble(r(1L).fieldIndex("dup_gram_ratio")) == 0.0)
+    assert(r(1L).getLong(r(1L).fieldIndex("max_gram_freq")) == 1L)
+  }
+
+  test("distinctive terms rank each doc's rarest corpus tokens first") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "shared shared unique0", "en", "s", 20L),
+      (1L, "shared unique1 other", "en", "s", 19L),
+      (2L, "shared other", "en", "s", 12L)))
+    // corpus df: shared=3, other=2, unique0=1, unique1=1
+    val r = rowsOf(Text.distinctiveTerms(spark, d, k = 2))
+    val byDoc = r.groupBy(_.getLong(0))
+    assert(byDoc(0L).map(x => (x.getString(1), x.getLong(2))).toList ==
+      List(("unique0", 1L), ("shared", 3L)), "doc 0: unique token outranks shared")
+    assert(byDoc(1L).map(_.getString(1)).toList == List("unique1", "other"))
+    byDoc.values.foreach { rows =>
+      assert(rows.map(_.getLong(rows.head.fieldIndex("rnk"))).sorted ==
+        (1L to rows.size.toLong), "rnk is 1..k per doc")
+      val dfs = rows.sortBy(_.getLong(rows.head.fieldIndex("rnk")))
+        .map(_.getLong(rows.head.fieldIndex("df")))
+      assert(dfs == dfs.sorted, "df non-decreasing down the ranking")
+    }
+  }
+
   test("rolling fingerprint is order-sensitive and deterministic") {
     val swapped = TestSession.docsFixture(Seq(
       (0L, "alpha beta gamma", "en", "s", 16L),
