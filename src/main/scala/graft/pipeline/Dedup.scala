@@ -315,6 +315,28 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Keeper SELECTION POLICY over the near-dup clusters: instead of
+    * [[dedupClusters]]' min-id keeper, keep each cluster's best document
+    * by quality score (the policy real pipelines run — when near-dups
+    * differ by OCR noise or truncation, the keeper choice moves real
+    * training tokens). One quality-keyed struct-max per cluster on top
+    * of the cluster assignment — the argmax is (rounded quality desc,
+    * doc_id asc), a total order both engines replay. Singletons keep
+    * themselves. `d_quality_keeper`. */
+  def qualityKeeper(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
+    val clusters = dedupClusters(spark, dir, minSim)
+      .select(col("doc_id"), col("cluster_id"))
+    val q = Text.quality(spark, dir).select(col("doc_id"), col("quality_score"))
+    clusters.join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality_score"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.negid")).as("keep_doc_id"),
+        col("best.quality_score").as("best_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
   // ---- oracles ------------------------------------------------------
 
   /** DuckDB equivalent of [[Docs.gramTable]] as a CTE body. */
@@ -464,6 +486,42 @@ object Dedup {
             SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
           SELECT u AS doc_id, MIN(v) AS cluster_id, u = MIN(v) AS keep
           FROM reach GROUP BY u ORDER BY doc_id""",
+    "d_quality_keeper" ->
+      s"""WITH RECURSIVE $KeptGramCte,
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+          inter AS (
+            SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+            FROM kept g1 JOIN kept g2
+              ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+            GROUP BY g1.doc_id, g2.doc_id),
+          pairs AS (
+            SELECT a, b FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+          und AS (
+            SELECT a AS u, b AS v FROM pairs
+            UNION ALL SELECT b, a FROM pairs),
+          reach(u, v) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+          comp AS (SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u),
+          q AS (
+            SELECT doc_id,
+                   ROUND(LEAST(1.0, CAST(len(t) AS DOUBLE) / 400.0) *
+                         (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)), 4)
+                     AS quality_score
+            FROM toks),
+          r AS (
+            SELECT c.cluster_id, q.doc_id, q.quality_score,
+                   ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                     ORDER BY q.quality_score DESC, q.doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY c.cluster_id) AS nm
+            FROM comp c JOIN q USING (doc_id))
+          SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+                 doc_id AS keep_doc_id, quality_score AS best_quality
+          FROM r WHERE rn = 1 ORDER BY cluster_id""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -473,6 +531,7 @@ object Dedup {
     "d_simhash_pairs" -> (simhashPairs _),
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "d_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
+    "d_quality_keeper" -> ((s: SparkSession, d: String) => qualityKeeper(s, d)),
     "d_sample_mix"    -> (sampleMix _),
     "d_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
   )

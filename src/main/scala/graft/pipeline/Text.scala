@@ -228,6 +228,23 @@ object Text {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Corpus length-distribution histogram: document token counts in
+    * fixed 50-token buckets per language — the shape/coverage audit run
+    * before setting sequence-length and packing parameters for a
+    * training run. Integer floor-bucketing (`DIV`), one map-side-
+    * combined aggregate; at 100 TB this is a scan-bound map + a
+    * (lang × bucket)-keyed shuffle of a few hundred rows.
+    * `t_token_histogram`. */
+  def tokenHistogram(spark: SparkSession, dir: String, width: Int = 50): DataFrame =
+    toksOf(Docs.docs(spark, dir))
+      .select(col("lang"), size(col("toks")).cast("long").as("n"))
+      .withColumn("bucket_start", expr(s"n DIV $width * $width"))
+      .groupBy(col("lang"), col("bucket_start"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"))
+      .orderBy(col("lang"), col("bucket_start"))
+
   // ---- oracles -------------------------------------------------------
 
   private val ToksCte =
@@ -264,6 +281,16 @@ object Text {
          FROM ov JOIN bs USING (bench_id)
          WHERE CAST(ov.n_shared AS DOUBLE) / bs.n_bench_grams >= 0.5
          ORDER BY doc_id, bench_id""",
+    "t_token_histogram" ->
+      """WITH n AS (
+           SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents)
+         SELECT lang, n // 50 * 50 AS bucket_start,
+                COUNT(*) AS n_docs,
+                MIN(n) AS min_tokens,
+                MAX(n) AS max_tokens
+         FROM n GROUP BY lang, n // 50 * 50
+         ORDER BY lang, bucket_start""",
     "t_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          gr AS (
@@ -368,5 +395,6 @@ object Text {
     "t_rarity"      -> (rarity _),
     "t_repetition"  -> (repetition _),
     "t_distinctive_terms" -> ((s: SparkSession, d: String) => distinctiveTerms(s, d)),
+    "t_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
   )
 }

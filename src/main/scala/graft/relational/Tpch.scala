@@ -260,6 +260,48 @@ object Tpch {
       .orderBy($"gid", $"o_orderpriority", $"o_orderstatus")
   }
 
+  /** Dormant-customer report: customers with NO order in the window —
+    * the NOT-EXISTS pattern, planned as a LEFT-ANTI join (no row
+    * duplication, no distinct; the mirror of [[q4PriorityExists]]'s
+    * semi join), then a one-shuffle segment rollup of the idle
+    * balances. Both sides are key-projected before the anti join, so
+    * only (custkey) pairs move. `q_anti_inactive`. */
+  def qAntiInactive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val active = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(active, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_inactive"),
+        round(sum($"c_acctbal".cast(D12_2)), 2).cast("double").as("idle_balance"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Per-nation account-balance quartiles: NTILE over a PARTITIONED
+    * window — the distribution-window shape ([[qWindowRank]] ranks,
+    * this one buckets). Deliberately partitioned by nation: a GLOBAL
+    * ntile is a single-partition window (one task sorts the world —
+    * wrong at any scale); per-key quantiles keep the sort distributed,
+    * and a global distribution at 100 TB is [[qApproxStats]]'s sketch
+    * job instead. The (acctbal desc, custkey) order is total, so both
+    * engines' floor-based NTILE splits agree row-for-row.
+    * `q_ntile_quartiles`. */
+  def qNtileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.customer(spark, dir)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy($"c_nationkey", $"quartile")
+      .agg(count(lit(1)).as("n_customers"),
+        round(max($"c_acctbal"), 2).as("top_balance"),
+        round(min($"c_acctbal"), 2).as("floor_balance"),
+        round(sum($"c_acctbal".cast(D12_2)), 2).cast("double").as("sum_balance"))
+      .orderBy($"c_nationkey", $"quartile")
+  }
+
   /** Window functions: deterministic top-3 parts by retail price per brand. */
   def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -683,6 +725,32 @@ object Tpch {
                 CAST(ROUND(COALESCE(promo_sum, 0), 2) AS DOUBLE) AS promo_revenue,
                 CAST(ROUND(total_sum, 2) AS DOUBLE) AS total_revenue
          FROM s""",
+    "q_anti_inactive" ->
+      """SELECT c_mktsegment,
+                COUNT(*) AS n_inactive,
+                CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                  AS idle_balance
+         FROM customer c
+         WHERE NOT EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+             AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+             AND o.o_orderdate < TIMESTAMP '1999-01-01')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_ntile_quartiles" ->
+      """WITH q AS (
+           SELECT c_nationkey, c_acctbal,
+                  CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                       ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS quartile
+           FROM customer)
+         SELECT c_nationkey, quartile,
+                COUNT(*) AS n_customers,
+                ROUND(MAX(c_acctbal), 2) AS top_balance,
+                ROUND(MIN(c_acctbal), 2) AS floor_balance,
+                CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+                  AS sum_balance
+         FROM q GROUP BY c_nationkey, quartile
+         ORDER BY c_nationkey, quartile""",
     "q_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus,
                 CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
@@ -716,5 +784,7 @@ object Tpch {
     "q12_late_priority"    -> q12LatePriority _,
     "q14_promo_revenue"    -> q14PromoRevenue _,
     "q_grouping_sets"      -> qGroupingSets _,
+    "q_anti_inactive"      -> qAntiInactive _,
+    "q_ntile_quartiles"    -> qNtileQuartiles _,
   )
 }

@@ -161,4 +161,24 @@ class DedupSpec extends SparkSpec {
     assert(keep.count(_._2) == 3, "one keeper per cluster")
     assert(keep(0L) && !keep(1L) && !keep(2L) && keep(3L) && keep(4L))
   }
+
+  test("quality keeper picks each cluster's best-quality member, singletons keep themselves") {
+    val r = rowsOf(Dedup.qualityKeeper(spark, dir))
+    assert(r.map(_.getLong(r.head.fieldIndex("n_members"))).sum == 5,
+      "every doc is a member of exactly one cluster")
+    val byCluster = r.map(row => row.getLong(0) -> row).toMap
+    assert(byCluster.keySet == Set(0L, 3L, 4L), "same clusters as dedupClusters")
+    assert(byCluster(0L).getLong(byCluster(0L).fieldIndex("n_members")) == 3)
+    // the keeper's quality must be the max over the cluster's members
+    val quality = rowsOf(graft.pipeline.Text.quality(spark, dir))
+      .map(row => row.getLong(0) -> row.getDouble(row.fieldIndex("quality_score"))).toMap
+    val keeper0 = byCluster(0L).getLong(byCluster(0L).fieldIndex("keep_doc_id"))
+    val best0 = byCluster(0L).getDouble(byCluster(0L).fieldIndex("best_quality"))
+    assert(Set(0L, 1L, 2L).contains(keeper0))
+    assert(best0 == Seq(0L, 1L, 2L).map(quality).max)
+    assert(quality(keeper0) == best0, "reported quality is the keeper's")
+    Seq(3L, 4L).foreach { d =>
+      assert(byCluster(d).getLong(byCluster(d).fieldIndex("keep_doc_id")) == d)
+    }
+  }
 }

@@ -203,6 +203,42 @@ class RelationalSpec extends SparkSpec {
     byGid(2L).foreach(row => assert(row.isNullAt(row.fieldIndex("o_orderpriority"))))
   }
 
+  test("anti join: inactive counts complement the active customer set exactly") {
+    import spark.implicits._
+    val r = rowsOf(Tpch.qAntiInactive(spark, SF))
+    assert(r.nonEmpty)
+    val nActive = Tables.customer(spark, SF)
+      .join(Tables.orders(spark, SF)
+          .filter($"o_orderdate" >= lit("1998-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1999-01-01").cast("timestamp"))
+          .select($"o_custkey").distinct(),
+        $"c_custkey" === $"o_custkey")
+      .count()
+    val nInactive = r.map(_.getLong(r.head.fieldIndex("n_inactive"))).sum
+    assert(nActive + nInactive == Tables.customer(spark, SF).count(),
+      "anti join partitions the customer table against the semi join")
+  }
+
+  test("ntile quartiles: 4 buckets per nation with non-overlapping balance ranges") {
+    val r = rowsOf(Tpch.qNtileQuartiles(spark, SF))
+    assert(r.nonEmpty)
+    r.groupBy(_.get(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)) == (1L to rows.size.toLong))
+      assert(rows.size <= 4)
+      // quartile sizes differ by at most 1 (floor-based NTILE)
+      val sizes = sorted.map(_.getLong(sorted.head.fieldIndex("n_customers")))
+      assert(sizes.max - sizes.min <= 1)
+      // descending order: quartile q's floor >= quartile q+1's top
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.getDouble(a.fieldIndex("floor_balance")) >=
+            b.getDouble(b.fieldIndex("top_balance")), "quartile ranges nest")
+        case _ =>
+      }
+    }
+  }
+
   test("sessionization: no intra-session gap exceeds 30 minutes and sessions are ordered") {
     val s = Tpch.qEventsSessionize(spark, SF)
     // session spans must not overlap for the same user, and ids are 1..n

@@ -141,6 +141,20 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("token histogram buckets partition the corpus and bound their members") {
+    val r = rowsOf(Text.tokenHistogram(spark, SF))
+    assert(r.nonEmpty)
+    assert(r.map(_.getLong(r.head.fieldIndex("n_docs"))).sum ==
+      Tables.documents(spark, SF).count(), "every doc lands in one bucket")
+    r.foreach { row =>
+      val b = row.getLong(1)
+      assert(b % 50 == 0, "bucket starts on the 50-token grid")
+      val lo = row.getLong(row.fieldIndex("min_tokens"))
+      val hi = row.getLong(row.fieldIndex("max_tokens"))
+      assert(lo >= b && hi < b + 50 && lo <= hi, s"members inside [$b, ${b + 50})")
+    }
+  }
+
   test("rolling fingerprint is order-sensitive and deterministic") {
     val swapped = TestSession.docsFixture(Seq(
       (0L, "alpha beta gamma", "en", "s", 16L),
