@@ -18,6 +18,7 @@ object SparkEntry {
       (streaming.Sessionize.queries, streaming.Sessionize.oracle),
       (streaming.StreamJoin.queries, streaming.StreamJoin.oracle),
       (streaming.Enrich.queries, streaming.Enrich.oracle),
+      (streaming.CdcCompact.queries, streaming.CdcCompact.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

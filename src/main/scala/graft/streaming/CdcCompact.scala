@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Per-key current version carried in streaming state. */
+final case class KeyVersion(
+    sec: Long, event_id: Long, event_type: String, value: Double, n_updates: Long)
+
+/** A compacted (materialized) key version emitted downstream. */
+final case class CompactedRow(
+    user_id: Long, last_sec: Long, last_event_id: Long,
+    last_type: String, last_value: Double, n_updates: Long)
+
+/** CDC / upsert compaction: collapse a change stream to the LATEST
+  * version per key — the materialize step between an event log and a
+  * serving table (warehouse upsert, Kafka log compaction, Delta MERGE
+  * all have this shape).
+  *
+  *   - [[latestBatch]]: the batch plan — one struct-max aggregate per
+  *     key ((sec, event_id) is a total version order, so max(struct)
+  *     IS "latest wins"; map-side combined, single shuffle, no window
+  *     sort). This is the oracle-checked `st_cdc_latest` entry.
+  *   - [[streamingCompact]]: the streaming path — per-key state via
+  *     `flatMapGroupsWithState` holding only the current version
+  *     (constant state per key, the compaction invariant); a key's
+  *     version is EMITTED once the event-time timeout proves it idle
+  *     for [[QuiesceSec]] — the watermark is the proof no older update
+  *     can still arrive, the same eviction bound every stateful op in
+  *     this package carries. A key that updates again later simply
+  *     opens a new compaction epoch (normal checkpoint semantics).
+  */
+object CdcCompact {
+
+  /** Idle window after which a key's current version is materialized. */
+  val QuiesceSec = 3600L
+
+  /** Latest event per user plus the update count — batch-equivalent
+    * `st_cdc_latest`. */
+  def latestBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("sec"), col("event_id"), col("event_type"), col("value")))
+          .as("last"),
+        count(lit(1)).as("n_updates"))
+      .select(col("user_id"),
+        col("last.sec").as("last_sec"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        col("n_updates"))
+      .orderBy(col("user_id"))
+
+  /** Streaming compactor. `events` must carry (ts: timestamp, user_id,
+    * event_id, event_type, value); emits one [[CompactedRow]] per key
+    * per quiesce epoch. */
+  def streamingCompact(events: DataFrame): Dataset[CompactedRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      // keep the watermarked ts column flowing into the stateful op
+      .select(col("ts"), col("user_id").cast("long").as("user_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("event_id").cast("long").as("event_id"),
+        col("event_type"), col("value").cast("double").as("value"))
+      .as[(java.sql.Timestamp, Long, Long, Long, String, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[KeyVersion, CompactedRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(java.sql.Timestamp, Long, Long, Long, String, Double)],
+         state: GroupState[KeyVersion]) =>
+          if (state.hasTimedOut) {
+            val v = state.get
+            state.remove()
+            Iterator.single(CompactedRow(
+              user, v.sec, v.event_id, v.event_type, v.value, v.n_updates))
+          } else {
+            // micro-batch arrival order is not version order: fold to the
+            // max (sec, event_id) — the same total order the batch plan's
+            // struct-max uses, so out-of-order updates can never regress
+            // the materialized version
+            var v = state.getOption
+            rows.foreach { case (_, _, sec, id, tpe, value) =>
+              v = v match {
+                case Some(cur)
+                  if cur.sec > sec || (cur.sec == sec && cur.event_id >= id) =>
+                  Some(cur.copy(n_updates = cur.n_updates + 1))
+                case Some(cur) =>
+                  Some(KeyVersion(sec, id, tpe, value, cur.n_updates + 1))
+                case None => Some(KeyVersion(sec, id, tpe, value, 1L))
+              }
+            }
+            v.foreach { cur =>
+              state.update(cur)
+              state.setTimeoutTimestamp((cur.sec + QuiesceSec) * 1000L)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
+  val oracle: Map[String, String] = Map(
+    "st_cdc_latest" ->
+      """WITH e AS (
+           SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+                  event_id, event_type, value
+           FROM events),
+         r AS (
+           SELECT user_id, sec, event_id, event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                    ORDER BY sec DESC, event_id DESC) AS rn,
+                  COUNT(*) OVER (PARTITION BY user_id) AS n
+           FROM e)
+         SELECT user_id, sec AS last_sec, event_id AS last_event_id,
+                event_type AS last_type, value AS last_value,
+                CAST(n AS BIGINT) AS n_updates
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_cdc_latest" -> (latestBatch _),
+  )
+}

@@ -183,6 +183,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC batch compaction keeps exactly the newest version per key") {
+    val r = rowsOf(streaming.CdcCompact.latestBatch(spark, SF))
+    assert(r.nonEmpty)
+    assert(r.map(_.getLong(0)).distinct.size == r.size, "one row per key")
+    assert(r.map(_.getLong(r.head.fieldIndex("n_updates"))).sum ==
+      Tables.events(spark, SF).count(), "every event counted as an update")
+    // brute force: the reported version is each user's max (sec, event_id)
+    val ev = rowsOf(Tables.events(spark, SF)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("event_id")))
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2)))
+      .groupBy(_._1)
+    r.foreach { row =>
+      val expect = ev(row.getLong(0)).map(e => (e._2, e._3)).max
+      assert((row.getLong(row.fieldIndex("last_sec")),
+        row.getLong(row.fieldIndex("last_event_id"))) == expect)
+    }
+  }
+
+  test("streaming CDC compaction emits the latest version once the key quiesces") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    val q = streaming.CdcCompact.streamingCompact(
+        stream.toDF.toDF("ts", "user_id", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("cdc_sink")
+      .outputMode("append").start()
+    try {
+      // user 1 gets two versions (the second, 9:10, must win even though
+      // it arrives in the same batch); user 2 one version
+      stream.addData(
+        (ts(9, 10), 1L, 102L, "update", 2.0),
+        (ts(9, 0), 1L, 101L, "create", 1.0),
+        (ts(9, 5), 2L, 103L, "create", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("cdc_sink").count() == 0, "nothing emitted while live")
+      // advance the watermark far past 9:10 + quiesce window
+      stream.addData((ts(22, 0), 9L, 900L, "create", 0.0))
+      q.processAllAvailable()
+      stream.addData((ts(23, 0), 9L, 901L, "update", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("cdc_sink")
+        .as[(Long, Long, Long, String, Double, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got.keySet == Set(1L, 2L), s"both idle keys compacted: ${got.keySet}")
+      assert(got(1L) == ((1L, ts(9, 10).getTime / 1000, 102L, "update", 2.0, 2L)),
+        "latest version wins with the full update count")
+      assert(got(2L)._5 == 3.0 && got(2L)._6 == 1L)
+    } finally q.stop()
+  }
+
   test("interval-join batch equivalent: counts verified against a brute-force scan") {
     val ev = rowsOf(Tables.events(spark, SF)
       .select(col("user_id"), col("event_type"), col("event_id"),
