@@ -60,4 +60,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(cloud.contains("EqualTo(c_mktsegment,BUILDING)"),
       "seed source filter must reach the customer scan")
   }
+
+  test("r7 operators push filters and prune columns at the scan") {
+    def scanOf(name: String, table: String): String = {
+      val plan = SparkEntry.queries(name)(spark, SF)
+        .queryExecution.executedPlan.toString
+      plan.linesIterator.filter(l =>
+        l.contains("FileScan") && l.contains(table)).mkString("\n")
+    }
+    // Q4: the quarter predicate reaches the orders scan; the semi join
+    // must prune the lineitem payload down to the key + residual column
+    val q4o = scanOf("q4_priority_exists", "orders")
+    assert(q4o.contains("o_orderdate"),
+      s"q4 date filter must reach the orders scan: $q4o")
+    val q4l = scanOf("q4_priority_exists", "lineitem")
+    assert(!q4l.contains("l_extendedprice") && !q4l.contains("l_quantity"),
+      s"q4 semi join must not read lineitem payload: $q4l")
+    // anti join: same discipline on the orders side
+    val anti = scanOf("q_anti_inactive", "orders")
+    assert(anti.contains("o_orderdate"),
+      s"anti-join window filter must reach the orders scan: $anti")
+    assert(!anti.contains("o_totalprice"),
+      s"anti join needs only (custkey, date) from orders: $anti")
+    // token histogram: documents scan prunes to (text, lang)
+    val th = scanOf("t_token_histogram", "documents")
+    assert(th.contains("text") && !th.contains("n_chars") && !th.contains("source"),
+      s"token histogram must read only (text, lang): $th")
+    // PQ: embeddings scan never reads the unused label column
+    val pq = scanOf("s_pq_ann", "embeddings")
+    assert(!pq.contains("label"),
+      s"PQ must not read the label column: $pq")
+  }
 }
