@@ -244,6 +244,49 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  // ---- mutual-kNN graph (full-corpus LSH self-join) -------------------
+
+  /** Mutual-kNN graph over the WHOLE corpus — the ANN-graph build step
+    * (kNN-graph construction feeds HNSW/NN-descent indexing, graph
+    * clustering, and semantic-dedup sweeps). Unlike the fixed-query
+    * ANN entries, every vector is a query here, so this is the one
+    * similarity op whose candidate generation is the full LSH
+    * SELF-join: pairs meet only in a shared (table, bucket) — shuffle
+    * on the bucket key, never all-pairs — then each unordered pair is
+    * rescored ONCE, fanned to both directions, ranked per source
+    * through the native [[graft.plans.TopKPerGroup]] heap, and kept
+    * only if MUTUAL (each endpoint ranks the other in its own top-k —
+    * the standard symmetrization that prunes hub-attracted one-way
+    * edges). Output: one canonical (src < dst) row per mutual edge.
+    * `s_knn_graph`. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val v = vectors(spark, dir).localCheckpoint(true)
+    val b = buckets(v).localCheckpoint(true)
+    val cand = b.as("x")
+      .join(b.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val scored = cand
+      .join(v.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na")), Seq("a"))
+      .join(v.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(arrayDot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+      .localCheckpoint(true) // both union branches below read it
+    val directed = scored.select(col("a").as("src"), col("b").as("dst"), col("cos_sim"))
+      .union(scored.select(col("b").as("src"), col("a").as("dst"), col("cos_sim")))
+    val topk = graft.plans.TopKPerGroup.rankTopK(directed, Seq("src"),
+        Seq("cos_sim" -> true, "dst" -> false), k)
+      .select(col("src"), col("dst"), col("cos_sim"))
+      .localCheckpoint(true) // semi-join probe + build
+    topk
+      .join(topk.select(col("src").as("m_dst"), col("dst").as("m_src")),
+        col("src") === col("m_src") && col("dst") === col("m_dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   // ---- product quantization (PQ-ADC) ---------------------------------
 
   val NumSub = 4    // subspaces (m): 64 dims → 4 × 16
@@ -407,8 +450,49 @@ object Similarity {
        SELECT vec_id, cluster_id, sim FROM a$iters ORDER BY vec_id"""
   }
 
+  /** Replay of [[hpComponent]] + [[buckets]] as a CTE pair `hp`, `bk` —
+    * shared by the LSH ANN and kNN-graph oracles. */
+  private val LshBucketsCte: String =
+    s"""hp AS (
+         SELECT t.t, j.j,
+                list_transform(range($Dim), d ->
+                  CAST((CAST(1103515245 AS BIGINT) *
+                        ((t.t * $BitsPerTable + j.j) * $Dim + d + 1) + 12345)
+                       % $HpMod AS DOUBLE)
+                  / CAST($HpMod AS DOUBLE) - 0.5) AS h
+         FROM (SELECT unnest(range($NumTables)) AS t) t,
+              (SELECT unnest(range($BitsPerTable)) AS j) j),
+       bk AS (
+         SELECT e.vec_id, hp.t AS tbl,
+                CAST(SUM(CASE WHEN list_dot_product(e.v, hp.h) > 0
+                              THEN CAST(1 AS BIGINT) << hp.j
+                              ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+         FROM e CROSS JOIN hp GROUP BY e.vec_id, hp.t)"""
+
   val oracle: Map[String, String] = Map(
     "s_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
+    "s_knn_graph" ->
+      s"""$VecCte,
+         $LshBucketsCte,
+         cand AS (
+           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           FROM bk x JOIN bk y
+             ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         sc AS (
+           SELECT a, b, ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
+           FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b),
+         dir AS (
+           SELECT a AS src, b AS dst, cos_sim FROM sc
+           UNION ALL SELECT b, a, cos_sim FROM sc),
+         rk AS (
+           SELECT src, dst, cos_sim,
+                  ROW_NUMBER() OVER (PARTITION BY src
+                    ORDER BY cos_sim DESC, dst) AS rn
+           FROM dir),
+         tk AS (SELECT src, dst, cos_sim FROM rk WHERE rn <= 5)
+         SELECT t.src, t.dst, t.cos_sim
+         FROM tk t JOIN tk r ON r.src = t.dst AND r.dst = t.src
+         WHERE t.src < t.dst ORDER BY t.src, t.dst""",
     "s_pq_ann" ->
       s"""$VecCte,
          sub AS (SELECT unnest(range($NumSub)) AS s),
@@ -451,21 +535,7 @@ object Similarity {
     // mapped to [-0.5, 0.5) with the identical IEEE division
     "s_lsh_ann" ->
       s"""$VecCte,
-         hp AS (
-           SELECT t.t, j.j,
-                  list_transform(range($Dim), d ->
-                    CAST((CAST(1103515245 AS BIGINT) *
-                          ((t.t * $BitsPerTable + j.j) * $Dim + d + 1) + 12345)
-                         % $HpMod AS DOUBLE)
-                    / CAST($HpMod AS DOUBLE) - 0.5) AS h
-           FROM (SELECT unnest(range($NumTables)) AS t) t,
-                (SELECT unnest(range($BitsPerTable)) AS j) j),
-         bk AS (
-           SELECT e.vec_id, hp.t AS tbl,
-                  CAST(SUM(CASE WHEN list_dot_product(e.v, hp.h) > 0
-                                THEN CAST(1 AS BIGINT) << hp.j
-                                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
-           FROM e CROSS JOIN hp GROUP BY e.vec_id, hp.t),
+         $LshBucketsCte,
          cand AS (
            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
            FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
@@ -543,5 +613,6 @@ object Similarity {
     "s_ivf_ann"           -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "s_kmeans"            -> ((s: SparkSession, d: String) => kmeans(s, d)),
     "s_pq_ann"            -> ((s: SparkSession, d: String) => pqAnn(s, d)),
+    "s_knn_graph"         -> ((s: SparkSession, d: String) => knnGraph(s, d)),
   )
 }

