@@ -245,6 +245,24 @@ object Text {
         max(col("n")).as("max_tokens"))
       .orderBy(col("lang"), col("bucket_start"))
 
+  /** BPE merge-pair statistics: corpus-wide counts of ADJACENT token
+    * pairs, top-k — the statistic a BPE/WordPiece training step ranks to
+    * pick its next merge ([[vocabTopK]] counts unigrams; [[boilerplate]]
+    * counts distinct-per-doc grams — this op counts raw occurrences,
+    * which is what merge selection needs). Narrow gram explosion +
+    * one map-side-combined count + a global top-k on a total order.
+    * `t_bpe_pairs`. */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    toksOf(Docs.docs(spark, dir))
+      .select(explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(1, size(toks) - 1),
+                       i -> concat_ws(' ', toks[i-1], toks[i]))
+           ELSE array() END""")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(k)
+
   // ---- oracles -------------------------------------------------------
 
   private val ToksCte =
@@ -281,6 +299,14 @@ object Text {
          FROM ov JOIN bs USING (bench_id)
          WHERE CAST(ov.n_shared AS DOUBLE) / bs.n_bench_grams >= 0.5
          ORDER BY doc_id, bench_id""",
+    "t_bpe_pairs" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+         p AS (
+           SELECT unnest(list_transform(range(1, len(t)),
+                         i -> array_to_string(t[i:i+1], ' '))) AS pair
+           FROM toks)
+         SELECT pair, COUNT(*) AS n FROM p
+         GROUP BY pair ORDER BY n DESC, pair LIMIT 25""",
     "t_token_histogram" ->
       """WITH n AS (
            SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
@@ -396,5 +422,6 @@ object Text {
     "t_repetition"  -> (repetition _),
     "t_distinctive_terms" -> ((s: SparkSession, d: String) => distinctiveTerms(s, d)),
     "t_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
+    "t_bpe_pairs"   -> ((s: SparkSession, d: String) => bpePairs(s, d)),
   )
 }

@@ -155,6 +155,17 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("BPE pair counts tally raw adjacent occurrences, not per-doc distinct") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "a b a b a b", "en", "s", 11L), // pairs: (a b)x3, (b a)x2
+      (1L, "a b c", "en", "s", 5L),        // (a b)x1, (b c)x1
+      (2L, "x", "en", "s", 1L)))           // single token → no pairs
+    val r = rowsOf(Text.bpePairs(spark, d))
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(r == Map("a b" -> 4L, "b a" -> 2L, "b c" -> 1L),
+      s"raw occurrence counts across the corpus, got $r")
+  }
+
   test("rolling fingerprint is order-sensitive and deterministic") {
     val swapped = TestSession.docsFixture(Seq(
       (0L, "alpha beta gamma", "en", "s", 16L),
