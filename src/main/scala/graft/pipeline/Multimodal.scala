@@ -165,9 +165,41 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Modality-coverage audit: FULL OUTER join of the text corpus against
+    * the embedding table on the shared id — the completeness report a
+    * multimodal pipeline runs before training (every pairing pipeline
+    * has rows with a missing modality; they must be counted, not
+    * silently inner-joined away). Per-(lang, modality) counts; the
+    * language is NULL-bucketed as '--' for embedding-only rows. Both
+    * sides shuffle once on the id key (full outer cannot broadcast);
+    * the rollup is map-side combined. `m_modality_join`. */
+  def modalityJoin(spark: SparkSession, dir: String): DataFrame = {
+    val d = Docs.docs(spark, dir).select(col("doc_id").as("id"), col("lang"))
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("label"))
+    d.join(e, Seq("id"), "full_outer")
+      .select(coalesce(col("lang"), lit("--")).as("lang"),
+        when(col("lang").isNotNull && col("label").isNotNull, "both")
+          .when(col("lang").isNotNull, "text_only")
+          .otherwise("embedding_only").as("modality"))
+      .groupBy(col("lang"), col("modality"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("modality"))
+  }
+
   /** The payload is ASCII text, so the oracle can recompute byte length,
     * magic and the rolling checksum from character codes. */
   val oracle: Map[String, String] = Map(
+    "m_modality_join" ->
+      """WITH j AS (
+           SELECT d.lang, e.label
+           FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+         SELECT COALESCE(lang, '--') AS lang,
+                CASE WHEN lang IS NOT NULL AND label IS NOT NULL THEN 'both'
+                     WHEN lang IS NOT NULL THEN 'text_only'
+                     ELSE 'embedding_only' END AS modality,
+                COUNT(*) AS n
+         FROM j GROUP BY 1, 2 ORDER BY lang, modality""",
     "m_shard_pack" ->
       s"""WITH w AS (
            SELECT doc_id, lang, n_chars AS n_bytes,
@@ -248,5 +280,6 @@ object Multimodal {
     "m_frame_sample"    -> ((s: SparkSession, d: String) => frameSample(s, d)),
     "m_resize"          -> ((s: SparkSession, d: String) => resizePlan(s, d)),
     "m_shard_pack"      -> (shardPack _),
+    "m_modality_join"   -> (modalityJoin _),
   )
 }

@@ -90,4 +90,23 @@ class MultimodalSpec extends SparkSpec {
       assert(idxs == (0L until idxs.size))
     }
   }
+
+  test("modality join accounts for every row of BOTH sides exactly once") {
+    import org.apache.spark.sql.functions._
+    val r = rowsOf(graft.pipeline.Multimodal.modalityJoin(spark, SF))
+    assert(r.nonEmpty)
+    val byModality = r.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val nDocs = Tables.documents(spark, SF).count()
+    val nEmb = Tables.embeddings(spark, SF).count()
+    val shared = Tables.documents(spark, SF).select(col("doc_id").as("id"))
+      .join(Tables.embeddings(spark, SF).select(col("vec_id").as("id")), Seq("id"))
+      .count()
+    assert(byModality.getOrElse("both", 0L) == shared)
+    assert(byModality.getOrElse("text_only", 0L) == nDocs - shared)
+    assert(byModality.getOrElse("embedding_only", 0L) == nEmb - shared)
+    // embedding-only rows carry the null-bucket language
+    r.filter(_.getString(1) == "embedding_only")
+      .foreach(row => assert(row.getString(0) == "--"))
+  }
 }
