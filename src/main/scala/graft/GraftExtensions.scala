@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.ArrayDotProduct
+import graft.functions.{ArrayDotProduct, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so pure-SQL users get them too:
@@ -26,6 +26,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "array_dot takes exactly 2 arguments")
         ArrayDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(
+        classOf[SortedIntersectCount].getCanonicalName, "", "sorted_intersect_count",
+        "sorted_intersect_count(a, b) - intersection size of two sorted array<bigint> columns (two-pointer merge).",
+        "", "", "", "", "4.0.0", "", "built-in"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCount(children.head, children(1))
       }))
   }
 }

@@ -266,8 +266,8 @@ object Clouds {
     *
     * When to use which (measured): on the UNIFORMLY dense test graph
     * (mean deg ≈ 110 at sf0.1, ~1M genuinely-similar pairs) this path
-    * is ~1.4× slower than the exact one (min-of-5 5.9 s vs 4.3 s,
-    * identical conditions; was 26.5 s before the rescore moved to the
+    * now matches the exact one (min-of-5 4.7 s vs 4.3 s, identical
+    * conditions; was 26.5 s before the rescore moved to the
     * array-intersection join below) — when nearly every pair is a real
     * candidate, the exact co-membership join already enumerates exactly
     * the intersection rows and the sampled pass adds only its hash-rank
@@ -313,12 +313,15 @@ object Clouds {
     // adjacency, then re-join on the shared neighbour — materialized
     // Σ_cand deg(a) intermediate rows BEFORE the intersection filter
     // (~770 M at sf0.1) and measured min-of-5 26.5 s; this one is
-    // 5.9 s on identical output (the exact operator is 4.3 s under the
+    // 4.7 s on identical output (the exact operator is 4.3 s under the
     // same conditions — the capped path's overhead is now the sampling
     // pass, not a rescore blow-up). deg doubles as size(adj), saving
     // both degree joins. At 100 TB the array payload shuffle is Σdeg
     // cells — the same volume the exploded join shuffled, minus the
-    // blow-up.
+    // blow-up. The count itself is the native two-pointer
+    // [[graft.functions.SortedIntersectCount]] over the sorted arrays:
+    // size(array_intersect(..)) builds a hash set per ROW PAIR, which
+    // at hub degree is a per-pair allocation storm.
     val adj = nbrs.groupBy(col("node")).agg(sort_array(collect_list(col("nbr"))).as("adj"))
     val jac = col("inter").cast("double") /
       (col("da") + col("db") - col("inter")).cast("double")
@@ -326,7 +329,8 @@ object Clouds {
       .join(adj.select(col("node").as("a"), col("adj").as("adj_a")), Seq("a"))
       .join(adj.select(col("node").as("b"), col("adj").as("adj_b")), Seq("b"))
       .select(col("a"), col("b"),
-        size(array_intersect(col("adj_a"), col("adj_b"))).cast("long").as("inter"),
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("adj_a"), col("adj_b")).as("inter"),
         size(col("adj_a")).cast("long").as("da"),
         size(col("adj_b")).cast("long").as("db"))
       .filter(col("inter") > 0 && jac >= minSim)
