@@ -413,6 +413,46 @@ object Similarity {
     assign.orderBy(col("vec_id"))
   }
 
+  // ---- semantic dedup (SemDeDup) --------------------------------------
+
+  /** SemDeDup cluster count / Lloyd passes / duplicate threshold. k is
+    * the whole trick: clusters bound the pairwise product at
+    * k·C(n/k, 2) instead of C(n, 2), and scales with the corpus
+    * (the paper uses k ≈ √n·c). */
+  val SemK = 64
+  val SemIters = 2
+  val SemTau = 0.4
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embeddings, compare pairs ONLY within a cluster, and drop every
+    * vector whose rounded cosine to a LOWER-id cluster-mate reaches
+    * `tau` (the paper's keep-the-first rule — no transitive closure, so
+    * no CC loop). Composes the Lloyd kernel ([[kmeans]]) with one
+    * cluster-key self-join: the join shuffles on cluster_id only, and
+    * the per-cluster pair product is what k bounds. Output: every
+    * vector with its cluster and keep flag. `d_semantic_dedup`. */
+  def semanticDedup(spark: SparkSession, dir: String, k: Int = SemK,
+                    iters: Int = SemIters, tau: Double = SemTau): DataFrame = {
+    val assign = kmeans(spark, dir, k, iters)
+      .select(col("vec_id"), col("cluster_id"))
+      .localCheckpoint(true) // Lloyd ran once; reused by join + output
+    val av = assign.join(vectors(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"), col("cluster_id"), col("v"), col("norm"))
+      .localCheckpoint(true) // both sides of the pair self-join
+    val dropped = av.as("x")
+      .join(av.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(round(arrayDot(col("x.v"), col("y.v")) /
+        (col("x.norm") * col("y.norm")), 4) >= tau)
+      .select(col("y.vec_id").as("vec_id"))
+      .distinct()
+    assign
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster_id"), col("hit").isNull.as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   // ---- oracles -------------------------------------------------------
 
   private val VecCte =
@@ -423,7 +463,10 @@ object Similarity {
     * are what license the unroll — every centroid component is
     * bit-identical in both engines, so each ROUND(cos, 4) argmax
     * decision replays exactly. */
-  private def kmeansOracle(k: Int, iters: Int): String = {
+  /** The Lloyd unroll as a CTE PRELUDE ending in the assignment CTE
+    * `a<iters>` — shared by the kmeans oracle and anything that builds
+    * on the trained assignment (SemDeDup). */
+  private def kmeansCtePrelude(k: Int, iters: Int): String = {
     def assign(i: Int) =
       s"""a$i AS MATERIALIZED (
          SELECT vec_id, cid AS cluster_id, sim FROM (
@@ -446,9 +489,12 @@ object Similarity {
     s"""$VecCte,
        dims AS (SELECT unnest(range($Dim)) AS d),
        c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
-       $steps
-       SELECT vec_id, cluster_id, sim FROM a$iters ORDER BY vec_id"""
+       $steps"""
   }
+
+  private def kmeansOracle(k: Int, iters: Int): String =
+    s"""${kmeansCtePrelude(k, iters)}
+       SELECT vec_id, cluster_id, sim FROM a$iters ORDER BY vec_id"""
 
   /** Replay of [[hpComponent]] + [[buckets]] as a CTE pair `hp`, `bk` —
     * shared by the LSH ANN and kNN-graph oracles. */
@@ -471,6 +517,19 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
+    "d_semantic_dedup" ->
+      s"""${kmeansCtePrelude(SemK, SemIters)},
+         av AS (
+           SELECT a.vec_id, a.cluster_id, e.v
+           FROM a$SemIters a JOIN e USING (vec_id)),
+         drp AS (
+           SELECT DISTINCT y.vec_id
+           FROM av x JOIN av y
+             ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+           WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= $SemTau)
+         SELECT a.vec_id, a.cluster_id, d.vec_id IS NULL AS keep
+         FROM a$SemIters a LEFT JOIN drp d ON d.vec_id = a.vec_id
+         ORDER BY a.vec_id""",
     "s_knn_graph" ->
       s"""$VecCte,
          $LshBucketsCte,
@@ -614,5 +673,6 @@ object Similarity {
     "s_kmeans"            -> ((s: SparkSession, d: String) => kmeans(s, d)),
     "s_pq_ann"            -> ((s: SparkSession, d: String) => pqAnn(s, d)),
     "s_knn_graph"         -> ((s: SparkSession, d: String) => knnGraph(s, d)),
+    "d_semantic_dedup"    -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
   )
 }

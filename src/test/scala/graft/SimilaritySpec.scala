@@ -119,6 +119,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup drops exactly one of each planted twin pair, keeps decoys") {
+    // twins are near-identical → same cluster, cosine ≈ 1 ≥ τ → the
+    // higher id of each pair is dropped; random decoys survive
+    val r = rowsOf(Similarity.semanticDedup(spark, dir, k = 4, iters = 2))
+    assert(r.size == 30, "every vector gets a row")
+    val keep = r.map(row => row.getLong(0) -> row.getBoolean(2)).toMap
+    (0L until 10L).foreach { q =>
+      assert(keep(q), s"query $q is the lower id of its twin pair — kept")
+      assert(!keep(q + 10), s"twin ${q + 10} is semantically duplicate — dropped")
+    }
+    assert((20L until 30L).count(keep) >= 8, "random decoys overwhelmingly survive")
+  }
+
+  test("semantic dedup on the driver corpus: keep flags complement the dropped set") {
+    val r = rowsOf(Similarity.semanticDedup(spark, SF))
+    assert(r.nonEmpty && r.map(_.getLong(0)).distinct.size == r.size)
+    val nKept = r.count(_.getBoolean(2))
+    assert(nKept > 0 && nKept <= r.size)
+  }
+
   test("near-dup pairs on the fixture are exactly the planted twins") {
     val pairs = rowsOf(Similarity.embeddingNearDup(spark, dir, minCos = 0.9))
       .map(r => (r.getLong(0), r.getLong(1))).toSet
