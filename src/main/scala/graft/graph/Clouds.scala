@@ -410,6 +410,47 @@ object Clouds {
       .orderBy(col("component"))
   }
 
+  /** Walk length for [[randomWalks]]. */
+  val WalkLen = 4
+
+  /** DETERMINISTIC random walks — the graph-sampling stage a
+    * DeepWalk/node2vec-style embedding trainer feeds on: one walk per
+    * node, each step choosing the neighbour that minimizes a
+    * (walk, step, neighbour)-salted hash ([[graft.Hashing.md5Hash60]]).
+    * Hash-seeded rather than `rand()` for the same reason the sampling
+    * operators are ([[graft.pipeline.Dedup.sampleMix]]): a training
+    * corpus sample must replay identically on any cluster size, any
+    * retry — and it is what lets the DuckDB oracle replay every step
+    * choice bit-for-bit. Each step is one frontier-sized join against
+    * the pre-partitioned edge list + a struct-min argmin (map-side
+    * combined); walks at dead-end nodes simply stop. Per-step
+    * checkpoints keep the k-step plan flat (SURVEY §4 rule 8).
+    * `g_random_walk`. */
+  def randomWalks(spark: SparkSession, dir: String, len: Int = WalkLen): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val und = g.edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(g.edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true) // one hop join per step
+    var cur = g.nodes.select(col("id").as("walk_id"), col("id").as("node"))
+      .localCheckpoint(true)
+    val steps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    steps += cur.withColumn("step", lit(0))
+    for (s <- 1 to len) {
+      val hkey = graft.Hashing.md5Hash60(
+        concat_ws("|", col("walk_id"), lit(s), col("v")))
+      cur = cur.join(und, col("node") === col("u"))
+        .select(col("walk_id"), col("v"), hkey.as("hk"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("hk"), col("v"))).as("best"))
+        .select(col("walk_id"), col("best.v").as("node"))
+        .localCheckpoint(true) // referenced by output AND the next step
+      steps += cur.withColumn("step", lit(s))
+    }
+    steps.result().reduce(_ unionByName _)
+      .select(col("walk_id"), col("step"), col("node"))
+      .orderBy(col("walk_id"), col("step"))
+  }
+
   def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
     val sym = g.copy(edges =
@@ -926,6 +967,30 @@ object Clouds {
          LEFT JOIN dg d ON d.node = n.id
          LEFT JOIN pernode p ON p.node = n.id
          ORDER BY node""",
+    "g_random_walk" -> {
+      def stepCte(s: Int): String = {
+        val hash = graft.Hashing.hexFoldSql(
+          s"CAST(w.walk_id AS VARCHAR) || '|' || '$s' || '|' || CAST(e.v AS VARCHAR)")
+        s"""w$s AS (
+           SELECT walk_id, node FROM (
+             SELECT w.walk_id, e.v AS node,
+                    ROW_NUMBER() OVER (PARTITION BY w.walk_id
+                      ORDER BY $hash, e.v) AS rn
+             FROM w${s - 1} w JOIN und e ON e.u = w.node) WHERE rn = 1)"""
+      }
+      val selects = (0 to WalkLen)
+        .map(s => s"SELECT walk_id, $s AS step, node FROM w$s")
+        .mkString("\n UNION ALL ")
+      s"""$OracleCte,
+         und AS (
+           SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+           UNION ALL
+           SELECT dst, src FROM edges WHERE distance <= 0.10),
+         w0 AS (SELECT id AS walk_id, id AS node FROM nodes),
+         ${(1 to WalkLen).map(stepCte).mkString(",\n")}
+         $selects
+         ORDER BY walk_id, step"""
+    },
     "g_cloud_stats" ->
       s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          und AS (
@@ -984,6 +1049,7 @@ object Clouds {
     "g_shortest_paths"        -> shortestPaths _,
     "g_clustering_coeff"      -> clusteringCoeff _,
     "g_cloud_stats"           -> cloudStats _,
+    "g_random_walk"           -> ((s: SparkSession, d: String) => randomWalks(s, d)),
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),
   )
 }

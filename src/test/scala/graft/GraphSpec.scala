@@ -319,6 +319,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("random walks follow edges, are deterministic, and stop at dead ends") {
+    val r = rowsOf(Clouds.randomWalks(spark, SF))
+    assert(r.nonEmpty)
+    val edges = rowsOf(Clouds.edgesBuild(spark, SF)
+      .filter(col("distance") <= TestGraph.QueryThreshold))
+      .map(e => (e.getLong(0), e.getLong(1))).toSet
+    def connected(a: Long, b: Long): Boolean =
+      edges(math.min(a, b) -> math.max(a, b))
+    val byWalk = r.groupBy(_.getLong(0))
+    assert(byWalk.keySet.size == TestGraph.phageNodes(spark, SF).count(),
+      "one walk per node")
+    byWalk.foreach { case (wid, rows) =>
+      val path = rows.sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(path.head == wid, "walk starts at its node")
+      // steps are consecutive from 0 (a dead end truncates, never skips)
+      assert(rows.map(_.getInt(1)).sorted == (0 until rows.size))
+      path.sliding(2).foreach {
+        case Seq(a, b) => assert(connected(a, b), s"walk $wid hops a real edge")
+        case _ =>
+      }
+    }
+    // determinism: a second run reproduces the identical walk set
+    val again = rowsOf(Clouds.randomWalks(spark, SF))
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    assert(again == r.map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet)
+  }
+
   test("viz export round-trips as JSON with the cloud node attributes") {
     val export = Clouds.vizExport(spark, SF)
     val schema = StructType(Seq(
