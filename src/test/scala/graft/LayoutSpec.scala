@@ -55,6 +55,33 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("incremental dedup against a hash-bucketed store shuffles only the incoming batch") {
+    // the daily 100 TB flow: the STORE (every hash ever ingested) is
+    // bucketed on content_hash at rest, so the anti join re-shuffles
+    // only the day's incoming batch — the store-side exchange (the one
+    // proportional to corpus size) is paid once at write time
+    val docs = Tables.documents(spark, SF)
+    val store = docs.filter(col("source") === "src0")
+      .select(md5(col("text")).as("content_hash"))
+    val incoming = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    Layout.writeBucketed(store, "bkt_store_hashes", "content_hash", 8)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val raw = incoming.join(store, Seq("content_hash"), "left_anti")
+      val bucketed = incoming.join(spark.table("bkt_store_hashes"),
+        Seq("content_hash"), "left_anti")
+      assert(exchanges(bucketed) == exchanges(raw) - 1,
+        s"bucketed store must skip its anti-join exchange " +
+          s"(raw=${exchanges(raw)}, bucketed=${exchanges(bucketed)})")
+      assert(bucketed.count() == raw.count(), "layout must never change the result")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("partitioned table prunes partitions at planning time") {
     val ev = Tables.events(spark, SF)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
