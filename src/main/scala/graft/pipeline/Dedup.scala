@@ -337,6 +337,36 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** Per-language token budget for [[tokenBudget]] — sized so the
+    * biggest language (en, ~12k tokens at sf0.01) truncates while the
+    * small ones keep everything: BOTH branches of the cut are exercised
+    * by the gate. */
+  val TokensPerLang = 5000L
+
+  /** Token-budget curation: fill each language's token budget with its
+    * HIGHEST-QUALITY documents — the final selection step of a
+    * pretraining data build ("x billion tokens per language, best
+    * first"). One partitioned window: rank by (quality desc, doc_id)
+    * within language, running token cumsum, keep while ≤ budget. The
+    * sort is per-language (never global) and the quality score is the
+    * 4-dp-rounded [[Text.quality]] output, so the cut ranks replay
+    * bit-for-bit cross-engine. `d_token_budget`. */
+  def tokenBudget(spark: SparkSession, dir: String,
+                  budget: Long = TokensPerLang): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Text.quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(Docs.docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("quality_score"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- oracles ------------------------------------------------------
 
   /** DuckDB equivalent of [[Docs.gramTable]] as a CTE body. */
@@ -486,6 +516,25 @@ object Dedup {
             SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
           SELECT u AS doc_id, MIN(v) AS cluster_id, u = MIN(v) AS keep
           FROM reach GROUP BY u ORDER BY doc_id""",
+    "d_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+                     FROM documents),
+         q AS (
+           SELECT doc_id, lang,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 400.0) *
+                        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4)
+                    AS quality_score
+           FROM t),
+         c AS (
+           SELECT doc_id, lang, n_tokens, quality_score,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY quality_score DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+           FROM q)
+         SELECT doc_id, lang, n_tokens, quality_score, cum_tokens
+         FROM c WHERE cum_tokens <= $TokensPerLang ORDER BY doc_id""",
     "d_quality_keeper" ->
       s"""WITH RECURSIVE $KeptGramCte,
           sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
@@ -532,6 +581,7 @@ object Dedup {
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "d_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "d_quality_keeper" -> ((s: SparkSession, d: String) => qualityKeeper(s, d)),
+    "d_token_budget"  -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "d_sample_mix"    -> (sampleMix _),
     "d_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
   )

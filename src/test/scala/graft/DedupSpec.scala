@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.pipeline.Dedup
 
 /** Planted-duplicate recovery for the dedup family (fixture corpus). */
@@ -160,6 +161,37 @@ class DedupSpec extends SparkSpec {
     assert(cluster(3L) == 3L && cluster(4L) == 4L)
     assert(keep.count(_._2) == 3, "one keeper per cluster")
     assert(keep(0L) && !keep(1L) && !keep(2L) && keep(3L) && keep(4L))
+  }
+
+  test("token budget keeps the best-quality prefix per language, never over budget") {
+    val r = rowsOf(graft.pipeline.Dedup.tokenBudget(spark, SF))
+    assert(r.nonEmpty)
+    val byLang = r.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rows) =>
+      // within a language the kept set is a quality-ranked prefix:
+      // cum_tokens is the running sum in (quality desc, doc_id) order
+      val ranked = rows.sortBy(row =>
+        (-row.getDouble(row.fieldIndex("quality_score")), row.getLong(0)))
+      var cum = 0L
+      ranked.foreach { row =>
+        cum += row.getLong(row.fieldIndex("n_tokens"))
+        assert(row.getLong(row.fieldIndex("cum_tokens")) == cum,
+          s"$lang: cumsum replays in rank order")
+      }
+      assert(cum <= graft.pipeline.Dedup.TokensPerLang, s"$lang within budget")
+      // anything excluded must rank strictly after the kept prefix
+      val keptIds = rows.map(_.getLong(0)).toSet
+      val all = rowsOf(graft.pipeline.Text.quality(spark, SF)
+        .join(Tables.documents(spark, SF).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .filter(col("lang") === lang))
+      val worstKept = ranked.last
+      all.filterNot(row => keptIds(row.getLong(0))).foreach { row =>
+        val q = row.getDouble(row.fieldIndex("quality_score"))
+        val wq = worstKept.getDouble(worstKept.fieldIndex("quality_score"))
+        assert(q < wq || (q == wq && row.getLong(0) > worstKept.getLong(0)),
+          s"$lang: excluded docs rank after every kept doc")
+      }
+    }
   }
 
   test("quality keeper picks each cluster's best-quality member, singletons keep themselves") {
