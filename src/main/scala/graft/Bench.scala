@@ -36,8 +36,10 @@ object Bench {
     // (r4's CC "regression" was exactly this). Runs interleave by PASS
     // (q1,q2,...,q1,q2,...) rather than back-to-back so a transient GC/JIT
     // hiccup lands on different queries in different passes instead of
-    // poisoning all runs of one query.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // poisoning all runs of one query. Default 5 — SURVEY §4.12's own
+    // minimum for claims on JIT-heavy keys; the shipped artifact must
+    // reproduce the rule it documents.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
     // SPARK_GRAFT_ONLY (comma-separated keys) lets a dev re-bench one
     // query under the EXACT bench conditions (same session conf, warmup).
     val keys = SparkEntry.queries.keys.toSeq.sorted

@@ -28,9 +28,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * pass distinct adjacency sets, where that equals set-intersection
   * size.
   *
-  * Null semantics: a null element in either array yields NULL (matches
-  * [[ArrayDotProduct]]'s convention); the element null checks are only
-  * emitted when the input type admits nulls.
+  * Null semantics: the expression yields NULL when the two-pointer
+  * merge REACHES a null element; a null positioned after the merge
+  * terminates (e.g. a trailing null when the other array exhausts
+  * first) is never inspected, so such inputs return a count. This is
+  * weaker than strict NULL propagation but consistent between the
+  * interpreted and codegen paths, and the graft call sites only pass
+  * `sort_array` output (nulls sort FIRST, so any null is reached
+  * immediately). The element null checks are only emitted when the
+  * input type admits nulls.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {

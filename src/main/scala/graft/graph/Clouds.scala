@@ -942,7 +942,9 @@ object Clouds {
          ORDER BY node""",
     "g_clustering_coeff" ->
       s"""$OracleCte,
-         te AS (SELECT src, dst FROM edges WHERE distance <= 0.10),
+         te AS (
+           SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+           FROM edges WHERE distance <= 0.10 AND src <> dst),
          dg AS (
            SELECT x AS node, COUNT(*) AS deg FROM (
              SELECT src AS x FROM te UNION ALL SELECT dst FROM te) u

@@ -350,7 +350,18 @@ object Dedup {
     * within language, running token cumsum, keep while ≤ budget. The
     * sort is per-language (never global) and the quality score is the
     * 4-dp-rounded [[Text.quality]] output, so the cut ranks replay
-    * bit-for-bit cross-engine. `d_token_budget`. */
+    * bit-for-bit cross-engine.
+    *
+    * Cut rule: STRICT PREFIX, not greedy fill — the kept set is the
+    * longest rank-prefix whose cumulative tokens fit the budget. A doc
+    * that overflows still contributes to `cum_tokens`, so it AND every
+    * lower-ranked doc in that language are excluded, and the budget can
+    * go slightly unfilled. Chosen deliberately over greedy
+    * skip-and-continue: the prefix cut is a pure window predicate (one
+    * pass, replays in any SQL engine), while greedy fill is an
+    * inherently sequential scan whose state depends on every prior
+    * skip decision — not expressible as a window, and it biases the
+    * tail toward short low-quality docs. `d_token_budget`. */
   def tokenBudget(spark: SparkSession, dir: String,
                   budget: Long = TokensPerLang): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -246,28 +246,67 @@ object Similarity {
 
   // ---- mutual-kNN graph (full-corpus LSH self-join) -------------------
 
+  /** Per-(table, bucket) membership cap for [[knnGraph]]'s self-join.
+    * Unbounded, a COLLAPSED bucket — exactly what a near-duplicate-heavy
+    * corpus hashes to — is C(n, 2) candidate pairs from a single key;
+    * capped, every bucket is ≤ C(cap, 2) regardless of skew. 64 keeps
+    * ~all buckets intact at test scale (mean bucket size ≈ 2) while
+    * bounding the worst key at 2016 pairs. */
+  val KnnBucketCap = 64
+
+  /** Hash-ranked ≤`cap` sample of each (table, bucket)'s members — the
+    * [[graft.graph.Clouds.cappedCandidates]] idiom ported onto the LSH
+    * bucket key. Bucket-salted rank (hash of table|bucket|vec_id):
+    * a globally hash-small vector must not win a slot in EVERY bucket
+    * it lands in, or the sample correlates across tables and the
+    * L-table union loses its independent-trials recall. Runs through
+    * the native [[graft.plans.TopKPerGroup]] heap (map-side partial
+    * bounds the shuffle at cap rows per bucket per input partition).
+    * Factored out so the spec can plant a collapsed bucket and assert
+    * the bound structurally. */
+  private[graft] def cappedBuckets(b: DataFrame, cap: Int): DataFrame =
+    graft.plans.TopKPerGroup.rankTopK(
+        b.withColumn("hkey", graft.Hashing.md5Hash60(
+          concat_ws("|", col("table"), col("bucket"), col("vec_id")))),
+        Seq("table", "bucket"), Seq("hkey" -> false, "vec_id" -> false), cap)
+      .select(col("vec_id"), col("table"), col("bucket"))
+
+  /** Candidate pairs from the ≤cap-sampled buckets (canonical a < b,
+    * deduped across tables). Separated from [[knnGraph]] for the spec's
+    * synthetic-skew drive. */
+  private[graft] def knnCandidates(b: DataFrame, cap: Int): DataFrame = {
+    val bc = cappedBuckets(b, cap)
+    bc.as("x")
+      .join(bc.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+  }
+
   /** Mutual-kNN graph over the WHOLE corpus — the ANN-graph build step
     * (kNN-graph construction feeds HNSW/NN-descent indexing, graph
     * clustering, and semantic-dedup sweeps). Unlike the fixed-query
     * ANN entries, every vector is a query here, so this is the one
     * similarity op whose candidate generation is the full LSH
     * SELF-join: pairs meet only in a shared (table, bucket) — shuffle
-    * on the bucket key, never all-pairs — then each unordered pair is
-    * rescored ONCE, fanned to both directions, ranked per source
-    * through the native [[graft.plans.TopKPerGroup]] heap, and kept
-    * only if MUTUAL (each endpoint ranks the other in its own top-k —
-    * the standard symmetrization that prunes hub-attracted one-way
-    * edges). Output: one canonical (src < dst) row per mutual edge.
-    * `s_knn_graph`. */
-  def knnGraph(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    * on the bucket key, never all-pairs — with bucket membership
+    * capped at [[KnnBucketCap]] hash-ranked members
+    * ([[cappedBuckets]]), so a collapsed bucket degrades recall
+    * gracefully instead of going quadratic. Survivor pairs are then
+    * rescored EXACTLY (full vectors, so precision is 1: capped edges ⊆
+    * uncapped edges in score), each unordered pair scored ONCE, fanned
+    * to both directions, ranked per source through the native
+    * [[graft.plans.TopKPerGroup]] heap, and kept only if MUTUAL (each
+    * endpoint ranks the other in its own top-k — the standard
+    * symmetrization that prunes hub-attracted one-way edges). Output:
+    * one canonical (src < dst) row per mutual edge. The DuckDB oracle
+    * replays the cap (same salted hash rank), so the hash gate proves
+    * the capped plan, not the happy path. `s_knn_graph`. */
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
+               cap: Int = KnnBucketCap): DataFrame = {
     val v = vectors(spark, dir).localCheckpoint(true)
-    val b = buckets(v).localCheckpoint(true)
-    val cand = b.as("x")
-      .join(b.as("y"),
-        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-      .distinct()
+    val cand = knnCandidates(buckets(v).localCheckpoint(true), cap)
     val scored = cand
       .join(v.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na")), Seq("a"))
       .join(v.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")), Seq("b"))
@@ -533,9 +572,17 @@ object Similarity {
     "s_knn_graph" ->
       s"""$VecCte,
          $LshBucketsCte,
+         bkc AS (
+           SELECT vec_id, tbl, bucket FROM (
+             SELECT vec_id, tbl, bucket,
+                    ROW_NUMBER() OVER (PARTITION BY tbl, bucket
+                      ORDER BY ${graft.Hashing.hexFoldSql(
+                        "CAST(tbl AS VARCHAR) || '|' || CAST(bucket AS VARCHAR)" +
+                          " || '|' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+             FROM bk) WHERE rn <= $KnnBucketCap),
          cand AS (
            SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-           FROM bk x JOIN bk y
+           FROM bkc x JOIN bkc y
              ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
          sc AS (
            SELECT a, b, ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim

@@ -310,12 +310,19 @@ class GraphSpec extends SparkSpec {
     assert(stats.map(_.getLong(stats.head.fieldIndex("n_edges"))).sum ==
       g.edges.count(), "every edge in exactly one cloud")
     assert(stats.map(_.getLong(0)).distinct.size == stats.size, "one row per component")
+    // the component label is the hash-to-min fixpoint = the component's
+    // minimum member id; cross-check against the CC kernel's own output
+    val compMin = rowsOf(Clouds.connectedComponents(spark, SF))
+      .groupBy(_.getLong(1)).map { case (comp, rows) =>
+        comp -> rows.map(_.getLong(0)).min
+      }
     stats.foreach { row =>
       assert(row.getLong(row.fieldIndex("min_genome")) <=
         row.getLong(row.fieldIndex("max_genome")))
       val avg = row.getDouble(row.fieldIndex("avg_distance"))
       assert(avg >= 0.0 && avg <= TestGraph.QueryThreshold + 1e-9)
-      assert(row.getLong(0) <= row.getLong(0), "component label is a node id")
+      assert(compMin(row.getLong(0)) == row.getLong(0),
+        "component label is the minimum member node id")
     }
   }
 

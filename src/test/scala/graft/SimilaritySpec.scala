@@ -104,6 +104,59 @@ class SimilaritySpec extends SparkSpec {
       assert(edges((q, q + 10)), s"twin edge ($q, ${q + 10}) must be mutual"))
   }
 
+  test("kNN candidate generation bounds a collapsed LSH bucket at C(cap,2) pairs") {
+    import spark.implicits._
+    // the skew case: hundreds of vectors hashing to ONE (table, bucket) —
+    // uncapped this is C(n,2) pairs from a single key
+    val n = 300
+    val collapsed = (0L until n.toLong).map(i => (i, 0, 0L))
+      .toDF("vec_id", "table", "bucket")
+    val cap = 8
+    val capped = rowsOf(Similarity.knnCandidates(collapsed, cap))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.size == cap * (cap - 1) / 2,
+      s"collapsed bucket must yield exactly C($cap,2) pairs, got ${capped.size}")
+    val full = rowsOf(Similarity.knnCandidates(collapsed, n))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size == n * (n - 1) / 2, "uncapped control is the full product")
+    assert(capped.subsetOf(full), "capped candidates ⊆ uncapped")
+  }
+
+  test("capped kNN graph: cap-off equivalence on the fixture, measured recall on a mega near-dup group") {
+    // buckets on the 30-vector fixture are far below the cap → the capped
+    // plan must be EXACTLY the uncapped graph
+    val dflt = rowsOf(Similarity.knnGraph(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unc = rowsOf(Similarity.knnGraph(spark, dir, cap = Int.MaxValue))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == unc, "cap must be a no-op when no bucket exceeds it")
+    // mega near-dup group: 200 near-identical vectors collapse every LSH
+    // table to ~one bucket; the capped graph still finds edges because
+    // the per-table salt samples INDEPENDENTLY (different 64 survivors
+    // per table), and recall vs the uncapped graph stays material
+    val rng = new scala.util.Random(11)
+    val base = Array.fill(64)(rng.nextGaussian())
+    val bn = math.sqrt(base.map(x => x * x).sum)
+    val rows = (0 until 200).map { i =>
+      (i.toLong,
+        base.map(x => (x / bn + 0.001 * rng.nextGaussian()).toFloat).toSeq, 0)
+    }
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "mega").toString
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val cappedEdges = rowsOf(Similarity.knnGraph(spark, d))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncEdges = rowsOf(Similarity.knnGraph(spark, d, cap = Int.MaxValue))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedEdges.nonEmpty, "capped graph must still find edges in the group")
+    val recall = cappedEdges.intersect(uncEdges).size.toDouble / uncEdges.size
+    info(f"mega-group recall capped-vs-uncapped: $recall%.3f " +
+      s"(${cappedEdges.size} capped / ${uncEdges.size} uncapped edges)")
+    assert(recall >= 0.1, f"recall degraded past graceful: $recall%.3f")
+  }
+
   test("kNN graph on the driver corpus: edges are genuinely mutual top-k members") {
     val edges = rowsOf(Similarity.knnGraph(spark, SF))
     assert(edges.nonEmpty)
