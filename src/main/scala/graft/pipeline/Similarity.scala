@@ -454,31 +454,45 @@ object Similarity {
 
   // ---- semantic dedup (SemDeDup) --------------------------------------
 
-  /** SemDeDup cluster count / Lloyd passes / duplicate threshold. k is
-    * the whole trick: clusters bound the pairwise product at
-    * k·C(n/k, 2) instead of C(n, 2), and scales with the corpus
-    * (the paper uses k ≈ √n·c). */
-  val SemK = 64
+  /** SemDeDup Lloyd passes / duplicate threshold. */
   val SemIters = 2
   val SemTau = 0.4
 
-  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
-    * embeddings, compare pairs ONLY within a cluster, and drop every
-    * vector whose rounded cosine to a LOWER-id cluster-mate reaches
-    * `tau` (the paper's keep-the-first rule — no transitive closure, so
-    * no CC loop). Composes the Lloyd kernel ([[kmeans]]) with one
-    * cluster-key self-join: the join shuffles on cluster_id only, and
-    * the per-cluster pair product is what k bounds. Output: every
-    * vector with its cluster and keep flag. `d_semantic_dedup`. */
-  def semanticDedup(spark: SparkSession, dir: String, k: Int = SemK,
-                    iters: Int = SemIters, tau: Double = SemTau): DataFrame = {
-    val assign = kmeans(spark, dir, k, iters)
+  /** Cluster count for [[semanticDedup]], scaled FROM THE CORPUS:
+    * k = max(16, ⌈2·√n⌉) — the paper's k ≈ c·√n shape, which keeps the
+    * expected cluster size at √n/2 so the within-cluster pair product
+    * k·C(n/k, 2) grows as n^1.5, not n². Both engines compute the
+    * identical IEEE double √/⌈⌉, so the DuckDB oracle derives the same
+    * k from COUNT(*) (scalar subquery in the seed CTE). */
+  private[graft] def semK(n: Long): Int =
+    math.max(16, math.ceil(2.0 * math.sqrt(n.toDouble)).toInt)
+
+  /** Witness cap for [[semanticDedup]]'s within-cluster comparison: the
+    * x-side of the pair join is each cluster's [[SemClusterCap]]
+    * LOWEST-id members only, so the pair product is ≤ n·cap even when
+    * k-means collapses a near-duplicate-heavy corpus into one
+    * mega-cluster (precisely the dedup workload). Lowest-id — not a
+    * hash sample — because the keep-first rule's surviving
+    * representative IS the lowest id: in the mega near-dup cluster
+    * every member matches witness #1, so the capped recall loss
+    * concentrates on the rare y similar ONLY to mid-id cluster-mates.
+    * Precision stays 1 (every drop carries an exact lower-id witness;
+    * capped drops ⊆ exact drops). */
+  val SemClusterCap = 128
+
+  /** The capped within-cluster drop set (DISTINCT y ids): x-side =
+    * ≤`cap` lowest-id members per cluster through the native
+    * [[graft.plans.TopKPerGroup]] heap, y-side = the whole cluster.
+    * Factored out so the spec can plant a mega-cluster and assert the
+    * pair bound + exact-witness property structurally. `av` columns:
+    * (vec_id, cluster_id, v, norm). */
+  private[graft] def semanticDropped(av: DataFrame, tau: Double, cap: Int): DataFrame = {
+    val witnesses = graft.plans.TopKPerGroup.rankTopK(
+        av.select(col("vec_id"), col("cluster_id")),
+        Seq("cluster_id"), Seq("vec_id" -> false), cap)
       .select(col("vec_id"), col("cluster_id"))
-      .localCheckpoint(true) // Lloyd ran once; reused by join + output
-    val av = assign.join(vectors(spark, dir), Seq("vec_id"))
-      .select(col("vec_id"), col("cluster_id"), col("v"), col("norm"))
-      .localCheckpoint(true) // both sides of the pair self-join
-    val dropped = av.as("x")
+      .join(av.select(col("vec_id"), col("v"), col("norm")), Seq("vec_id"))
+    witnesses.as("x")
       .join(av.as("y"),
         col("x.cluster_id") === col("y.cluster_id") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -486,6 +500,34 @@ object Similarity {
         (col("x.norm") * col("y.norm")), 4) >= tau)
       .select(col("y.vec_id").as("vec_id"))
       .distinct()
+  }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embeddings, compare pairs ONLY within a cluster, and drop every
+    * vector whose rounded cosine to a LOWER-id cluster-mate reaches
+    * `tau` (the paper's keep-the-first rule — no transitive closure, so
+    * no CC loop). Composes the Lloyd kernel ([[kmeans]]) with one
+    * cluster-key self-join: the join shuffles on cluster_id only, the
+    * cluster count scales with the corpus ([[semK]]), and the
+    * per-cluster pair product is HARD-bounded by [[SemClusterCap]]
+    * lowest-id witnesses ([[semanticDropped]]) so a mega-cluster
+    * degrades linearly, not quadratically. The DuckDB oracle replays
+    * both the derived k and the witness cap. Output: every vector with
+    * its cluster and keep flag. `d_semantic_dedup`.
+    *
+    * `k` ≤ 0 (the default) derives the cluster count from the corpus
+    * size; pass an explicit k to pin it (tests, tuning). */
+  def semanticDedup(spark: SparkSession, dir: String, k: Int = 0,
+                    iters: Int = SemIters, tau: Double = SemTau,
+                    cap: Int = SemClusterCap): DataFrame = {
+    val kk = if (k > 0) k else semK(Tables.embeddings(spark, dir).count())
+    val assign = kmeans(spark, dir, kk, iters)
+      .select(col("vec_id"), col("cluster_id"))
+      .localCheckpoint(true) // Lloyd ran once; reused by join + output
+    val av = assign.join(vectors(spark, dir), Seq("vec_id"))
+      .select(col("vec_id"), col("cluster_id"), col("v"), col("norm"))
+      .localCheckpoint(true) // both sides of the pair self-join
+    val dropped = semanticDropped(av, tau, cap)
     assign
       .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("cluster_id"), col("hit").isNull.as("keep"))
@@ -504,8 +546,11 @@ object Similarity {
     * decision replays exactly. */
   /** The Lloyd unroll as a CTE PRELUDE ending in the assignment CTE
     * `a<iters>` — shared by the kmeans oracle and anything that builds
-    * on the trained assignment (SemDeDup). */
-  private def kmeansCtePrelude(k: Int, iters: Int): String = {
+    * on the trained assignment (SemDeDup). `kExpr` is a SQL expression
+    * for the cluster count — a literal for the pinned kmeans entry, a
+    * COUNT(*)-derived scalar subquery for SemDeDup's corpus-scaled k
+    * (replaying [[semK]]). */
+  private def kmeansCtePrelude(kExpr: String, iters: Int): String = {
     def assign(i: Int) =
       s"""a$i AS MATERIALIZED (
          SELECT vec_id, cid AS cluster_id, sim FROM (
@@ -527,13 +572,18 @@ object Similarity {
       (2 to iters).flatMap(i => Seq(update(i - 1), assign(i)))).mkString(",\n")
     s"""$VecCte,
        dims AS (SELECT unnest(range($Dim)) AS d),
-       c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $k),
+       c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ($kExpr)),
        $steps"""
   }
 
   private def kmeansOracle(k: Int, iters: Int): String =
-    s"""${kmeansCtePrelude(k, iters)}
+    s"""${kmeansCtePrelude(k.toString, iters)}
        SELECT vec_id, cluster_id, sim FROM a$iters ORDER BY vec_id"""
+
+  /** [[semK]] replayed in SQL: both engines take the identical IEEE
+    * sqrt/ceil, so the derived k matches the Spark side's `count()`. */
+  private val SemKSql =
+    "SELECT GREATEST(16, CAST(CEIL(2 * SQRT(COUNT(*))) AS BIGINT)) FROM e"
 
   /** Replay of [[hpComponent]] + [[buckets]] as a CTE pair `hp`, `bk` —
     * shared by the LSH ANN and kNN-graph oracles. */
@@ -557,13 +607,19 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
     "d_semantic_dedup" ->
-      s"""${kmeansCtePrelude(SemK, SemIters)},
+      s"""${kmeansCtePrelude(SemKSql, SemIters)},
          av AS (
            SELECT a.vec_id, a.cluster_id, e.v
            FROM a$SemIters a JOIN e USING (vec_id)),
+         xw AS (
+           SELECT vec_id, cluster_id, v FROM (
+             SELECT vec_id, cluster_id, v,
+                    ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                       ORDER BY vec_id) AS rn
+             FROM av) WHERE rn <= $SemClusterCap),
          drp AS (
            SELECT DISTINCT y.vec_id
-           FROM av x JOIN av y
+           FROM xw x JOIN av y
              ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
            WHERE ROUND(list_cosine_similarity(x.v, y.v), 4) >= $SemTau)
          SELECT a.vec_id, a.cluster_id, d.vec_id IS NULL AS keep

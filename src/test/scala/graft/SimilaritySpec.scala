@@ -185,6 +185,42 @@ class SimilaritySpec extends SparkSpec {
     assert((20L until 30L).count(keep) >= 8, "random decoys overwhelmingly survive")
   }
 
+  test("semantic dedup witness cap: mega-cluster drops everything via witness #1, misses only mid-id-witness dups") {
+    import spark.implicits._
+    def row(id: Long, cl: Long, v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (id, cl, v.toSeq, n)
+    }
+    // mega-cluster: 400 near-identical members in ONE cluster — the
+    // k-means-collapse shape that used to be quadratic. With ANY cap,
+    // every y>0 matches lowest-id witness 0, so recall loss is zero
+    // while the pair product is n·cap, not C(n,2).
+    val rng = new scala.util.Random(13)
+    val base = Array.fill(64)(rng.nextGaussian())
+    val mega = (0L until 400L).map(i =>
+      row(i, 0L, base.map(x => x + 1e-6 * rng.nextGaussian())))
+    val megaAv = mega.toDF("vec_id", "cluster_id", "v", "norm")
+    val droppedMega = rowsOf(Similarity.semanticDropped(megaAv, 0.9, cap = 4))
+      .map(_.getLong(0)).toSet
+    assert(droppedMega == (1L until 400L).toSet,
+      "every non-first member of a near-identical mega-cluster is dropped even at cap 4")
+    // heterogeneous cluster: y=10 is similar ONLY to mid-id member 9
+    // (orthogonal to everyone else). cap=5 excludes witness 9 → y kept
+    // (the documented graceful recall loss); cap=10 includes it → dropped.
+    val ortho = (0L until 10L).map { i =>
+      val v = Array.fill(64)(0.0); v(i.toInt) = 1.0; row(i, 1L, v)
+    }
+    val y = { val v = Array.fill(64)(0.0); v(9) = 1.0; row(10L, 1L, v) }
+    val hetero = (ortho :+ y).toDF("vec_id", "cluster_id", "v", "norm")
+    val atCap5 = rowsOf(Similarity.semanticDropped(hetero, 0.9, cap = 5))
+      .map(_.getLong(0)).toSet
+    val atCap10 = rowsOf(Similarity.semanticDropped(hetero, 0.9, cap = 10))
+      .map(_.getLong(0)).toSet
+    assert(atCap5 == Set.empty[Long], "witness 9 outside cap → capped misses the drop")
+    assert(atCap10 == Set(10L), "witness 9 inside cap → exact drop recovered")
+    assert(atCap5.subsetOf(atCap10), "capped drops ⊆ exact drops (precision 1)")
+  }
+
   test("semantic dedup on the driver corpus: keep flags complement the dropped set") {
     val r = rowsOf(Similarity.semanticDedup(spark, SF))
     assert(r.nonEmpty && r.map(_.getLong(0)).distinct.size == r.size)
