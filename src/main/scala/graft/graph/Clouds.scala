@@ -413,6 +413,27 @@ object Clouds {
   /** Walk length for [[randomWalks]]. */
   val WalkLen = 4
 
+  /** Per-node adjacency cap for [[randomWalks]]'s step joins. Uncapped,
+    * each step joins the full frontier against the whole adjacency — a
+    * deg-10⁶ hub materializes 10⁶ candidate rows per walk that touches
+    * it, to pick ONE neighbour. Capped, every node contributes ≤ cap
+    * rows per step, and the walk samples transitions from a hash-fixed
+    * ≤cap neighbour subset — the standard neighbour-list truncation a
+    * node2vec-style sampler applies, still deterministic and
+    * oracle-replayable. */
+  val WalkAdjCap = 64
+
+  /** ≤`cap` hash-ranked neighbours per node ((u,v)-salted rank through
+    * the native [[graft.plans.TopKPerGroup]] heap — the
+    * [[cappedCandidates]] idiom on the adjacency key). Factored out so
+    * the spec can plant a synthetic hub and assert the bound. */
+  private[graft] def cappedAdjacency(und: DataFrame, cap: Int): DataFrame =
+    graft.plans.TopKPerGroup.rankTopK(
+        und.withColumn("hkey",
+          graft.Hashing.md5Hash60(concat_ws("|", col("u"), col("v")))),
+        Seq("u"), Seq("hkey" -> false, "v" -> false), cap)
+      .select(col("u"), col("v"))
+
   /** DETERMINISTIC random walks — the graph-sampling stage a
     * DeepWalk/node2vec-style embedding trainer feeds on: one walk per
     * node, each step choosing the neighbour that minimizes a
@@ -425,11 +446,15 @@ object Clouds {
     * the pre-partitioned edge list + a struct-min argmin (map-side
     * combined); walks at dead-end nodes simply stop. Per-step
     * checkpoints keep the k-step plan flat (SURVEY §4 rule 8).
-    * `g_random_walk`. */
-  def randomWalks(spark: SparkSession, dir: String, len: Int = WalkLen): DataFrame = {
+    * Adjacency is pre-capped at [[WalkAdjCap]] neighbours per node
+    * ([[cappedAdjacency]]) so hub degree never multiplies the step
+    * join; the DuckDB oracle replays the cap. `g_random_walk`. */
+  def randomWalks(spark: SparkSession, dir: String, len: Int = WalkLen,
+                  cap: Int = WalkAdjCap): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
-    val und = g.edges.select(col("src").as("u"), col("dst").as("v"))
-      .union(g.edges.select(col("dst").as("u"), col("src").as("v")))
+    val und = cappedAdjacency(
+        g.edges.select(col("src").as("u"), col("dst").as("v"))
+          .union(g.edges.select(col("dst").as("u"), col("src").as("v"))), cap)
       .localCheckpoint(true) // one hop join per step
     var cur = g.nodes.select(col("id").as("walk_id"), col("id").as("node"))
       .localCheckpoint(true)
@@ -978,16 +1003,23 @@ object Clouds {
              SELECT w.walk_id, e.v AS node,
                     ROW_NUMBER() OVER (PARTITION BY w.walk_id
                       ORDER BY $hash, e.v) AS rn
-             FROM w${s - 1} w JOIN und e ON e.u = w.node) WHERE rn = 1)"""
+             FROM w${s - 1} w JOIN undc e ON e.u = w.node) WHERE rn = 1)"""
       }
       val selects = (0 to WalkLen)
         .map(s => s"SELECT walk_id, $s AS step, node FROM w$s")
         .mkString("\n UNION ALL ")
+      val adjHash = graft.Hashing.hexFoldSql(
+        "CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)")
       s"""$OracleCte,
          und AS (
            SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
            UNION ALL
            SELECT dst, src FROM edges WHERE distance <= 0.10),
+         undc AS (
+           SELECT u, v FROM (
+             SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+               ORDER BY $adjHash, v) AS rn
+             FROM und) WHERE rn <= $WalkAdjCap),
          w0 AS (SELECT id AS walk_id, id AS node FROM nodes),
          ${(1 to WalkLen).map(stepCte).mkString(",\n")}
          $selects

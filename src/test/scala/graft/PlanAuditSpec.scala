@@ -13,6 +13,7 @@ class PlanAuditSpec extends SparkSpec {
   private val boundedBnlj = Set(
     "s_cosine_topk", // fixed nQueries query vectors × corpus
     "s_ivf_ann",     // NumLists centroids × corpus (assignment cross)
+    "s_ivfpq_ann",   // same NumLists coarse-assignment cross as s_ivf_ann
     "s_kmeans"       // KmeansK centroids × corpus (assignment cross)
   )
 
