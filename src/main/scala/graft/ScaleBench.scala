@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.graph.{Algorithms, TestGraph}
+
+/** Above-sf0.1 scale evidence for the iterative graph kernels.
+  *
+  * The driver generates testdata up to sf0.1 (15k genomes / ~0.8M
+  * thresholded edges); this main synthesizes the SAME graph shape at
+  * arbitrary node counts — no driver data needed, because the
+  * [[graft.graph.TestGraph]] mapping is itself deterministic: nodes
+  * 0..n−1, group key = id mod 25 (the nation analogue), a hash-uniform
+  * "acctbal" over the [[TestGraph.DistanceNorm]] span, and the
+  * same-group similarity-edge rule `|Δ|/norm ≤ threshold`. Mean degree
+  * therefore grows LINEARLY with n (nations are a fixed dimension —
+  * that is the data model, not an artifact), so sf1 ≈ 150k nodes /
+  * ~85M edges is a genuinely ×100 edge load over sf0.1.
+  *
+  * Runs each kernel ONCE (these are multi-minute jobs at sf1; the
+  * bench-noise protocol's min-of-5 is for the sub-10 s sf0.1 fleet)
+  * and prints one JSON line with per-kernel wall seconds + graph
+  * stats. `SPARK_GRAFT_SCALE_NODES` overrides the node count.
+  */
+object ScaleBench {
+
+  /** The TestGraph edge rule over synthetic nodes: same-group pairs
+    * with hash-uniform balances within the query threshold. The group
+    * self-join shuffles each side once on the group key — the same
+    * bucketed-candidate build [[TestGraph.sharesDna]] documents. */
+  def syntheticEdges(spark: SparkSession, n: Long, groups: Int): DataFrame = {
+    val ids = spark.range(n).select(col("id"))
+    // hash-uniform balance over [0, DistanceNorm): md5-prefix hash (the
+    // corpus-wide deterministic-sampling idiom) scaled from 2^60
+    val bal = (Hashing.md5Hash60(col("id").cast("string")).cast("double") /
+      lit(math.pow(2.0, 60))) * TestGraph.DistanceNorm
+    val m = ids.select(col("id"), (col("id") % groups).as("grp"), bal.as("bal"))
+    val a = m.select(col("id").as("src"), col("grp"), col("bal").as("abal"))
+    val b = m.select(col("id").as("dst"), col("grp"), col("bal").as("bbal"))
+    a.join(b, Seq("grp"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        (abs(col("abal") - col("bbal")) / TestGraph.DistanceNorm).as("distance"))
+      .filter(col("distance") <= TestGraph.QueryThreshold)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_NODES", "150000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nodes = spark.range(n).select(col("id")).localCheckpoint(true)
+    val t0 = System.nanoTime()
+    val edges = syntheticEdges(spark, n, 25).localCheckpoint(true)
+    val nEdges = edges.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    // the shared inputs' checkpoint blocks must survive the per-kernel
+    // cleanup (a blanket unpersist would truncate their lineage for the
+    // NEXT kernel); everything else a kernel leaves behind is dropped
+    val protectedIds: Set[Int] = Seq(nodes, edges).flatMap(
+      _.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }).toSet
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed(name: String)(df: => DataFrame): Unit = {
+      val s = System.nanoTime()
+      val rows = df.count()
+      times(name) = (System.nanoTime() - s) / 1e9
+      System.err.println(f"[scale] $name: ${times(name)}%.1f s ($rows rows)")
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => protectedIds.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+
+    timed("connected_components") {
+      Algorithms.connectedComponents(nodes, edges)
+    }
+    timed("pagerank") {
+      Algorithms.pageRank(nodes, edges)
+    }
+    timed("label_prop") {
+      Algorithms.labelPropagation(nodes, edges)
+    }
+    timed("kcore") {
+      Algorithms.kCore(nodes, edges, k = 3)
+    }
+    timed("sssp") {
+      Algorithms.shortestPaths(nodes,
+        edges.withColumnRenamed("distance", "weight")
+          .select(col("src"), col("dst"), col("weight"))
+          .unionByName(edges.select(col("dst").as("src"),
+            col("src").as("dst"), col("distance").as("weight"))),
+        nodes.filter(col("id") < 8))
+    }
+
+    val qs = times.map { case (k, v) => Json.q(k) + ":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scale_graph","n_nodes":$n,"n_edges":$nEdges,""" +
+      s""""build_sec":$buildSec,"kernels":$qs}""")
+    spark.stop()
+  }
+}

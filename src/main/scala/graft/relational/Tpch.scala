@@ -238,6 +238,143 @@ object Tpch {
         round($"total_sum", 2).cast("double").as("total_revenue"))
   }
 
+  /** TPC-H Q7 shape: volume shipping between two trading nations — for
+    * each (supplier nation, customer nation) direction of the pair,
+    * yearly discounted revenue. The classic DOUBLE-DIMENSION join:
+    * lineitem reaches nation twice, once through supplier and once
+    * through orders→customer; both nation joins are broadcast (bounded
+    * dim), the pair filter prunes to the two nations BEFORE the big
+    * join, and the year comes from the shipdate already in hand (no
+    * extra scan). Revenue is a decimal sum. `q7_volume_shipping`. */
+  def q7VolumeShipping(spark: SparkSession, dir: String,
+                       nationA: String = "NATION_1",
+                       nationB: String = "NATION_2"): DataFrame = {
+    import spark.implicits._
+    val n1 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+      .filter($"supp_nation".isin(nationA, nationB))
+    val n2 = Tables.nation(spark, dir)
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+      .filter($"cust_nation".isin(nationA, nationB))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .select($"s_suppkey", $"supp_nation")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+      .select($"c_custkey", $"cust_nation")
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(round(sum($"l_extendedprice".cast(D12_4) *
+          (lit(1.0) - $"l_discount").cast(D12_4)), 2)
+        .cast("double").as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** TPC-H Q9 shape: product-type profit by nation and year. The spec's
+    * supply cost comes from partsupp (absent in this corpus); the
+    * deterministic stand-in is 10% of the part's retail price, rounded
+    * to cents ONCE before the decimal arithmetic so both engines
+    * subtract the identical DECIMAL(12,2) unit cost. profit =
+    * disc_price − unit_cost·qty, summed exactly; the widget-name filter
+    * is pushed to the part scan. `q9_product_profit`. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+      .filter($"p_name".contains("widget"))
+      .select($"p_partkey",
+        round($"p_retailprice" * 0.1, 2).cast(D12_2).as("unit_cost"))
+    val amount = $"l_extendedprice".cast(D12_4) *
+      (lit(1.0) - $"l_discount").cast(D12_4) -
+      $"unit_cost" * $"l_quantity".cast(D12_2)
+    Tables.lineitem(spark, dir)
+      .join(part, $"l_partkey" === $"p_partkey")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
+      .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution — how many
+    * customers placed 0, 1, 2… qualifying orders. The DOUBLE
+    * AGGREGATION: a LEFT OUTER join keeps order-less customers (their
+    * count is 0, not a missing row), the first groupBy collapses to one
+    * row per customer, the second to one row per count value — the
+    * second input is |customers| rows at most, so the heavy shuffle
+    * happens exactly once. `q13_cust_distribution`. */
+  def q13CustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .select($"o_custkey", $"o_orderkey")
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** TPC-H Q19 shape: discounted revenue under an OR-of-ANDs predicate
+    * (three brand/size/quantity envelopes). The join stays a single
+    * equi-join on partkey with the disjunction as a residual filter;
+    * per-side conjuncts that appear in EVERY branch (size ≥ 1, qty ≥ 1)
+    * are pushed to the scans. One decimal-sum row out.
+    * `q19_disc_revenue`. */
+  def q19DiscRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val branch1 = $"p_brand" === "Brand#13" && $"p_size".between(1, 15) &&
+      $"l_quantity".between(1, 20)
+    val branch2 = $"p_brand" === "Brand#5" && $"p_size".between(1, 25) &&
+      $"l_quantity".between(5, 30)
+    val branch3 = $"p_brand" === "Brand#19" && $"p_size".between(1, 30) &&
+      $"l_quantity".between(10, 40)
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .filter(branch1 || branch2 || branch3)
+      .agg(round(sum($"l_extendedprice".cast(D12_4) *
+          (lit(1.0) - $"l_discount").cast(D12_4)), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22 shape: dormant positive balances by country code —
+    * customers whose balance beats the positive-balance average but who
+    * placed no orders since mid-1997 (the spec's "no orders at all" is
+    * vacuous on this corpus — nearly every customer has SOME order).
+    * The scalar average is a 1-row aggregate CROSS-broadcast into the
+    * filter (no driver-side collect; one decimal sum ÷ count division,
+    * identical in both engines); the dormancy test is a LEFT-ANTI join
+    * on the projected custkey with the date filter pushed to the
+    * orders scan; the country code is the nation-key decade.
+    * `q22_dormant_balance`. */
+  def q22DormantBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter($"c_acctbal" > 0)
+      .agg((round(sum($"c_acctbal".cast(D12_2)), 2).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    cust
+      .join(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderdate" >= lit("1997-06-01").cast("timestamp"))
+          .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy(($"c_nationkey" % 10).cast("long").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum($"c_acctbal".cast(D12_2)), 2).cast("double").as("totacctbal"))
+      .orderBy($"cntrycode")
+  }
+
   /** Explicit GROUPING SETS — the two one-dimension margins plus the
     * leaf, WITHOUT the grand total (the lattice subset neither
     * [[qRollup]]'s hierarchy nor [[qCube]]'s full lattice expresses):
@@ -555,6 +692,64 @@ object Tpch {
          COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-01'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q7_volume_shipping" ->
+      """SELECT s.supp_nation, c.cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN (SELECT c_custkey, n_name AS cust_nation FROM customer
+               JOIN nation ON c_nationkey = n_nationkey
+               WHERE n_name IN ('NATION_1', 'NATION_2')) c
+           ON o_custkey = c.c_custkey
+         JOIN (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+               JOIN nation ON s_nationkey = n_nationkey
+               WHERE n_name IN ('NATION_1', 'NATION_2')) s
+           ON l_suppkey = s.s_suppkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND s.supp_nation <> c.cust_nation
+         GROUP BY s.supp_nation, c.cust_nation, l_year
+         ORDER BY s.supp_nation, c.cust_nation, l_year""",
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))
+                        - CAST(ROUND(p_retailprice * 0.1, 2) AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY n_name, o_year
+         ORDER BY nation, o_year DESC""",
+    "q13_cust_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q19_disc_revenue" ->
+      """SELECT
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 5 AND 30)
+            OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40)""",
+    "q22_dormant_balance" ->
+      """SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+                COUNT(*) AS numcust,
+                CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (
+             SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) / COUNT(*)
+             FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '1997-06-01')
+         GROUP BY cntrycode ORDER BY cntrycode""",
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
@@ -766,6 +961,11 @@ object Tpch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> q1PricingSummary _,
     "q3_shipping_priority" -> q3ShippingPriority _,
+    "q7_volume_shipping"   -> ((s: SparkSession, d: String) => q7VolumeShipping(s, d)),
+    "q9_product_profit"    -> q9ProductProfit _,
+    "q13_cust_distribution" -> q13CustDistribution _,
+    "q19_disc_revenue"     -> q19DiscRevenue _,
+    "q22_dormant_balance"  -> q22DormantBalance _,
     "q10_returned_items"   -> q10ReturnedItems _,
     "q17_small_qty"        -> q17SmallQty _,
     "q18_large_orders"     -> q18LargeOrders _,

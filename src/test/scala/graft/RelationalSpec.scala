@@ -239,6 +239,74 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q7 reports both directions of the nation pair and never a self-pair") {
+    // sf0.001 has no qualifying rows (2-nation × date window selectivity);
+    // drive the shape on the bigger fixture SF via the 0.01 dir
+    val r = rowsOf(Tpch.q7VolumeShipping(spark, "/root/testdata/sf0.01"))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (s, c) = (row.getString(0), row.getString(1))
+      assert(Set("NATION_1", "NATION_2")(s) && Set("NATION_1", "NATION_2")(c))
+      assert(s != c, "self-pairs excluded")
+      assert(row.getDouble(3) > 0.0)
+    }
+  }
+
+  test("q9 profit never exceeds the undiscounted revenue of the same group") {
+    import spark.implicits._
+    val r = rowsOf(Tpch.q9ProductProfit(spark, SF))
+    assert(r.nonEmpty)
+    // profit = disc_price − cost·qty < extendedprice sum of the group
+    val gross = Tables.lineitem(spark, SF)
+      .join(Tables.part(spark, SF).filter($"p_name".contains("widget")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables.supplier(spark, SF), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.nation(spark, SF), $"s_nationkey" === $"n_nationkey")
+      .join(Tables.orders(spark, SF), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name", year($"o_orderdate"))
+      .agg(sum($"l_extendedprice").as("gross"))
+      .collect().map(x => (x.getString(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    r.foreach { row =>
+      assert(row.getDouble(2) < gross((row.getString(0), row.getInt(1))) + 1e-6)
+    }
+  }
+
+  test("q13 distribution counts every customer exactly once, including zero-order ones") {
+    val r = rowsOf(Tpch.q13CustDistribution(spark, SF))
+    assert(r.nonEmpty)
+    val totalCustomers = r.map(_.getLong(1)).sum
+    assert(totalCustomers == Tables.customer(spark, SF).count(),
+      "histogram masses sum to the customer count")
+    assert(r.map(_.getLong(0)).contains(0L) ||
+      r.map(_.getLong(0)).min > 0L, "zero bucket present iff zero-order customers exist")
+  }
+
+  test("q19 residual disjunction equals the union of its three branch counts") {
+    import spark.implicits._
+    val r = rowsOf(Tpch.q19DiscRevenue(spark, SF)).head
+    val joined = Tables.lineitem(spark, SF)
+      .join(Tables.part(spark, SF), $"l_partkey" === $"p_partkey")
+    def branch(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      joined.filter($"p_brand" === brand && $"p_size".between(1, sizeHi) &&
+        $"l_quantity".between(qLo, qHi))
+    // branches are brand-disjoint, so the OR row count is the plain sum
+    val unionCount = branch("Brand#13", 15, 1, 20).count() +
+      branch("Brand#5", 25, 5, 30).count() +
+      branch("Brand#19", 30, 10, 40).count()
+    assert(r.getLong(1) == unionCount, "OR predicate = sum of disjoint branches")
+  }
+
+  test("q22 dormant customers have above-average balances and no recent orders") {
+    import spark.implicits._
+    val r = rowsOf(Tpch.q22DormantBalance(spark, "/root/testdata/sf0.01"))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(1) > 0L)
+      assert(row.getDouble(2) > 0.0, "dormant balances are positive by the avg filter")
+      assert(row.getLong(0) >= 0L && row.getLong(0) <= 9L, "cntrycode is a decade digit")
+    }
+  }
+
   test("sessionization: no intra-session gap exceeds 30 minutes and sessions are ordered") {
     val s = Tpch.qEventsSessionize(spark, SF)
     // session spans must not overlap for the same user, and ids are 1..n
