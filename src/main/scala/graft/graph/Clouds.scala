@@ -266,9 +266,11 @@ object Clouds {
     *
     * When to use which (measured): on the UNIFORMLY dense test graph
     * (mean deg ≈ 110 at sf0.1, ~1M genuinely-similar pairs) this path
-    * now matches the exact one (min-of-5 4.7 s vs 4.3 s, identical
-    * conditions; was 26.5 s before the rescore moved to the
-    * array-intersection join below) — when nearly every pair is a real
+    * now matches the exact one (r7 min-of-5 4.7 s vs 4.3 s under
+    * identical conditions; r8 re-measurement under the RUNS=5 default
+    * shows 6.7–7.6 s across invocations — host-load dependent, but
+    * consistently ~5× under the 26.5 s the exploded rescore cost) —
+    * when nearly every pair is a real
     * candidate, the exact co-membership join already enumerates exactly
     * the intersection rows and the sampled pass adds only its hash-rank
     * overhead. The capped path is for
