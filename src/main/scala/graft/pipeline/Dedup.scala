@@ -230,6 +230,90 @@ object Dedup {
       .orderBy(col("a"), col("b"))
   }
 
+  /** MinHash estimate-vs-exact calibration audit — the sketch-quality
+    * check a pipeline runs BEFORE trusting est_jaccard at 100 TB (where
+    * exact Jaccard is unaffordable corpus-wide but affordable on the
+    * candidate set): for every LSH candidate pair at a LOW estimate
+    * threshold (borderline band included on purpose), the 32-perm
+    * estimate NEXT TO the exact df-capped gram Jaccard and the absolute
+    * error. Exact intersection is computed ONLY for candidate docs
+    * (semi-join pruned gram table), so the audit's cost tracks the
+    * candidate count, not the corpus. A candidate pair with NO shared
+    * kept gram (possible via mod-P hash collisions) reports exact 0.
+    * `d_minhash_est`. */
+  def minhashEstimateAudit(spark: SparkSession, dir: String,
+                           minEst: Double = 0.25): DataFrame = {
+    val est = minhashLsh(spark, dir, minEst).localCheckpoint(true)
+    val grams = dropHighDfGrams(Docs.gramTable(spark, dir))
+    val candDocs = est.select(col("a").as("doc_id"))
+      .union(est.select(col("b").as("doc_id"))).distinct()
+    val kept = grams.join(candDocs, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.as("g1")
+      .join(kept.as("g2"),
+        col("g1.gram") === col("g2.gram") && col("g1.doc_id") < col("g2.doc_id"))
+      .groupBy(col("g1.doc_id").as("a"), col("g2.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    val jac = coalesce(col("i"), lit(0L)).cast("double") /
+      (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double")
+    est
+      .join(inter, Seq("a", "b"), "left_outer")
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("est_jaccard"),
+        round(jac, 6).as("jaccard"),
+        round(abs(col("est_jaccard") - jac), 6).as("abs_err"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Tokens per segment for [[segmentDedup]]. */
+  val SegTokens = 8
+  /** A segment shared by more than this many documents is boilerplate. */
+  val SegDfCap = 3
+
+  /** Segment-level dedup (the C4/CCNet "line dedup" cleaning pass,
+    * re-shaped for this corpus's newline-free text): split each doc
+    * into fixed [[SegTokens]]-token segments, drop every segment whose
+    * EXACT content occurs in more than [[SegDfCap]] distinct documents
+    * (navigation chrome / repeated footers at web scale), and report
+    * per-doc retention. One explode + two keyed shuffles (segment df,
+    * then per-doc re-agg) — the same anti-join-on-a-stoplist shape as
+    * [[dropHighDfGrams]], but on exact segment content, and the df
+    * count is DISTINCT docs (a doc internally repeating its own segment
+    * is repetition, [[Text.repetition]]'s signal, not boilerplate).
+    * `d_segment_dedup`. */
+  def segmentDedup(spark: SparkSession, dir: String,
+                   segTokens: Int = SegTokens, dfCap: Int = SegDfCap): DataFrame = {
+    val toks = Docs.docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val nSeg = ceil(size(col("t")).cast("double") / segTokens).cast("int")
+    // fixed windows via transform(sequence(...)): stays inside codegen
+    // and preserves token order by construction (an explode +
+    // collect_list rebuild would lose intra-group order)
+    val segText = toks
+      .select(col("doc_id"), nSeg.as("n_segments"), col("t"))
+      .select(col("doc_id"), col("n_segments"),
+        posexplode(expr(s"transform(sequence(0, n_segments - 1), " +
+          s"i -> array_join(slice(t, i * $segTokens + 1, $segTokens), ' '))"))
+          .as(Seq("seg", "seg_text")))
+    val boiler = segText.groupBy(col("seg_text"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > dfCap)
+      .select(col("seg_text"))
+    segText
+      .join(boiler, Seq("seg_text"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"))
+      .join(segText.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments")), Seq("doc_id"), "right_outer")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("n_segments").cast("double"), 6).as("kept_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- incremental (cross-corpus) dedup -----------------------------
 
   /** Incremental dedup against an already-ingested corpus: keep only
@@ -420,7 +504,11 @@ object Dedup {
     * hashes → bucket join → signature-match estimate. Generated from the
     * same constants the Spark plan uses ([[permA]]/[[permB]]/[[P]]), so
     * the two engines cannot drift apart. */
-  private def minhashOracle: String = {
+  /** Replay of signatures → bands → candidates → estimates as a CTE
+    * prelude ending in `est(a, b, est_jaccard)` — shared by the LSH
+    * dedup oracle (≥ 0.5 cut) and the calibration audit (low cut +
+    * exact compare). */
+  private def minhashEstCtePrelude: String = {
     val mhs = (0 until NumPerm)
       .map(i => s"MIN((CAST(${permA(i)} AS BIGINT) * h + ${permB(i)}) % $P) AS mh$i")
       .mkString(", ")
@@ -431,7 +519,7 @@ object Dedup {
     val matches = (0 until NumPerm)
       .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH $KeptGramCte,
+    s"""$KeptGramCte,
        gh AS (SELECT doc_id, ${hexFoldSql("gram")} % $P AS h FROM kept),
        sig AS (SELECT doc_id, $mhs FROM gh GROUP BY doc_id),
        bands AS ($bandSelects),
@@ -441,10 +529,13 @@ object Dedup {
            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
        est AS (
          SELECT a, b, CAST($matches AS DOUBLE) / $NumPerm AS est_jaccard
-         FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)
+         FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)"""
+  }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashEstCtePrelude
        SELECT a, b, est_jaccard FROM est
        WHERE est_jaccard >= 0.5 ORDER BY a, b"""
-  }
 
   val oracle: Map[String, String] = Map(
     "d_incremental_dedup" ->
@@ -464,6 +555,58 @@ object Dedup {
           ORDER BY doc_id"""
     },
     "d_minhash_lsh" -> minhashOracle,
+    "d_minhash_est" ->
+      s"""WITH $minhashEstCtePrelude,
+         est25 AS (SELECT * FROM est WHERE est_jaccard >= 0.25),
+         cdocs AS (SELECT a AS doc_id FROM est25
+                   UNION SELECT b FROM est25),
+         ck AS (SELECT k.* FROM kept k
+                WHERE EXISTS (SELECT 1 FROM cdocs c WHERE c.doc_id = k.doc_id)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM ck GROUP BY doc_id),
+         inter AS (
+           SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+           FROM ck g1 JOIN ck g2
+             ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+           GROUP BY g1.doc_id, g2.doc_id)
+         SELECT e.a, e.b, e.est_jaccard,
+                ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) /
+                      CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6) AS jaccard,
+                ROUND(ABS(e.est_jaccard -
+                      CAST(COALESCE(i.i, 0) AS DOUBLE) /
+                      CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE)), 6) AS abs_err
+         FROM est25 e
+         LEFT JOIN inter i ON i.a = e.a AND i.b = e.b
+         JOIN sizes sa ON sa.doc_id = e.a
+         JOIN sizes sb ON sb.doc_id = e.b
+         ORDER BY e.a, e.b""",
+    "d_segment_dedup" ->
+      s"""WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         segt AS (
+           SELECT doc_id,
+                  CAST(CEIL(CAST(len(t) AS DOUBLE) / $SegTokens) AS INTEGER)
+                    AS n_segments, t
+           FROM toks),
+         segs AS (
+           SELECT doc_id, n_segments,
+                  unnest(list_transform(range(n_segments),
+                    i -> array_to_string(t[i*$SegTokens + 1 : i*$SegTokens + $SegTokens], ' ')))
+                    AS seg_text
+           FROM segt),
+         boiler AS (
+           SELECT seg_text FROM segs
+           GROUP BY seg_text HAVING COUNT(DISTINCT doc_id) > $SegDfCap),
+         keptseg AS (
+           SELECT doc_id, COUNT(*) AS n_kept FROM segs
+           WHERE seg_text NOT IN (SELECT seg_text FROM boiler)
+           GROUP BY doc_id)
+         SELECT s.doc_id, CAST(s.n_segments AS BIGINT) AS n_segments,
+                COALESCE(k.n_kept, 0) AS n_kept,
+                ROUND(CAST(COALESCE(k.n_kept, 0) AS DOUBLE) /
+                      CAST(s.n_segments AS DOUBLE), 6) AS kept_ratio
+         FROM (SELECT DISTINCT doc_id, n_segments FROM segs) s
+         LEFT JOIN keptseg k ON k.doc_id = s.doc_id
+         ORDER BY s.doc_id""",
     "d_simhash" ->
       s"""WITH $simhashFpCte
          SELECT doc_id, simhash, simhash >> 48 AS bucket FROM fp
@@ -595,5 +738,7 @@ object Dedup {
     "d_token_budget"  -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "d_sample_mix"    -> (sampleMix _),
     "d_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
+    "d_minhash_est"   -> ((s: SparkSession, d: String) => minhashEstimateAudit(s, d)),
+    "d_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
   )
 }

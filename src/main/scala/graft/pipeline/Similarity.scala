@@ -191,6 +191,36 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Radius (range) search: every vector with rounded cosine ≥ `minCos`
+    * to a query — top-k's sibling, the shape dedup sweeps and
+    * recall-at-threshold evaluations ask for ("give me ALL near
+    * matches", not the best k). Candidates come from the shared LSH
+    * (table, bucket) exactly as [[lshAnn]] — the query side is the
+    * bounded set, the shuffle is bucket-local — and survivors are
+    * rescored exactly, then THRESHOLDED instead of ranked: no window,
+    * no heap, the output is as big as the data says (at 100 TB the
+    * result set scales with true neighbour density, which is the
+    * operator's contract). `s_range_search`. */
+  def rangeSearch(spark: SparkSession, dir: String, nQueries: Int = 10,
+                  minCos: Double = 0.3): DataFrame = {
+    val v = vectors(spark, dir).localCheckpoint(true)
+    val b = buckets(v).localCheckpoint(true)
+    val qb = b.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("table"), col("bucket"))
+    val candIds = qb.join(b, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    candIds
+      .join(v.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn")), Seq("query_id"))
+      .join(v, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor"),
+        round(arrayDot(col("qv"), col("v")) / (col("qn") * col("norm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .orderBy(col("query_id"), col("neighbor"))
+  }
+
   // ---- IVF ANN (the other scale path) --------------------------------
 
   val NumLists = 16   // inverted lists (coarse centroids); ~√N at scale
@@ -914,6 +944,19 @@ object Similarity {
            FROM scored)
          SELECT query_id, neighbor, cos_sim, rnk FROM ranked
          WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "s_range_search" ->
+      s"""$VecCte,
+         $LshBucketsCte,
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+           FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         SELECT cand.query_id, cand.vec_id AS neighbor,
+                ROUND(list_cosine_similarity(q.v, e.v), 4) AS cos_sim
+         FROM cand JOIN e q ON q.vec_id = cand.query_id
+         JOIN e ON e.vec_id = cand.vec_id
+         WHERE ROUND(list_cosine_similarity(q.v, e.v), 4) >= 0.3
+         ORDER BY query_id, neighbor""",
     "d_embedding_neardup" ->
       s"""$VecCte,
          pairs AS (
@@ -972,6 +1015,7 @@ object Similarity {
     "d_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
     "s_cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "s_lsh_ann"           -> ((s: SparkSession, d: String) => lshAnn(s, d)),
+    "s_range_search"      -> ((s: SparkSession, d: String) => rangeSearch(s, d)),
     "s_ivf_ann"           -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "s_kmeans"            -> ((s: SparkSession, d: String) => kmeans(s, d)),
     "s_pq_ann"            -> ((s: SparkSession, d: String) => pqAnn(s, d)),

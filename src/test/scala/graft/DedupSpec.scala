@@ -60,6 +60,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) == 1.0, "exact copy ⇒ 1.0")
   }
 
+  test("minhash calibration: exact duplicates estimate 1.0 with zero error, estimates bracket truth") {
+    val r = rowsOf(Dedup.minhashEstimateAudit(spark, dir))
+    assert(r.nonEmpty)
+    val byPair = r.map(row => (row.getLong(0), row.getLong(1)) ->
+      (row.getDouble(2), row.getDouble(3), row.getDouble(4))).toMap
+    // docs 0 and 2 are byte-identical: every permutation min agrees and
+    // the exact jaccard is 1 → est 1.0, err 0
+    val (est02, jac02, err02) = byPair((0L, 2L))
+    assert(est02 == 1.0 && jac02 == 1.0 && err02 == 0.0)
+    r.foreach { row =>
+      val (est, jac, err) = (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+      assert(est >= 0.25 && est <= 1.0)
+      assert(jac >= 0.0 && jac <= 1.0)
+      assert(math.abs(err - math.abs(est - jac)) < 2e-6, "err column is |est − exact|")
+    }
+  }
+
+  test("segment dedup drops only cross-doc repeated segments, keeps unique docs whole") {
+    // two docs sharing an identical 8-token prefix across > SegDfCap docs:
+    // plant the same segment in 5 docs, unique tails
+    val shared = Seq.fill(Dedup.SegTokens)("shared").mkString(" ")
+    val rows = (0L until 5L).map(i =>
+      (i, s"$shared ${salad(100 + i.toInt, Dedup.SegTokens)}", "en", "src0", 0L)) :+
+      (5L, salad(999, 2 * Dedup.SegTokens), "en", "src0", 0L)
+    val d = TestSession.docsFixture(rows)
+    val r = rowsOf(Dedup.segmentDedup(spark, d))
+    val byDoc = r.map(row => row.getLong(0) ->
+      (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    (0L until 5L).foreach { i =>
+      val (nSeg, nKept, ratio) = byDoc(i)
+      assert(nSeg == 2L && nKept == 1L && ratio == 0.5,
+        s"doc $i: shared prefix segment dropped, unique tail kept (got $nSeg/$nKept)")
+    }
+    val (n5, k5, r5) = byDoc(5L)
+    assert(n5 == 2L && k5 == 2L && r5 == 1.0, "fully unique doc untouched")
+  }
+
   test("dedup operators run on the driver corpus with sane shapes") {
     assert(Dedup.exactDedup(spark, SF).count() > 0)
     val sig = rowsOf(Dedup.simhash(spark, SF))

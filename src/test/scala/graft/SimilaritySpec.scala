@@ -275,6 +275,25 @@ class SimilaritySpec extends SparkSpec {
     assert(nKept > 0 && nKept <= r.size)
   }
 
+  test("range search finds every planted twin and nothing below the threshold") {
+    val r = rowsOf(Similarity.rangeSearch(spark, dir, minCos = 0.9))
+    val byQuery = r.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    (0L until 10L).foreach(q =>
+      assert(byQuery.getOrElse(q, Set.empty).contains(q + 10),
+        s"query $q: twin must be within the 0.9 radius"))
+    r.foreach(row => assert(row.getDouble(2) >= 0.9, "no below-threshold rows"))
+    // radius ⊆ brute-force ground truth: every reported cosine is exact,
+    // so the same pair filtered on the exact all-pairs table must agree
+    val exact = rowsOf(Similarity.embeddingNearDup(spark, dir, minCos = 0.9))
+      .map(row => (row.getLong(0), row.getLong(1)) -> row.getDouble(2)).toMap
+    r.foreach { row =>
+      val key = (math.min(row.getLong(0), row.getLong(1)),
+        math.max(row.getLong(0), row.getLong(1)))
+      assert(exact.get(key).contains(row.getDouble(2)),
+        s"range-search pair $key must carry the exact cosine")
+    }
+  }
+
   test("near-dup pairs on the fixture are exactly the planted twins") {
     val pairs = rowsOf(Similarity.embeddingNearDup(spark, dir, minCos = 0.9))
       .map(r => (r.getLong(0), r.getLong(1))).toSet
