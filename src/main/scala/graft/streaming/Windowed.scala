@@ -102,7 +102,60 @@ object Windowed {
         col("first.event_id").as("first_event_id"), col("n_copies"))
       .orderBy(col("content_hash"))
 
+  /** Reported ranks per window for [[topkBatch]]. */
+  val TopkK = 3
+
+  /** Per-(window, user) exact value sums — the shared kernel of the
+    * windowed top-k: this IS the streaming-safe part (keyed windowed
+    * aggregation under a watermark, appended when the window closes).
+    * The RANK is deliberately not in the streaming plan: append-mode
+    * ranking would need the window's final contents mid-stream, which
+    * is precisely what the watermark close provides downstream — so
+    * the streaming path emits closed per-user window sums and the
+    * top-k is the per-closed-window post-pass ([[topkBatch]] runs it
+    * through the native TopKPerGroup heap). */
+  def windowedUserSums(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(D12_2)), 2).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start_sec"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Batch path of the windowed top-k — the oracle-checked
+    * `st_windowed_topk` entry: top [[TopkK]] users per hour by exact
+    * summed value, (sum desc, user_id) total order. */
+  def topkBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup.rankTopK(
+        windowedUserSums(Tables.events(spark, dir)),
+        Seq("window_start_sec"), Seq("sum_value" -> true, "user_id" -> false),
+        TopkK)
+      .select(col("window_start_sec"), col("user_id"), col("n_events"),
+        col("sum_value"), col("rnk"))
+      .orderBy(col("window_start_sec"), col("rnk"))
+
+  /** Streaming path: the keyed window sums under a watermark. */
+  def topkStreaming(events: DataFrame): DataFrame =
+    windowedUserSums(events.withWatermark("ts", "2 hours"))
+
   val oracle: Map[String, String] = Map(
+    "st_windowed_topk" ->
+      s"""WITH e AS (
+           SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, user_id, value
+           FROM events),
+         sums AS (
+           SELECT ts_sec - ts_sec % 3600 AS window_start_sec, user_id,
+                  COUNT(*) AS n_events,
+                  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+           FROM e GROUP BY 1, 2)
+         SELECT window_start_sec, user_id, n_events, sum_value,
+                CAST(rnk AS BIGINT) AS rnk FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_sec
+                    ORDER BY sum_value DESC, user_id) AS rnk
+           FROM sums)
+         WHERE rnk <= $TopkK ORDER BY window_start_sec, rnk""",
     "st_dedup" ->
       """WITH e AS (
            SELECT md5(props) AS content_hash,
@@ -143,5 +196,6 @@ object Windowed {
     "st_windowed_agg"   -> (batch _),
     "st_dedup"          -> (dedupBatch _),
     "st_sliding_window" -> (slidingBatch _),
+    "st_windowed_topk"  -> (topkBatch _),
   )
 }

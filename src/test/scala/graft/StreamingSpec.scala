@@ -132,6 +132,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed top-k: dense ranks per window, streaming sums match the batch kernel") {
+    // batch entry: ranks dense 1..k, ordered by the exact sum
+    val r = rowsOf(Windowed.topkBatch(spark, SF))
+    assert(r.nonEmpty)
+    r.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)) == (1L to rows.size.toLong), "dense ranks")
+      assert(sorted.size <= Windowed.TopkK)
+      val sums = sorted.map(_.getDouble(3))
+      assert(sums == sums.sorted.reverse, "ranked by sum desc")
+    }
+    // streaming path: per-user window sums appended on close equal batch
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, Double)]
+    val q = Windowed.topkStreaming(stream.toDF.toDF("ts", "user_id", "value"))
+      .writeStream.format("memory").queryName("topk_sink")
+      .outputMode("append").start()
+    try {
+      val data = Seq((ts(0, 10), 1L, 5.0), (ts(0, 20), 1L, 2.0),
+        (ts(0, 40), 2L, 4.5), (ts(0, 50), 3L, 1.0))
+      stream.addData(data: _*)
+      q.processAllAvailable()
+      stream.addData((ts(9, 0), 9L, 1.0)) // close hour 0
+      q.processAllAvailable()
+      val got = spark.table("topk_sink")
+        .select("window_start_sec", "user_id", "n_events", "sum_value")
+        .collect().map(x => (x.getLong(0), x.getLong(1)) -> (x.getLong(2), x.getDouble(3)))
+        .toMap
+      val h0 = ts(0, 0).getTime / 1000
+      assert(got((h0, 1L)) == ((2L, 7.0)), "user 1 sums fold across the window")
+      assert(got((h0, 2L)) == ((1L, 4.5)) && got((h0, 3L)) == ((1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("batch left join keeps clickless purchases as a single null-padded row") {
     val pairs = rowsOf(streaming.StreamJoin.leftJoinBatch(spark, SF))
     assert(pairs.nonEmpty)
