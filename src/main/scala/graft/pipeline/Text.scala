@@ -82,6 +82,31 @@ object Text {
           lit(0L), (acc, x) => acc + x).as("n_subword_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Lexical-diversity profile — the type/token signals a pretraining
+    * quality filter cuts on (template-generated and keyword-stuffed
+    * text shows an anomalously LOW type-token ratio; a high hapax share
+    * marks natural prose): distinct-token count, total tokens, hapax
+    * count (tokens occurring exactly once), TTR and hapax share. One
+    * explode + one (doc, token) count + one per-doc re-agg — two keyed
+    * shuffles, integer counts, two single rounded divisions (exact
+    * cross-engine). `t_ttr`. */
+  def typeTokenRatio(spark: SparkSession, dir: String): DataFrame = {
+    val tf = toksOf(Docs.docs(spark, dir))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    tf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6)
+          .as("hapax_share"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling polynomial hash over the token stream (mod 2^31−1, so the
     * accumulator stays < 2^62 and ANSI long arithmetic cannot overflow):
     * fp := (fp·1000003 + code(tok)) mod P, an order-sensitive document
@@ -397,6 +422,20 @@ object Text {
            CAST(list_sum(list_transform(toks,
                 w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens
          FROM t ORDER BY doc_id""",
+    "t_ttr" ->
+      s"""$ToksCte,
+         tf AS (
+           SELECT doc_id, tok, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+           GROUP BY doc_id, tok)
+         SELECT doc_id,
+                CAST(SUM(c) AS BIGINT) AS n_tokens,
+                COUNT(*) AS n_types,
+                CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS ttr,
+                ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+                      CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
+         FROM tf GROUP BY doc_id ORDER BY doc_id""",
     "t_fingerprint" ->
       s"""$ToksCte,
          fp AS (
@@ -423,5 +462,6 @@ object Text {
     "t_distinctive_terms" -> ((s: SparkSession, d: String) => distinctiveTerms(s, d)),
     "t_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "t_bpe_pairs"   -> ((s: SparkSession, d: String) => bpePairs(s, d)),
+    "t_ttr"         -> (typeTokenRatio _),
   )
 }

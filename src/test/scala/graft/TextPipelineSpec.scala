@@ -42,6 +42,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(doc1.getLong(doc1.fieldIndex("n_subword_tokens")) == 9)
   }
 
+  test("type-token ratio: exact counts on hand-checkable docs") {
+    val r = rowsOf(Text.typeTokenRatio(spark, dir)).map(x => x.getLong(0) -> x).toMap
+    // doc 3 "word word word": 3 tokens, 1 type, 0 hapax
+    val d3 = r(3L)
+    assert(d3.getLong(1) == 3L && d3.getLong(2) == 1L && d3.getLong(3) == 0L)
+    assert(d3.getDouble(4) == math.rint(1.0 / 3.0 * 1e6) / 1e6 && d3.getDouble(5) == 0.0)
+    // doc 0 "the cat and the dog of a house is big": 10 tokens, 9 types
+    // (only "the" repeats), 8 hapax
+    val d0 = r(0L)
+    assert(d0.getLong(1) == 10L && d0.getLong(2) == 9L && d0.getLong(3) == 8L)
+    r.values.foreach { row =>
+      assert(row.getDouble(4) > 0.0 && row.getDouble(4) <= 1.0)
+      assert(row.getDouble(5) >= 0.0 && row.getDouble(5) <= 1.0)
+    }
+  }
+
   test("vocab top-k ranks the most frequent tokens per language, tie-broken lexically") {
     val r = rowsOf(Text.vocabTopK(spark, dir, k = 2))
     val en = r.filter(_.getString(0) == "en").sortBy(_.getLong(3))
