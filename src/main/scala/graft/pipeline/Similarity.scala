@@ -365,6 +365,18 @@ object Similarity {
                     // the driver corpus 0.20 sampled → 0.26 at 3 passes;
                     // 2 passes had not yet moved the codewords enough)
 
+  /** Codebook TRAINING sample bound: Lloyd passes run over the
+    * lowest-id [[PqTrainSample]] vectors only (the deterministic-
+    * sampling idiom shared with the IVF centroids), the published PQ
+    * practice — codebooks train on ~10⁵ sampled vectors regardless of
+    * corpus size, so at 100 TB training cost is O(sample) while
+    * encoding remains the corpus-wide narrow map. At toy SF the ×3
+    * cost of training over the untrained codebook is the fixed
+    * per-round action tax (2 extra Lloyd cycles), not data volume —
+    * the sample's payoff is at scale, where full-corpus training would
+    * be `iters` extra passes over everything. */
+  val PqTrainSample = 2048L
+
   /** Per-vector sub-vector slices: (vec_id, s, vs) — the PQ working
     * table, shared by training, encoding and distance tables. */
   private def pqSlices(v: DataFrame): DataFrame = {
@@ -382,7 +394,8 @@ object Similarity {
     * recall A/B in the spec). Means are DECIMAL(28,14)-exact, so the
     * DuckDB oracle unrolls the identical passes bit-for-bit. Codewords
     * that lose all members drop out in both engines alike. */
-  private[graft] def pqCodebook(slices: DataFrame, iters: Int): DataFrame = {
+  private[graft] def pqCodebook(allSlices: DataFrame, iters: Int): DataFrame = {
+    val slices = allSlices.filter(col("vec_id") < PqTrainSample)
     var cb = slices.filter(col("vec_id") < PqK)
       .select(col("s"), col("vec_id").as("cid"), col("vs").as("cvs"))
       .localCheckpoint(true)
@@ -737,6 +750,8 @@ object Similarity {
   private def pqCodebookCtes(iters: Int): String = {
     val seed =
       s"cb0 AS (SELECT s, vec_id AS cid, vs AS cvs FROM slices WHERE vec_id < $PqK)"
+    val train =
+      s"tsl AS (SELECT * FROM slices WHERE vec_id < $PqTrainSample)"
     val steps = (1 until iters).map { i =>
       s"""pa$i AS (
            SELECT vec_id, s, cid FROM (
@@ -744,17 +759,17 @@ object Similarity {
                     ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.s
                       ORDER BY ROUND(list_dot_product(sl.vs, cb.cvs), 4) DESC,
                                cb.cid) AS rn
-             FROM slices sl JOIN cb${i - 1} cb USING (s)) WHERE rn = 1),
+             FROM tsl sl JOIN cb${i - 1} cb USING (s)) WHERE rn = 1),
          ps$i AS (
            SELECT a.s, a.cid, dd.d,
                   CAST(SUM(CAST(sl.vs[dd.d + 1] AS DECIMAL(28,14))) AS DOUBLE)
                     / COUNT(*) AS m
-           FROM pa$i a JOIN slices sl ON sl.vec_id = a.vec_id AND sl.s = a.s,
+           FROM pa$i a JOIN tsl sl ON sl.vec_id = a.vec_id AND sl.s = a.s,
                 sdims dd
            GROUP BY a.s, a.cid, dd.d),
          cb$i AS (SELECT s, cid, list(m ORDER BY d) AS cvs FROM ps$i GROUP BY s, cid)"""
     }
-    ((s"sdims AS (SELECT unnest(range($SubDim)) AS d)" +: seed +: steps) :+
+    ((s"sdims AS (SELECT unnest(range($SubDim)) AS d)" +: train +: seed +: steps) :+
       s"cb AS (SELECT * FROM cb${iters - 1})").mkString(",\n")
   }
 
