@@ -14,7 +14,8 @@ class PlanAuditSpec extends SparkSpec {
     "s_cosine_topk", // fixed nQueries query vectors × corpus
     "s_ivf_ann",     // NumLists centroids × corpus (assignment cross)
     "s_ivfpq_ann",   // same NumLists coarse-assignment cross as s_ivf_ann
-    "s_kmeans"       // KmeansK centroids × corpus (assignment cross)
+    "s_kmeans",      // KmeansK centroids × corpus (assignment cross)
+    "q22_dormant_balance" // ONE-row scalar-average aggregate × customer
   )
 
   test("no operator plans a cartesian product; BNLJ only where bounded") {
