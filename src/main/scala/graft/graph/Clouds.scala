@@ -340,6 +340,42 @@ object Clouds {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Link prediction over the thresholded graph: score NON-adjacent
+    * pairs by neighbourhood evidence — the "which sharesDNA edges are
+    * missing" query a similarity corpus asks before re-running the
+    * expensive all-pairs alignment (predicted pairs are the alignment
+    * worklist). Candidates come from the same ≤cap hash-sampled
+    * co-membership buckets as [[neighborJaccardCapped]]
+    * ([[cappedCandidates]] — the Σdeg² bomb stays defused); EXISTING
+    * edges are anti-joined out (a prediction is a missing edge, by
+    * definition); evidence is the common-neighbour count (through the
+    * native two-pointer [[graft.functions.SortedIntersectCount]] over
+    * packed adjacency, same rescore shape as capped Jaccard) plus the
+    * preferential-attachment product deg·deg. Both scores are
+    * INTEGERS, so cross-engine parity is unconditional. `g_link_pred`. */
+  def linkPrediction(spark: SparkSession, dir: String, minCommon: Long = 3L,
+                     cap: Int = JaccardHubCap): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val nbrs = g.edges.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(g.edges.select(col("dst").as("node"), col("src").as("nbr")))
+      .localCheckpoint(true) // candidate sampling + adjacency pack
+    val existing = g.edges.select(col("src").as("a"), col("dst").as("b"))
+    val cand = cappedCandidates(nbrs, cap)
+      .join(existing, Seq("a", "b"), "left_anti")
+    val adj = nbrs.groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("adj"))
+    cand
+      .join(adj.select(col("node").as("a"), col("adj").as("adj_a")), Seq("a"))
+      .join(adj.select(col("node").as("b"), col("adj").as("adj_b")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("adj_a"), col("adj_b")).as("common_neighbors"),
+        (size(col("adj_a")).cast("long") * size(col("adj_b")).cast("long"))
+          .as("pref_attachment"))
+      .filter(col("common_neighbors") >= minCommon)
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Communities inside the thresholded graph — a finer view than the
     * connected-component "clouds" (a cloud can contain several dense
     * communities bridged by weak links). `g_label_prop`. */
@@ -838,6 +874,39 @@ object Clouds {
          WHERE CAST(inter AS DOUBLE) /
                CAST(da.deg + db.deg - inter AS DOUBLE) >= 0.3
          ORDER BY a, b""",
+    // link prediction: the capped-candidate replay + NOT EXISTS on the
+    // canonical (src < dst) edge list + integer evidence scores
+    "g_link_pred" ->
+      s"""$OracleCte,
+         nbrs AS (
+           SELECT src AS node, dst AS nbr FROM edges WHERE distance <= 0.10
+           UNION ALL
+           SELECT dst, src FROM edges WHERE distance <= 0.10),
+         deg AS (SELECT node, COUNT(*) AS deg FROM nbrs GROUP BY node),
+         ranked AS (
+           SELECT node, nbr,
+                  ROW_NUMBER() OVER (PARTITION BY nbr
+                    ORDER BY ${graft.Hashing.hexFoldSql("concat_ws('|', nbr, node)")}, node) AS rk
+           FROM nbrs),
+         capped AS (SELECT node, nbr FROM ranked WHERE rk <= $JaccardHubCap),
+         cand AS (
+           SELECT DISTINCT x.node AS a, y.node AS b
+           FROM capped x JOIN capped y ON x.nbr = y.nbr AND x.node < y.node),
+         miss AS (
+           SELECT c.a, c.b FROM cand c
+           WHERE NOT EXISTS (
+             SELECT 1 FROM edges e
+             WHERE e.distance <= 0.10 AND e.src = c.a AND e.dst = c.b)),
+         i AS (
+           SELECT m.a, m.b, COUNT(*) AS common_neighbors
+           FROM miss m JOIN nbrs na ON na.node = m.a
+                       JOIN nbrs nb ON nb.node = m.b AND nb.nbr = na.nbr
+           GROUP BY m.a, m.b)
+         SELECT i.a, i.b, i.common_neighbors,
+                da.deg * db.deg AS pref_attachment
+         FROM i JOIN deg da ON da.node = i.a JOIN deg db ON db.node = i.b
+         WHERE i.common_neighbors >= 3
+         ORDER BY i.a, i.b""",
     "g_pagerank" -> pagerankOracle(10),
     // JSON attr payloads rebuilt by string concatenation: longs/strings
     // render identically, and DuckDB's double->varchar is the same
@@ -1081,6 +1150,7 @@ object Clouds {
     "g_neighbor_jaccard"      -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),
     "g_neighbor_jaccard_capped" -> ((s: SparkSession, d: String) =>
                                     neighborJaccardCapped(s, d)),
+    "g_link_pred"             -> ((s: SparkSession, d: String) => linkPrediction(s, d)),
     "g_pagerank"              -> pageRank _,
     "g_shortest_paths"        -> shortestPaths _,
     "g_clustering_coeff"      -> clusteringCoeff _,

@@ -252,6 +252,29 @@ class GraphSpec extends SparkSpec {
       s"cap=2 recall $recall out of the useful range (${tiny.size}/${exact.size})")
   }
 
+  test("link prediction scores only non-adjacent pairs with exact integer evidence") {
+    // sf0.001's graph is too dense for missing-edge candidates (every
+    // ≥3-common-neighbour pair is already an edge); use the gate SF
+    val sf = "/root/testdata/sf0.01"
+    val edges = rowsOf(Clouds.edgesBuild(spark, sf)
+      .filter(col("distance") <= TestGraph.QueryThreshold))
+      .map(e => (e.getLong(0), e.getLong(1))).toSet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val preds = rowsOf(Clouds.linkPrediction(spark, sf))
+    assert(preds.nonEmpty, "the thresholded graph has missing-edge candidates")
+    preds.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a < b, "canonical pair order")
+      assert(!edges((a, b)), "predicted pairs are NOT existing edges")
+      val cn = nbrs.getOrElse(a, Set.empty).intersect(nbrs.getOrElse(b, Set.empty)).size
+      assert(r.getLong(2) == cn.toLong, s"common-neighbour count exact for ($a,$b)")
+      assert(r.getLong(3) ==
+        nbrs(a).size.toLong * nbrs(b).size.toLong, "pref attachment = deg product")
+      assert(r.getLong(2) >= 3L, "min-common filter applied")
+    }
+  }
+
   test("capped candidates bound a hub bucket at C(cap,2)") {
     import spark.implicits._
     // one degree-200 hub: every leaf co-members with every other leaf
