@@ -93,4 +93,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pq.contains("label"),
       s"PQ must not read the label column: $pq")
   }
+
+  test("r8 operators push filters, prune columns, and use the native operators") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, SF).queryExecution.executedPlan.toString
+    def scanOf(name: String, table: String): String =
+      planOf(name).linesIterator.filter(l =>
+        l.contains("FileScan") && l.contains(table)).mkString("\n")
+    // Q9: the widget name filter reaches the part scan; orders payload
+    // pruned to (orderkey, orderdate)
+    val q9p = scanOf("q9_product_profit", "part")
+    assert(q9p.contains("StringContains(p_name,widget)"),
+      s"q9 name filter must reach the part scan: $q9p")
+    val q9o = scanOf("q9_product_profit", "orders")
+    assert(!q9o.contains("o_totalprice") && !q9o.contains("o_orderpriority"),
+      s"q9 needs only (orderkey, orderdate) from orders: $q9o")
+    // Q7: the two-nation filter is a broadcast-side dimension filter;
+    // the lineitem scan carries the shipdate window
+    val q7l = scanOf("q7_volume_shipping", "lineitem")
+    assert(q7l.contains("l_shipdate"),
+      s"q7 shipdate window must reach the lineitem scan: $q7l")
+    // q22: the dormancy window reaches the orders scan of the anti join
+    val q22o = scanOf("q22_dormant_balance", "orders")
+    assert(q22o.contains("o_orderdate"),
+      s"q22 window filter must reach the orders scan: $q22o")
+    // the capped candidate paths run through the native two-phase heap,
+    // and the rescore through the codegen'd two-pointer intersect
+    val lp = planOf("g_link_pred")
+    assert(lp.contains("TopKPerGroup"),
+      "link prediction candidates must use the native heap operator")
+    assert(lp.contains("sorted_intersect_count"),
+      "link prediction rescore must use the native intersect expression")
+    // s_knn_graph's heap sits behind a localCheckpoint in the full
+    // query, so audit the candidate stage's own plan
+    val knnCand = {
+      import spark.implicits._
+      graft.pipeline.Similarity.knnCandidates(
+        Seq((0L, 0, 0L)).toDF("vec_id", "table", "bucket"), 4)
+        .queryExecution.executedPlan.toString
+    }
+    assert(knnCand.contains("TopKPerGroup"),
+      "kNN bucket cap must run through the native heap operator")
+    // segment dedup reads only (doc_id, text) from documents
+    val seg = scanOf("d_segment_dedup", "documents")
+    assert(seg.contains("text") && !seg.contains("source") && !seg.contains("n_chars"),
+      s"segment dedup must read only (doc_id, text): $seg")
+  }
 }
