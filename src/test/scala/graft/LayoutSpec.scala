@@ -82,6 +82,33 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("ANN payload re-attach against a vec_id-bucketed vector store skips the store-side exchange") {
+    // the ANN serving flow at 100 TB: candidate generation emits
+    // (query, vec_id) pairs; re-attaching the (wide) vector payload is
+    // a join on vec_id against the WHOLE store. Bucketing the store on
+    // vec_id at rest makes that join scan pre-hashed co-located buckets
+    // — the corpus-proportional exchange is paid once at ingest, every
+    // query pays only the (small) candidate-side shuffle.
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, SF)
+      .select(col("vec_id"), col("embedding"))
+    Layout.writeBucketed(vecs, "bkt_vectors", "vec_id", 8)
+    val cand = (0L until 50L).map(i => (i % 10, i)).toDF("query_id", "vec_id")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange"))
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val raw = cand.join(vecs, Seq("vec_id"))
+      val bucketed = cand.join(spark.table("bkt_vectors"), Seq("vec_id"))
+      assert(exchanges(bucketed) == exchanges(raw) - 1,
+        s"bucketed vector store must skip its join exchange " +
+          s"(raw=${exchanges(raw)}, bucketed=${exchanges(bucketed)})")
+      assert(bucketed.count() == raw.count(), "layout must never change the result")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("partitioned table prunes partitions at planning time") {
     val ev = Tables.events(spark, SF)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
