@@ -336,6 +336,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Radix buckets for [[shuffleIndex]]'s distributed global rank. */
+  val ShuffleBuckets = 64
+
+  /** Deterministic corpus shuffle with a GLOBAL position index — the
+    * training-order writer: every epoch reads documents in a fixed
+    * pseudo-random permutation, and that permutation must replay
+    * identically on any cluster width, any retry (the same argument as
+    * [[sampleMix]]'s hash gates). Permutation key = salted 60-bit hash;
+    * the global rank over (hkey, doc_id) is computed WITHOUT a global
+    * sort or single-partition window: the hash is uniform on [0, 2^60),
+    * so its top bits are [[ShuffleBuckets]] fixed-width RADIX buckets —
+    * rank = (cumulative count of lower buckets) + (rank within bucket).
+    * Bucket counts are a [[ShuffleBuckets]]-row aggregate (broadcast
+    * back); the within-bucket rank is a partitioned window. At 100 TB
+    * the only data-sized exchange is the one shuffle onto the bucket
+    * key — the exact cost of the distributed sort the naive plan hides
+    * in a far worse place (a single reducer). `d_shuffle_index`. */
+  def shuffleIndex(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Docs.docs(spark, dir)
+      .select(col("doc_id"),
+        md5Hash60(concat_ws("|", col("doc_id"), lit(seed))).as("hkey"))
+      .withColumn("bucket", shiftright(col("hkey"), 60 - 6)) // 2^6 radix buckets
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    keyed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("bucket")).orderBy(col("hkey"), col("doc_id"))))
+      .join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), (col("offset") + col("rk") - 1).as("shuffle_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- deterministic stratified sampling ----------------------------
 
   /** Per-language keep rates in percent — the "data mixing" knob of a
@@ -555,6 +592,17 @@ object Dedup {
           ORDER BY doc_id"""
     },
     "d_minhash_lsh" -> minhashOracle,
+    // the radix-bucketed distributed rank collapses to a plain global
+    // ROW_NUMBER in the oracle: same (hkey, doc_id) total order
+    "d_shuffle_index" ->
+      s"""WITH k AS (
+           SELECT doc_id,
+                  ${hexFoldSql("CAST(doc_id AS VARCHAR) || '|' || '42'")} AS hkey
+           FROM documents)
+         SELECT doc_id,
+                CAST(ROW_NUMBER() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT)
+                  AS shuffle_pos
+         FROM k ORDER BY doc_id""",
     "d_minhash_est" ->
       s"""WITH $minhashEstCtePrelude,
          est25 AS (SELECT * FROM est WHERE est_jaccard >= 0.25),
@@ -740,5 +788,6 @@ object Dedup {
     "d_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "d_minhash_est"   -> ((s: SparkSession, d: String) => minhashEstimateAudit(s, d)),
     "d_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
+    "d_shuffle_index" -> ((s: SparkSession, d: String) => shuffleIndex(s, d)),
   )
 }

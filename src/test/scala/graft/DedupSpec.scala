@@ -97,6 +97,20 @@ class DedupSpec extends SparkSpec {
     assert(n5 == 2L && k5 == 2L && r5 == 1.0, "fully unique doc untouched")
   }
 
+  test("shuffle index is a permutation, deterministic, and seed-sensitive") {
+    val r = rowsOf(Dedup.shuffleIndex(spark, dir))
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(r.keySet == (0L until 5L).toSet, "every doc gets a position")
+    assert(r.values.toSeq.sorted == (0L until 5L), "positions are a 0..n-1 permutation")
+    val again = rowsOf(Dedup.shuffleIndex(spark, dir))
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(again == r, "identical seed replays the identical permutation")
+    val other = rowsOf(Dedup.shuffleIndex(spark, dir, seed = 7L))
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(other.values.toSeq.sorted == (0L until 5L))
+    assert(other != r, "a different seed permutes differently")
+  }
+
   test("dedup operators run on the driver corpus with sane shapes") {
     assert(Dedup.exactDedup(spark, SF).count() > 0)
     val sig = rowsOf(Dedup.simhash(spark, SF))
