@@ -353,11 +353,15 @@ object Dedup {
     * the only data-sized exchange is the one shuffle onto the bucket
     * key — the exact cost of the distributed sort the naive plan hides
     * in a far worse place (a single reducer). `d_shuffle_index`. */
-  def shuffleIndex(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
+  /** The radix-bucketed global rank over (salted hash of doc_id,
+    * doc_id) — appends `shuffle_pos` to `df` (which must carry a
+    * unique `doc_id`). The 64-row bucket-count cumsum is the only
+    * unpartitioned window (bounded by construction); everything
+    * data-sized is one keyed shuffle + a partitioned window. */
+  private[graft] def rankShuffle(df: DataFrame, seed: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = Docs.docs(spark, dir)
-      .select(col("doc_id"),
-        md5Hash60(concat_ws("|", col("doc_id"), lit(seed))).as("hkey"))
+    val keyed = df.withColumn("hkey",
+        md5Hash60(concat_ws("|", col("doc_id"), lit(seed))))
       .withColumn("bucket", shiftright(col("hkey"), 60 - 6)) // 2^6 radix buckets
     val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .withColumn("offset",
@@ -369,7 +373,46 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("bucket")).orderBy(col("hkey"), col("doc_id"))))
       .join(broadcast(offsets), Seq("bucket"))
-      .select(col("doc_id"), (col("offset") + col("rk") - 1).as("shuffle_pos"))
+      .withColumn("shuffle_pos", col("offset") + col("rk") - 1)
+      .drop("hkey", "bucket", "offset", "rk")
+  }
+
+  def shuffleIndex(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame =
+    rankShuffle(Docs.docs(spark, dir).select(col("doc_id")), seed)
+      .orderBy(col("doc_id"))
+
+  /** The end-to-end curation chain as ONE declarative plan — the
+    * composition a training-data build actually runs, proving the
+    * stages compose without materialization walls:
+    *   1. exact dedup (keep the lowest-id copy per content hash),
+    *   2. per-language token budget over the SURVIVORS (quality-ranked
+    *      prefix cut — budget counts deduped tokens, not raw),
+    *   3. deterministic training-order shuffle of the final kept set
+    *      ([[rankShuffle]]'s radix-bucketed global rank).
+    * Catalyst sees the whole chain: the dedup keeper set reaches the
+    * budget window as a semi join (no intermediate table), and the
+    * shuffle rank runs over only the budget survivors. Output: the
+    * curated corpus manifest (doc_id, lang, n_tokens, shuffle_pos) a
+    * training reader consumes directly. `d_curation_e2e`. */
+  def curationE2e(spark: SparkSession, dir: String,
+                  budget: Long = TokensPerLang, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keepers = Docs.docs(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = Text.quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .join(Docs.docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+    rankShuffle(kept, seed)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("shuffle_pos"))
       .orderBy(col("doc_id"))
   }
 
@@ -603,6 +646,36 @@ object Dedup {
                 CAST(ROW_NUMBER() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT)
                   AS shuffle_pos
          FROM k ORDER BY doc_id""",
+    "d_curation_e2e" ->
+      s"""WITH keep AS (
+           SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+         q AS (
+           SELECT doc_id, lang,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 400.0) *
+                        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)), 4)
+                    AS quality_score
+           FROM t
+           WHERE EXISTS (SELECT 1 FROM keep k WHERE k.doc_id = t.doc_id)),
+         c AS (
+           SELECT doc_id, lang, n_tokens,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                    ORDER BY quality_score DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_tokens
+           FROM q),
+         kept AS (
+           SELECT doc_id, lang, n_tokens FROM c WHERE cum_tokens <= $TokensPerLang),
+         kk AS (
+           SELECT doc_id, lang, n_tokens,
+                  ${hexFoldSql("CAST(doc_id AS VARCHAR) || '|' || '42'")} AS hkey
+           FROM kept)
+         SELECT doc_id, lang, n_tokens,
+                CAST(ROW_NUMBER() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT)
+                  AS shuffle_pos
+         FROM kk ORDER BY doc_id""",
     "d_minhash_est" ->
       s"""WITH $minhashEstCtePrelude,
          est25 AS (SELECT * FROM est WHERE est_jaccard >= 0.25),
@@ -789,5 +862,6 @@ object Dedup {
     "d_minhash_est"   -> ((s: SparkSession, d: String) => minhashEstimateAudit(s, d)),
     "d_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
     "d_shuffle_index" -> ((s: SparkSession, d: String) => shuffleIndex(s, d)),
+    "d_curation_e2e"  -> ((s: SparkSession, d: String) => curationE2e(s, d)),
   )
 }

@@ -111,6 +111,19 @@ class DedupSpec extends SparkSpec {
     assert(other != r, "a different seed permutes differently")
   }
 
+  test("curation chain: duplicate copies never reach the budget, positions are dense over the kept set") {
+    val r = rowsOf(Dedup.curationE2e(spark, dir))
+    val ids = r.map(_.getLong(0)).toSet
+    assert(!ids.contains(2L), "doc 2 is an exact copy of doc 0 — deduped before the budget")
+    assert(ids.contains(0L), "the lowest-id copy survives")
+    val pos = r.map(_.getLong(3)).sorted
+    assert(pos == (0L until r.size.toLong), "shuffle positions are a dense 0..n-1 permutation of the KEPT set")
+    // composition matches running the stages separately: budget over the
+    // dedup survivors only
+    val keptTokens = r.map(x => x.getLong(0) -> x.getLong(2)).toMap
+    keptTokens.values.foreach(n => assert(n > 0))
+  }
+
   test("dedup operators run on the driver corpus with sane shapes") {
     assert(Dedup.exactDedup(spark, SF).count() > 0)
     val sig = rowsOf(Dedup.simhash(spark, SF))
