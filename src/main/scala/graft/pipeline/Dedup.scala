@@ -336,8 +336,23 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Radix buckets for [[shuffleIndex]]'s distributed global rank. */
-  val ShuffleBuckets = 64
+  /** Radix-width clamp for [[rankShuffle]]: at least 64 buckets (below
+    * this the cumsum saves nothing) and at most 2^20 (the offset table
+    * must stay broadcast-small: 1M × 16 B ≈ 16 MB). */
+  val MinShuffleBuckets = 64L
+  val MaxShuffleBuckets: Long = 1L << 20
+
+  /** Corpus-scaled radix width for [[rankShuffle]]:
+    * B = clamp(⌈√n⌉, [[MinShuffleBuckets]], [[MaxShuffleBuckets]]) —
+    * the [[graft.pipeline.Similarity.semK]] idiom. √n balances the two
+    * bounded structures the rank uses: per-bucket window tasks of ~√n
+    * rows and an offset cumsum/broadcast of ~√n rows (10^10 docs →
+    * 10^5 buckets of 10^5 rows). ⌈√n⌉ — not 2^⌈log₂√n⌉ — because IEEE
+    * `sqrt` is correctly rounded in every engine while `log2` is not,
+    * so the DuckDB oracle re-derives the identical width from COUNT(*). */
+  private[graft] def shuffleBucketCount(n: Long): Long =
+    math.max(MinShuffleBuckets, math.min(MaxShuffleBuckets,
+      math.ceil(math.sqrt(n.toDouble)).toLong))
 
   /** Deterministic corpus shuffle with a GLOBAL position index — the
     * training-order writer: every epoch reads documents in a fixed
@@ -346,23 +361,34 @@ object Dedup {
     * [[sampleMix]]'s hash gates). Permutation key = salted 60-bit hash;
     * the global rank over (hkey, doc_id) is computed WITHOUT a global
     * sort or single-partition window: the hash is uniform on [0, 2^60),
-    * so its top bits are [[ShuffleBuckets]] fixed-width RADIX buckets —
-    * rank = (cumulative count of lower buckets) + (rank within bucket).
-    * Bucket counts are a [[ShuffleBuckets]]-row aggregate (broadcast
-    * back); the within-bucket rank is a partitioned window. At 100 TB
-    * the only data-sized exchange is the one shuffle onto the bucket
-    * key — the exact cost of the distributed sort the naive plan hides
-    * in a far worse place (a single reducer). `d_shuffle_index`. */
+    * which equal-width slices into [[shuffleBucketCount]] CORPUS-SCALED
+    * RADIX buckets (~√n of them, so each bucket and the offset table
+    * are both ~√n rows at any corpus size) — rank = (cumulative count
+    * of lower buckets) + (rank within bucket). Bucket counts are a
+    * bounded aggregate (broadcast back); the within-bucket rank is a
+    * partitioned window. At 100 TB the only data-sized exchange is the
+    * one shuffle onto the bucket key — the exact cost of the
+    * distributed sort the naive plan hides in a far worse place (a
+    * single reducer). `d_shuffle_index`. */
   /** The radix-bucketed global rank over (salted hash of doc_id,
     * doc_id) — appends `shuffle_pos` to `df` (which must carry a
-    * unique `doc_id`). The 64-row bucket-count cumsum is the only
-    * unpartitioned window (bounded by construction); everything
-    * data-sized is one keyed shuffle + a partitioned window. */
-  private[graft] def rankShuffle(df: DataFrame, seed: Long): DataFrame = {
+    * unique `doc_id`). `corpusN` sizes the radix width (≥ the row
+    * count of `df` is fine — oversized buckets only shrink the
+    * per-task sort); callers pass the corpus row count so deriving the
+    * width never re-executes `df`'s own upstream plan. The ≤~√n-row
+    * bucket-count cumsum is the only unpartitioned window (bounded by
+    * [[MaxShuffleBuckets]]); everything data-sized is one keyed
+    * shuffle + a partitioned window whose groups hold ~n/B ≈ √n rows.
+    * Bucketing is integer division by the exact width w = 2^60 div B
+    * (not a bit shift — B need not be a power of two), identical
+    * integer ops in Spark and DuckDB. */
+  private[graft] def rankShuffle(df: DataFrame, seed: Long, corpusN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val b = shuffleBucketCount(corpusN)
+    val w = (1L << 60) / b // bucket ids land in [0, B] — ≤ B+1 buckets
     val keyed = df.withColumn("hkey",
         md5Hash60(concat_ws("|", col("doc_id"), lit(seed))))
-      .withColumn("bucket", shiftright(col("hkey"), 60 - 6)) // 2^6 radix buckets
+      .withColumn("bucket", expr(s"hkey div $w"))
     val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .withColumn("offset",
         coalesce(sum(col("n")).over(
@@ -377,9 +403,14 @@ object Dedup {
       .drop("hkey", "bucket", "offset", "rk")
   }
 
-  def shuffleIndex(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame =
-    rankShuffle(Docs.docs(spark, dir).select(col("doc_id")), seed)
+  /** NOTE: counts the corpus eagerly (one metadata-cheap parquet count)
+    * to size the radix width — plan-shape-from-data, the same eager
+    * derivation as [[Similarity.semanticDedup]]'s semK. */
+  def shuffleIndex(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame = {
+    val docs = Docs.docs(spark, dir).select(col("doc_id"))
+    rankShuffle(docs, seed, docs.count())
       .orderBy(col("doc_id"))
+  }
 
   /** The end-to-end curation chain as ONE declarative plan — the
     * composition a training-data build actually runs, proving the
@@ -396,22 +427,22 @@ object Dedup {
     * training reader consumes directly. `d_curation_e2e`. */
   def curationE2e(spark: SparkSession, dir: String,
                   budget: Long = TokensPerLang, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val keepers = Docs.docs(spark, dir)
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("quality_score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val kept = Text.quality(spark, dir)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-      .join(Docs.docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .join(keepers, Seq("doc_id"), "left_semi")
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") <= budget)
+    val kept = budgetCut(
+        Text.quality(spark, dir)
+          .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+          .join(Docs.docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .join(keepers, Seq("doc_id"), "left_semi"),
+        budget)
       .select(col("doc_id"), col("lang"), col("n_tokens"))
-    rankShuffle(kept, seed)
+    // radix width from the FULL corpus count (a metadata-cheap parquet
+    // count) — an upper bound on the kept set, so buckets only come out
+    // smaller; sizing from the kept set itself would execute the whole
+    // dedup+budget chain once extra just to pick a constant
+    rankShuffle(kept, seed, Docs.docs(spark, dir).count())
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("shuffle_pos"))
       .orderBy(col("doc_id"))
   }
@@ -507,12 +538,65 @@ object Dedup {
     * by the gate. */
   val TokensPerLang = 5000L
 
+  /** Distributed per-language running token sum — [[rankShuffle]]'s
+    * offset-plus-local-rank idiom generalized from a hash-radix to a
+    * DATA-DERIVED range partitioning, so no window task is ever
+    * corpus-sized even when one language dominates the corpus:
+    *
+    *   1. `repartitionByRange` on (lang, quality desc, doc_id) — a
+    *      strict total order (doc_id breaks every tie), so Spark's
+    *      sampled range partitioner splits each language's rank order
+    *      across ~`spark.sql.shuffle.partitions` ordered slices of
+    *      ~n/P rows each;
+    *   2. the local running sum is a window over (slice, lang) — each
+    *      group is bounded by the slice size, never by the language;
+    *   3. slice offsets are a (slice, lang) aggregate of ≤ P + #langs
+    *      rows (languages are contiguous in range order): a bounded
+    *      per-lang cumsum over slice ids, broadcast back;
+    *   4. global cum = offset + local cum.
+    *
+    * The OUTPUT is partitioning-invariant: wherever the sampled range
+    * boundaries fall, offset + local running sum telescopes to the
+    * exact per-language prefix sum over the total order, so the DuckDB
+    * oracle replays it as a plain per-language window and the keep set
+    * is bit-identical on any cluster width. Cost vs the naive plan:
+    * one extra bounded exchange (range + hash instead of hash alone) —
+    * the price of turning the dominant language's single multi-TB
+    * window task into n/P-row tasks. Expects (lang, quality_score,
+    * doc_id, n_tokens) columns; appends `cum_tokens` and filters to
+    * the ≤ `budget` prefix. */
+  private[graft] def budgetCut(df: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(nParts,
+        col("lang"), col("quality_score").desc, col("doc_id"))
+      .withColumn("slice", spark_partition_id())
+    val wLocal = Window.partitionBy(col("slice"), col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranged.groupBy(col("slice"), col("lang"))
+      .agg(sum(col("n_tokens")).as("slice_tokens"))
+      .withColumn("offset",
+        coalesce(sum(col("slice_tokens")).over(
+          Window.partitionBy(col("lang")).orderBy(col("slice"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("slice"), col("lang"), col("offset"))
+    ranged
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      .join(broadcast(offsets), Seq("slice", "lang"))
+      .withColumn("cum_tokens", col("offset") + col("local_cum"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("slice", "local_cum", "offset")
+  }
+
   /** Token-budget curation: fill each language's token budget with its
     * HIGHEST-QUALITY documents — the final selection step of a
     * pretraining data build ("x billion tokens per language, best
-    * first"). One partitioned window: rank by (quality desc, doc_id)
-    * within language, running token cumsum, keep while ≤ budget. The
-    * sort is per-language (never global) and the quality score is the
+    * first"). Rank by (quality desc, doc_id) within language, running
+    * token cumsum, keep while ≤ budget — computed by [[budgetCut]]'s
+    * distributed prefix sum, so the per-language sort is spread over
+    * range slices (never a single task, even for the dominant
+    * language of a 100 TB corpus). The quality score is the
     * 4-dp-rounded [[Text.quality]] output, so the cut ranks replay
     * bit-for-bit cross-engine.
     *
@@ -527,22 +611,51 @@ object Dedup {
     * skip decision — not expressible as a window, and it biases the
     * tail toward short low-quality docs. `d_token_budget`. */
   def tokenBudget(spark: SparkSession, dir: String,
-                  budget: Long = TokensPerLang): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("quality_score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Text.quality(spark, dir)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
-      .join(Docs.docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
-      .filter(col("cum_tokens") <= budget)
+                  budget: Long = TokensPerLang): DataFrame =
+    budgetCut(
+      Text.quality(spark, dir)
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        .join(Docs.docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id")),
+      budget)
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("quality_score"), col("cum_tokens"))
       .orderBy(col("doc_id"))
-  }
 
   // ---- oracles ------------------------------------------------------
+
+  /** [[rankShuffle]]'s radix-bucketed rank replayed in SQL: CTEs from a
+    * `src`(doc_id, hkey) CTE to `rrk`(doc_id, …, shuffle_pos), deriving
+    * the SAME corpus-scaled bucket width from COUNT(*) over `documents`
+    * (the scalar-subquery idiom of [[Similarity]]'s SemKSql — IEEE
+    * sqrt/ceil and the 2^60 div B integer width are bit-identical in
+    * both engines). The oracle replays the radix STRUCTURE — bucket,
+    * per-bucket rank, bounded offset cumsum — not just the equivalent
+    * global ROW_NUMBER, so a green hash row proves the scaled plan.
+    * `carry` = extra `src` columns to forward. */
+  private def radixRankSql(src: String, carry: String*): String = {
+    val fwd = carry.map(c => s"$c, ").mkString
+    s"""nb AS (
+         SELECT GREATEST($MinShuffleBuckets,
+                  LEAST($MaxShuffleBuckets,
+                        CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS b
+         FROM documents),
+       bkr AS (
+         SELECT doc_id, ${fwd}hkey,
+                hkey // ((CAST(1 AS BIGINT) << 60) // (SELECT b FROM nb))
+                  AS bucket
+         FROM $src),
+       offr AS (
+         SELECT bucket,
+                CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+         FROM bkr GROUP BY bucket),
+       rrk AS (
+         SELECT bkr.doc_id, ${carry.map(c => s"bkr.$c, ").mkString}
+                CAST(offr.off + ROW_NUMBER() OVER (PARTITION BY bkr.bucket
+                  ORDER BY bkr.hkey, bkr.doc_id) - 1 AS BIGINT) AS shuffle_pos
+         FROM bkr JOIN offr USING (bucket))"""
+  }
 
   /** DuckDB equivalent of [[Docs.gramTable]] as a CTE body. */
   private val GramCte =
@@ -635,17 +748,13 @@ object Dedup {
           ORDER BY doc_id"""
     },
     "d_minhash_lsh" -> minhashOracle,
-    // the radix-bucketed distributed rank collapses to a plain global
-    // ROW_NUMBER in the oracle: same (hkey, doc_id) total order
     "d_shuffle_index" ->
       s"""WITH k AS (
            SELECT doc_id,
                   ${hexFoldSql("CAST(doc_id AS VARCHAR) || '|' || '42'")} AS hkey
-           FROM documents)
-         SELECT doc_id,
-                CAST(ROW_NUMBER() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT)
-                  AS shuffle_pos
-         FROM k ORDER BY doc_id""",
+           FROM documents),
+         ${radixRankSql("k")}
+         SELECT doc_id, shuffle_pos FROM rrk ORDER BY doc_id""",
     "d_curation_e2e" ->
       s"""WITH keep AS (
            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -671,11 +780,10 @@ object Dedup {
          kk AS (
            SELECT doc_id, lang, n_tokens,
                   ${hexFoldSql("CAST(doc_id AS VARCHAR) || '|' || '42'")} AS hkey
-           FROM kept)
-         SELECT doc_id, lang, n_tokens,
-                CAST(ROW_NUMBER() OVER (ORDER BY hkey, doc_id) - 1 AS BIGINT)
-                  AS shuffle_pos
-         FROM kk ORDER BY doc_id""",
+           FROM kept),
+         ${radixRankSql("kk", "lang", "n_tokens")}
+         SELECT doc_id, lang, n_tokens, shuffle_pos FROM rrk
+         ORDER BY doc_id""",
     "d_minhash_est" ->
       s"""WITH $minhashEstCtePrelude,
          est25 AS (SELECT * FROM est WHERE est_jaccard >= 0.25),

@@ -111,6 +111,70 @@ class DedupSpec extends SparkSpec {
     assert(other != r, "a different seed permutes differently")
   }
 
+  test("budgetCut: distributed prefix sum == naive per-language window on a dominant language with planted ties") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 2000 docs, 90% one language; quality drawn from 4 rounded values
+    // so runs of ties straddle every range-slice boundary — the case
+    // where a sloppy split would double-count or drop a prefix row
+    val rows = (0L until 2000L).map { i =>
+      val lang = if (i % 10 == 0) "de" else "en"
+      val q = Seq(0.25, 0.5, 0.75, 1.0)((i % 4).toInt)
+      (i, lang, 10L + (i % 7), q)
+    }
+    val df = rows.toDF("doc_id", "lang", "n_tokens", "quality_score")
+    val budget = 5000L
+    val got = Dedup.budgetCut(df, budget)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "cum_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asMap(got) == asMap(naive),
+      "identical keep set AND identical cumulative sums, boundary ties included")
+    // the data-sized running-sum window must be keyed by (slice, lang):
+    // a window partitioned by lang alone is one task per language
+    val planStr = got.queryExecution.executedPlan.toString
+    val sumWindows = planStr.linesIterator
+      .filter(l => l.contains("Window") && l.contains("sum(n_tokens")).toSeq
+    assert(sumWindows.nonEmpty, "running-sum window present in the plan")
+    assert(sumWindows.forall(_.contains("slice")),
+      s"running-sum window partitions include the range slice, got: $sumWindows")
+  }
+
+  test("rankShuffle radix width scales with the corpus and bounds every bucket") {
+    import org.apache.spark.sql.functions._
+    // the width formula itself: clamp(ceil(sqrt(n)), 64, 2^20)
+    assert(Dedup.shuffleBucketCount(500L) == 64L, "small corpora clamp to the floor")
+    assert(Dedup.shuffleBucketCount(10000L) == 100L, "mid range: ceil(sqrt(n))")
+    assert(Dedup.shuffleBucketCount(10000000000L) == 100000L,
+      "10^10 docs -> 10^5 buckets of ~10^5 rows each, never a corpus-sized task")
+    assert(Dedup.shuffleBucketCount(Long.MaxValue / 4) == Dedup.MaxShuffleBuckets,
+      "offset table stays broadcast-small at the ceiling")
+    // drive the rank over a synthetic corpus big enough to leave the
+    // clamp floor: per-bucket load stays ~n/B (hash-uniform), and the
+    // div-based bucketing still yields the exact dense permutation
+    val n = 8192L
+    val df = spark.range(n).select(col("id").as("doc_id"))
+    val b = Dedup.shuffleBucketCount(n) // 91: above the 64 floor
+    assert(b > Dedup.MinShuffleBuckets)
+    val w = (1L << 60) / b
+    val sizes = df
+      .withColumn("hkey", graft.Hashing.md5Hash60(concat_ws("|", col("doc_id"), lit(42L))))
+      .withColumn("bucket", expr(s"hkey div $w"))
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    assert(sizes.sum == n)
+    assert(sizes.max <= 4 * (n / b + 1),
+      s"no radix bucket exceeds ~4x the mean load (max ${sizes.max}, mean ~${n / b})")
+    val pos = Dedup.rankShuffle(df, 42L, n)
+      .select("shuffle_pos").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pos == (0L until n), "scaled-width rank is still a dense 0..n-1 permutation")
+  }
+
   test("curation chain: duplicate copies never reach the budget, positions are dense over the kept set") {
     val r = rowsOf(Dedup.curationE2e(spark, dir))
     val ids = r.map(_.getLong(0)).toSet
