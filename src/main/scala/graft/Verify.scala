@@ -9,6 +9,14 @@ object Verify {
     // optional third arg: comma-separated key subset for fast local
     // iteration (the driver always invokes with exactly two args)
     val only = args.lift(2).map(_.split(",").toSet)
+    // a filtered run must be unmistakable as such: loud banner + a
+    // "subset" marker in manifest.json, so a misinvoked driver (or a
+    // stray extra arg) can never pass off a shrunken gate as complete
+    only.foreach { keys =>
+      System.err.println(
+        s"[verify] *** SUBSET RUN: ${keys.size} of ${SparkEntry.queries.size} " +
+          s"keys (${keys.toSeq.sorted.mkString(", ")}) — NOT a full gate ***")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions())
@@ -46,6 +54,7 @@ object Verify {
     def arr(xs: Seq[String]): String = xs.sorted.map(q).mkString("[", ",", "]")
     val manifest =
       s"""{"declared": ${arr(SparkEntry.queries.keys.toSeq)},
+         | "subset": ${only.isDefined},
          | "emitted": ${arr(emitted.toSeq)},
          | "failed": {${failures.sortBy(_._1).map { case (k, m) => s"${q(k)}: ${q(m)}" }.mkString(",")}}}""".stripMargin
     Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)

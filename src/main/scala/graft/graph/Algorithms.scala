@@ -379,7 +379,11 @@ object Algorithms {
     var frontier = dist.filter(col("dist").isNotNull)
     var roundChk: DataFrame = null // the live iterate's checkpoint
     var iter = 0
-    while (iter < maxIter && frontier.limit(1).count() > 0) {
+    // one-time seed probe (the initial dist is already checkpointed);
+    // inside the loop convergence is learned for FREE from each round's
+    // materialization action, never from a separate probe job
+    var live = frontier.limit(1).count() > 0
+    while (iter < maxIter && live) {
       // `relaxPerRound` relaxations share ONE checkpoint action: extra
       // Bellman-Ford relaxations are monotone (never wrong, at worst
       // no-ops), and on graphs with deep shortest-path trees the round
@@ -405,13 +409,20 @@ object Algorithms {
           .select(col("id"), col("cand").as("dist"))
         lastJoined = joined
       }
-      val chk = lastJoined.localCheckpoint(true)
+      // LAZY checkpoint + improved-count: the count job is what
+      // materializes the checkpoint blocks, so the round's relaxations
+      // AND its convergence answer cost ONE action instead of the former
+      // two (eager checkpoint, then a limit-1 frontier probe) — at
+      // sf0.1 the loop is round-tax-dominated, so this halves the tax
+      val chk = lastJoined.localCheckpoint(false)
+      val improvedCnt = chk.filter(col("improved")).count()
       releaseIterate(prevChk) // this round read it; now superseded
       roundChk = chk
       dist = chk.select(col("id"),
         when(col("improved"), col("cand")).otherwise(col("dist")).as("dist"))
       frontier = chk.filter(col("improved"))
         .select(col("id"), col("cand").as("dist"))
+      live = improvedCnt > 0
       iter += 1
     }
     // hand the result back rooted in the CALLER's session, so whatever

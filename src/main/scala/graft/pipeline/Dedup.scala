@@ -297,6 +297,11 @@ object Dedup {
         posexplode(expr(s"transform(sequence(0, n_segments - 1), " +
           s"i -> array_join(slice(t, i * $segTokens + 1, $segTokens), ' '))"))
           .as(Seq("seg", "seg_text")))
+      // materialized once: the exploded segment table fans out into
+      // three plan references (boilerplate df, kept counts, per-doc
+      // totals) and Catalyst does not share the subtree — uncheckpointed
+      // the tokenize+explode would execute three times
+      .localCheckpoint(true)
     val boiler = segText.groupBy(col("seg_text"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > dfCap)

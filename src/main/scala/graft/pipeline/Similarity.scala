@@ -191,12 +191,15 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** Radius (range) search: every vector with rounded cosine ≥ `minCos`
-    * to a query — top-k's sibling, the shape dedup sweeps and
-    * recall-at-threshold evaluations ask for ("give me ALL near
-    * matches", not the best k). Candidates come from the shared LSH
-    * (table, bucket) exactly as [[lshAnn]] — the query side is the
-    * bounded set, the shuffle is bucket-local — and survivors are
+  /** Radius (range) search: every LSH-CANDIDATE vector with rounded
+    * cosine ≥ `minCos` to a query — top-k's sibling, the shape dedup
+    * sweeps and recall-at-threshold evaluations ask for ("give me ALL
+    * near matches", not the best k). Like every LSH-bucketed plan,
+    * recall is < 1 and bounded by the [[NumTables]]-table union: a
+    * true neighbor sharing no (table, bucket) with the query is
+    * missed. Candidates come from the shared LSH (table, bucket)
+    * exactly as [[lshAnn]] — the query side is the bounded set, the
+    * shuffle is bucket-local — and survivors are
     * rescored exactly, then THRESHOLDED instead of ranked: no window,
     * no heap, the output is as big as the data says (at 100 TB the
     * result set scales with true neighbour density, which is the
@@ -323,9 +326,15 @@ object Similarity {
     * on the bucket key, never all-pairs — with bucket membership
     * capped at [[KnnBucketCap]] hash-ranked members
     * ([[cappedBuckets]]), so a collapsed bucket degrades recall
-    * gracefully instead of going quadratic. Survivor pairs are then
-    * rescored EXACTLY (full vectors, so precision is 1: capped edges ⊆
-    * uncapped edges in score), each unordered pair scored ONCE, fanned
+    * gracefully instead of going quadratic. The cap's containment
+    * guarantee is on CANDIDATES: capped candidate pairs ⊆ uncapped
+    * candidate pairs, and every surviving pair carries its EXACT
+    * cosine (full-vector rescore). The final mutual-edge set is NOT
+    * necessarily a subset of the uncapped graph — removing candidates
+    * can promote lower-scored neighbors into a node's top-k — which is
+    * why the spec measures recall on the planted mega-group rather
+    * than asserting edge containment. Survivor pairs are then
+    * rescored exactly, each unordered pair scored ONCE, fanned
     * to both directions, ranked per source through the native
     * [[graft.plans.TopKPerGroup]] heap, and kept only if MUTUAL (each
     * endpoint ranks the other in its own top-k — the standard
@@ -358,12 +367,22 @@ object Similarity {
 
   // ---- product quantization (PQ-ADC) ---------------------------------
 
-  val NumSub = 4    // subspaces (m): 64 dims → 4 × 16
+  val NumSub = 32   // subspaces (m): 64 dims → 32 × 2
   val SubDim = Dim / NumSub
-  val PqK = 8       // codewords per subspace (2^3 → 3 bits/subspace)
-  val PqIters = 3   // per-subspace Lloyd passes (measured: recall@5 on
-                    // the driver corpus 0.20 sampled → 0.26 at 3 passes;
-                    // 2 passes had not yet moved the codewords enough)
+  val PqK = 64      // codewords per subspace (6 bits x 32 subspaces =
+                    // 192-bit codes, ~10.7x compression). Re-tuned in r9
+                    // from (m=4, k=8): the 12-bit codes were the recall
+                    // ceiling, not the plan. Measured trained recall@5
+                    // sweep on the fixture corpus: (4,16) 0.24, (8,16)
+                    // 0.26, (16,16) 0.30, (16,64) 0.32, (32,16) 0.36,
+                    // (16,256) 0.42 (but training could no longer beat
+                    // its half-corpus-sized seed), (32,64) 0.44 — these
+                    // near-random synthetic embeddings need ~2 bits/dim
+                    // before ADC error drops under the rank-5/rank-20
+                    // cosine gap (~0.08), so finer partitioning beats
+                    // wider codebooks at equal code size
+  val PqIters = 3   // per-subspace Lloyd passes (measured at (32,64):
+                    // recall@5 0.40 sampled seed → 0.44 trained)
 
   /** Codebook TRAINING sample bound: Lloyd passes run over the
     * lowest-id [[PqTrainSample]] vectors only (the deterministic-
@@ -378,11 +397,21 @@ object Similarity {
   val PqTrainSample = 2048L
 
   /** Per-vector sub-vector slices: (vec_id, s, vs) — the PQ working
-    * table, shared by training, encoding and distance tables. */
+    * table, shared by training, encoding and distance tables. Slices
+    * are cut from the L2-NORMALIZED vector (spherical PQ): the ADC sum
+    * then approximates the full inner product of unit vectors — i.e.
+    * the COSINE the operators rank by. Encoding raw vectors instead
+    * leaves a norm bias in the ADC ranking that no codebook resolution
+    * can remove (a no-op on this corpus, whose synthetic embeddings
+    * are already unit-norm, but the operator must not depend on that).
+    * Each component is one IEEE division by the norm, so the DuckDB
+    * oracle replays it exactly. */
   private def pqSlices(v: DataFrame): DataFrame = {
+    val unit = v.select(col("vec_id"),
+      transform(col("v"), x => x / col("norm")).as("v"))
     val sliceStructs = (0 until NumSub).map(s =>
       struct(lit(s).as("s"), slice(col("v"), s * SubDim + 1, SubDim).as("vs")))
-    v.select(col("vec_id"), explode(array(sliceStructs: _*)).as("sl"))
+    unit.select(col("vec_id"), explode(array(sliceStructs: _*)).as("sl"))
       .select(col("vec_id"), col("sl.s").as("s"), col("sl.vs").as("vs"))
   }
 
@@ -423,7 +452,7 @@ object Similarity {
 
   /** Product-quantization ANN with asymmetric-distance (ADC) scoring —
     * the COMPRESSED-SCAN path (Jégou et al., TPAMI 2011): each vector is
-    * encoded as [[NumSub]] codeword ids (12 bits here vs 64×32-bit
+    * encoded as [[NumSub]] codeword ids (192 bits here vs 64×32-bit
     * floats — the compression that lets a 100 TB corpus's index fit in
     * cluster memory); a query scores every encoded vector with table
     * lookups instead of full dot products, then exactly rescores its
@@ -485,7 +514,8 @@ object Similarity {
     * [[NumProbe]] probed inverted lists, and PQ compresses each scanned
     * row to [[NumSub]] table lookups — at 100 TB the only rows that ever
     * leave the parquet scan are probed-list members, and they move as
-    * 12-bit codes, not 256-byte vectors. Encodes RAW vectors (not
+    * 192-bit codes, not 256-byte vectors. Encodes unit-normalized
+    * vectors (not
     * residuals — spherical embeddings gain little from residual
     * encoding and raw codes share [[pqAnn]]'s codebook + oracle replay).
     *
@@ -674,7 +704,13 @@ object Similarity {
     * its cluster and keep flag. `d_semantic_dedup`.
     *
     * `k` ≤ 0 (the default) derives the cluster count from the corpus
-    * size; pass an explicit k to pin it (tests, tuning). */
+    * size; pass an explicit k to pin it (tests, tuning). NOTE: the
+    * default runs one `count()` job EAGERLY at DataFrame-construction
+    * time — plan shape (the cluster count) must be fixed before the
+    * plan is built, the same derive-structure-from-data trade
+    * [[Dedup.shuffleIndex]] makes. The count is a metadata-cheap
+    * parquet row-count scan; callers composing lazily should pass a
+    * precomputed k. */
   def semanticDedup(spark: SparkSession, dir: String, k: Int = 0,
                     iters: Int = SemIters, tau: Double = SemTau,
                     cap: Int = SemClusterCap): DataFrame = {
@@ -846,10 +882,14 @@ object Similarity {
     "s_pq_ann" ->
       s"""$VecCte,
          sub AS (SELECT unnest(range($NumSub)) AS s),
+         nv AS (
+           SELECT vec_id,
+                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+           FROM e),
          slices AS (
            SELECT vec_id, sub.s,
                   v[sub.s*$SubDim + 1 : sub.s*$SubDim + $SubDim] AS vs
-           FROM e, sub),
+           FROM nv, sub),
          ${pqCodebookCtes(PqIters)},
          enc AS (
            SELECT vec_id, s, cid AS code FROM (
@@ -884,10 +924,14 @@ object Similarity {
     "s_ivfpq_ann" ->
       s"""$VecCte,
          sub AS (SELECT unnest(range($NumSub)) AS s),
+         nv AS (
+           SELECT vec_id,
+                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+           FROM e),
          slices AS (
            SELECT vec_id, sub.s,
                   v[sub.s*$SubDim + 1 : sub.s*$SubDim + $SubDim] AS vs
-           FROM e, sub),
+           FROM nv, sub),
          ${pqCodebookCtes(PqIters)},
          c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumLists),
          assign AS (

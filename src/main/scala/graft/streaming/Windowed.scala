@@ -1,9 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
+
+/** One ranked row of the in-stream windowed top-k
+  * ([[Windowed.topkStreamingRanked]]); `shard` identifies the emitting
+  * (window, shard) state key — 0 when unsharded. */
+final case class WindowTopkRow(window_start_sec: Long, shard: Int, user_id: Long,
+    n_events: Long, sum_value: Double, rnk: Long)
 
 /** Watermarked tumbling-window aggregation over the events stream.
   *
@@ -139,6 +146,67 @@ object Windowed {
   /** Streaming path: the keyed window sums under a watermark. */
   def topkStreaming(events: DataFrame): DataFrame =
     windowedUserSums(events.withWatermark("ts", "2 hours"))
+
+  /** In-stream RANKED top-k emission — the streaming path that emits
+    * the per-window top-k ITSELF, instead of handing closed per-user
+    * sums to a batch post-pass: `flatMapGroupsWithState` keyed by
+    * (window, shard) accumulates exact per-user sums (integer cents —
+    * the same DECIMAL(12,2) per-event rounding as the batch kernel, so
+    * sums are bit-equal), and the event-time TIMEOUT — the watermark's
+    * proof that the window can gain no more events, the
+    * [[CdcCompact.streamingCompact]] quiesce pattern — fires exactly
+    * once per key, ranking the accumulated sums (sum desc, user asc)
+    * and emitting the top `k` as final rows.
+    *
+    * Scale shape: state per key is the per-user sum map of one
+    * (window, shard) — `shards` bounds it to the window's distinct
+    * users / shards. With shards > 1 each key emits its LOCAL top-k;
+    * since a user's events land wholly in one shard (hash of user),
+    * the global top-k is contained in the union of shard top-ks, and
+    * the final merge is a trivial bounded op over shards×k rows per
+    * window (the standard two-level distributed top-k — the spec
+    * drives it). The default single shard emits the exact per-window
+    * top-k directly. */
+  def topkStreamingRanked(events: DataFrame, k: Int = TopkK,
+                          shards: Int = 1): Dataset[WindowTopkRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"),
+        (unix_timestamp(col("ts")) - pmod(unix_timestamp(col("ts")), lit(3600L)))
+          .as("wstart"),
+        pmod(col("user_id"), lit(shards.toLong)).cast("int").as("shard"),
+        col("user_id").cast("long").as("user_id"),
+        (col("value").cast(D12_2) * 100).cast("long").as("cents"))
+      .as[(java.sql.Timestamp, Long, Int, Long, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Map[Long, (Long, Long)], WindowTopkRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((wstart, shard), rows, state) =>
+          if (state.hasTimedOut) {
+            // window closed: rank once, emit once, drop the state
+            val sums = state.get
+            state.remove()
+            sums.toSeq
+              .map { case (u, (n, cents)) => (u, n, cents) }
+              .sortBy { case (u, _, cents) => (-cents, u) }
+              .take(k).zipWithIndex.iterator
+              .map { case ((u, n, cents), i) =>
+                WindowTopkRow(wstart, shard, u, n, cents / 100.0, i + 1L) }
+          } else {
+            var sums = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+            rows.foreach { case (_, _, _, u, c) =>
+              val (n0, c0) = sums.getOrElse(u, (0L, 0L))
+              sums = sums.updated(u, (n0 + 1L, c0 + c))
+            }
+            state.update(sums)
+            // fire when the watermark passes the window end
+            state.setTimeoutTimestamp((wstart + 3600L) * 1000L)
+            Iterator.empty
+          }
+      }
+  }
 
   val oracle: Map[String, String] = Map(
     "st_windowed_topk" ->

@@ -167,6 +167,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("in-stream ranked top-k: one final emission per closed window, equal to the batch kernel; shard top-ks merge exactly") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val data1 = Seq((ts(0, 10), 1L, 5.0), (ts(0, 20), 2L, 6.0))
+    val data2 = Seq((ts(0, 25), 1L, 3.0), (ts(0, 30), 3L, 4.0), (ts(0, 40), 4L, 1.0))
+    val h0 = ts(0, 0).getTime / 1000
+    def drive(shards: Int, sink: String): Array[(Long, Long, Long, Double, Long)] = {
+      val stream = MemoryStream[(Timestamp, Long, Double)]
+      val q = Windowed.topkStreamingRanked(
+          stream.toDF.toDF("ts", "user_id", "value"), shards = shards)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        stream.addData(data1: _*)
+        q.processAllAvailable()
+        stream.addData(data2: _*) // sums build ACROSS micro-batches
+        q.processAllAvailable()
+        stream.addData((ts(9, 0), 9L, 1.0)) // watermark closes hour 0
+        q.processAllAvailable()
+        stream.addData((ts(9, 30), 9L, 1.0)) // further batches: no re-emission
+        q.processAllAvailable()
+        spark.table(sink)
+          .select("window_start_sec", "user_id", "n_events", "sum_value", "rnk")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+      } finally q.stop()
+    }
+    // unsharded: the emission IS the exact per-window top-k
+    val got = drive(1, "topk_ranked_sink").filter(_._1 == h0)
+    // h0 sums: u1=8.0(2 events), u2=6.0, u3=4.0, u4=1.0 -> k=3 cuts u4
+    assert(got.sortBy(_._5).toSeq == Seq(
+      (h0, 1L, 2L, 8.0, 1L), (h0, 2L, 1L, 6.0, 2L), (h0, 3L, 1L, 4.0, 3L)),
+      s"one ranked emission on window close, k rows, batch-equal sums; got ${got.toSeq}")
+    // sharded: each (window, shard) emits its local top-k once; the
+    // bounded merge over shards x k rows recovers the global top-k
+    val sharded = drive(2, "topk_ranked_sink2").filter(_._1 == h0)
+    assert(sharded.length > 3, "two shards emit more than k total candidates")
+    val merged = sharded.sortBy(r => (-r._4, r._2)).take(3)
+      .zipWithIndex.map { case ((w, u, n, s, _), i) => (w, u, n, s, i + 1L) }
+    assert(merged.toSeq == got.sortBy(_._5).toSeq,
+      "global top-k == merge of per-shard top-ks")
+  }
+
   test("batch left join keeps clickless purchases as a single null-padded row") {
     val pairs = rowsOf(streaming.StreamJoin.leftJoinBatch(spark, SF))
     assert(pairs.nonEmpty)
