@@ -342,10 +342,12 @@ object Similarity {
     * one canonical (src < dst) row per mutual edge. The DuckDB oracle
     * replays the cap (same salted hash rank), so the hash gate proves
     * the capped plan, not the happy path. `s_knn_graph`. */
-  def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
-               cap: Int = KnnBucketCap): DataFrame = {
-    val v = vectors(spark, dir).localCheckpoint(true)
-    val cand = knnCandidates(buckets(v).localCheckpoint(true), cap)
+  /** Exact rescore of canonical (a < b) candidate pairs + per-source
+    * directed top-k — the kNN-graph state both [[knnGraph]] and an
+    * NN-descent round produce from their respective candidate sets.
+    * Each unordered pair is scored ONCE, fanned to both directions,
+    * ranked through the native [[graft.plans.TopKPerGroup]] heap. */
+  private def scoreAndRank(v: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val scored = cand
       .join(v.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na")), Seq("a"))
       .join(v.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")), Seq("b"))
@@ -354,15 +356,64 @@ object Similarity {
       .localCheckpoint(true) // both union branches below read it
     val directed = scored.select(col("a").as("src"), col("b").as("dst"), col("cos_sim"))
       .union(scored.select(col("b").as("src"), col("a").as("dst"), col("cos_sim")))
-    val topk = graft.plans.TopKPerGroup.rankTopK(directed, Seq("src"),
+    graft.plans.TopKPerGroup.rankTopK(directed, Seq("src"),
         Seq("cos_sim" -> true, "dst" -> false), k)
       .select(col("src"), col("dst"), col("cos_sim"))
-      .localCheckpoint(true) // semi-join probe + build
+  }
+
+  /** Mutual filter + canonicalization over a directed top-k list: keep
+    * (src, dst) only if each endpoint ranks the other in its own top-k,
+    * one canonical src < dst row per surviving edge. */
+  private def mutualize(topkIn: DataFrame): DataFrame = {
+    val topk = topkIn.localCheckpoint(true) // semi-join probe + build
     topk
       .join(topk.select(col("src").as("m_dst"), col("dst").as("m_src")),
         col("src") === col("m_src") && col("dst") === col("m_dst"), "left_semi")
       .filter(col("src") < col("dst"))
       .orderBy(col("src"), col("dst"))
+  }
+
+  def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
+               cap: Int = KnnBucketCap): DataFrame = {
+    val v = vectors(spark, dir).localCheckpoint(true)
+    val cand = knnCandidates(buckets(v).localCheckpoint(true), cap)
+    mutualize(scoreAndRank(v, cand, k))
+  }
+
+  /** One NN-DESCENT refinement round over the capped kNN graph (Dong
+    * et al., WWW 2011 — the published kNN-graph-construction practice:
+    * "a neighbor of a neighbor is likely a neighbor"): candidates =
+    * the LSH-seeded directed top-k's edges PLUS every wedge pair — two
+    * vectors sharing any graph neighbor, in either direction — exactly
+    * rescored and re-ranked per source through the same heap, mutual
+    * filter last. This recovers precisely what the bucket cap costs:
+    * two near-duplicates sampled into DIFFERENT (table, bucket)
+    * survivors still share graph neighbors, so the wedge pass
+    * re-candidates them without any unbounded bucket product.
+    *
+    * Scale shape: the symmetrized neighbor list has ≤ 2k rows per
+    * node, so the wedge self-join is keyed on the shared-neighbor id
+    * with a ≤ C(2k, 2) per-key product — n·2k² candidates total,
+    * bounded by construction (no cap needed, unlike the LSH bucket
+    * join it refines). One extra keyed shuffle + one rescore pass per
+    * round. `s_nn_descent`. */
+  def nnDescentGraph(spark: SparkSession, dir: String, k: Int = 5,
+                     cap: Int = KnnBucketCap): DataFrame = {
+    val v = vectors(spark, dir).localCheckpoint(true)
+    val base = scoreAndRank(v, knnCandidates(buckets(v).localCheckpoint(true), cap), k)
+      .localCheckpoint(true) // und (twice) + base pair carry-over
+    val und = base.select(col("src").as("u"), col("dst").as("nb"))
+      .union(base.select(col("dst").as("u"), col("src").as("nb"))).distinct()
+      .localCheckpoint(true) // both sides of the wedge join
+    val wedges = und.as("e1")
+      .join(und.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.nb") < col("e2.nb"))
+      .select(col("e1.nb").as("a"), col("e2.nb").as("b"))
+    val cand = wedges
+      .union(base.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")))
+      .distinct()
+    mutualize(scoreAndRank(v, cand, k))
   }
 
   // ---- product quantization (PQ-ADC) ---------------------------------
@@ -828,6 +879,38 @@ object Similarity {
                               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
          FROM e CROSS JOIN hp GROUP BY e.vec_id, hp.t)"""
 
+  /** CTE chain of the capped kNN-graph build through the DIRECTED
+    * per-source top-5 list `tk` (pre-mutual) — shared by the kNN-graph
+    * and NN-descent oracles; replays the [[cappedBuckets]] salted rank
+    * so both green rows prove the capped plan. */
+  private def KnnTkCtes: String =
+    s"""$VecCte,
+       $LshBucketsCte,
+       bkc AS (
+         SELECT vec_id, tbl, bucket FROM (
+           SELECT vec_id, tbl, bucket,
+                  ROW_NUMBER() OVER (PARTITION BY tbl, bucket
+                    ORDER BY ${graft.Hashing.hexFoldSql(
+                      "CAST(tbl AS VARCHAR) || '|' || CAST(bucket AS VARCHAR)" +
+                        " || '|' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+           FROM bk) WHERE rn <= $KnnBucketCap),
+       cand AS (
+         SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM bkc x JOIN bkc y
+           ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       sc AS (
+         SELECT a, b, ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
+         FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b),
+       dir AS (
+         SELECT a AS src, b AS dst, cos_sim FROM sc
+         UNION ALL SELECT b, a, cos_sim FROM sc),
+       rk AS (
+         SELECT src, dst, cos_sim,
+                ROW_NUMBER() OVER (PARTITION BY src
+                  ORDER BY cos_sim DESC, dst) AS rn
+         FROM dir),
+       tk AS (SELECT src, dst, cos_sim FROM rk WHERE rn <= 5)"""
+
   val oracle: Map[String, String] = Map(
     "s_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
     "d_semantic_dedup" ->
@@ -850,34 +933,35 @@ object Similarity {
          FROM a$SemIters a LEFT JOIN drp d ON d.vec_id = a.vec_id
          ORDER BY a.vec_id""",
     "s_knn_graph" ->
-      s"""$VecCte,
-         $LshBucketsCte,
-         bkc AS (
-           SELECT vec_id, tbl, bucket FROM (
-             SELECT vec_id, tbl, bucket,
-                    ROW_NUMBER() OVER (PARTITION BY tbl, bucket
-                      ORDER BY ${graft.Hashing.hexFoldSql(
-                        "CAST(tbl AS VARCHAR) || '|' || CAST(bucket AS VARCHAR)" +
-                          " || '|' || CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
-             FROM bk) WHERE rn <= $KnnBucketCap),
-         cand AS (
-           SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-           FROM bkc x JOIN bkc y
-             ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
-         sc AS (
+      s"""$KnnTkCtes
+         SELECT t.src, t.dst, t.cos_sim
+         FROM tk t JOIN tk r ON r.src = t.dst AND r.dst = t.src
+         WHERE t.src < t.dst ORDER BY t.src, t.dst""",
+    // tk's edges + every wedge pair (shared graph neighbor, either
+    // direction), exactly rescored and re-ranked — [[nnDescentGraph]]
+    "s_nn_descent" ->
+      s"""$KnnTkCtes,
+         und AS (SELECT src AS u, dst AS nb FROM tk
+                 UNION SELECT dst, src FROM tk),
+         cand2 AS (
+           SELECT DISTINCT e1.nb AS a, e2.nb AS b
+           FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.nb < e2.nb
+           UNION
+           SELECT LEAST(src, dst), GREATEST(src, dst) FROM tk),
+         sc2 AS (
            SELECT a, b, ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cos_sim
-           FROM cand JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b),
-         dir AS (
-           SELECT a AS src, b AS dst, cos_sim FROM sc
-           UNION ALL SELECT b, a, cos_sim FROM sc),
-         rk AS (
+           FROM cand2 JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b),
+         dir2 AS (
+           SELECT a AS src, b AS dst, cos_sim FROM sc2
+           UNION ALL SELECT b, a, cos_sim FROM sc2),
+         rk2 AS (
            SELECT src, dst, cos_sim,
                   ROW_NUMBER() OVER (PARTITION BY src
                     ORDER BY cos_sim DESC, dst) AS rn
-           FROM dir),
-         tk AS (SELECT src, dst, cos_sim FROM rk WHERE rn <= 5)
+           FROM dir2),
+         tk2 AS (SELECT src, dst, cos_sim FROM rk2 WHERE rn <= 5)
          SELECT t.src, t.dst, t.cos_sim
-         FROM tk t JOIN tk r ON r.src = t.dst AND r.dst = t.src
+         FROM tk2 t JOIN tk2 r ON r.src = t.dst AND r.dst = t.src
          WHERE t.src < t.dst ORDER BY t.src, t.dst""",
     "s_pq_ann" ->
       s"""$VecCte,
@@ -1080,6 +1164,7 @@ object Similarity {
     "s_pq_ann"            -> ((s: SparkSession, d: String) => pqAnn(s, d)),
     "s_ivfpq_ann"         -> ((s: SparkSession, d: String) => ivfPqAnn(s, d)),
     "s_knn_graph"         -> ((s: SparkSession, d: String) => knnGraph(s, d)),
+    "s_nn_descent"        -> ((s: SparkSession, d: String) => nnDescentGraph(s, d)),
     "d_semantic_dedup"    -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
   )
 }

@@ -288,6 +288,68 @@ object Text {
       .orderBy(col("n").desc, col("pair"))
       .limit(k)
 
+  /** Merge rounds for [[bpeTrain]]. */
+  val MergeCount = 8
+
+  /** BPE merge TRAINER — the iterative loop [[bpePairs]] is one round
+    * of: count adjacent token pairs corpus-wide, pick the most frequent
+    * (freq desc, then (left, right) binary-lexicographic — a total
+    * order both engines replay), MERGE every non-overlapping occurrence
+    * left-to-right, repeat [[MergeCount]] rounds. Emits the merge table
+    * (round, merge_left, merge_right, freq) a BPE tokenizer consumes.
+    *
+    * Spark-first shape: the corpus state between rounds is each doc's
+    * token sequence rendered as ONE delimiter-wrapped string
+    * `<t1><t2>…` — the round's merge is then a plain string
+    * `replace("<l><r>" → "<l r>")`, a narrow codegen'd map whose
+    * LEFT-TO-RIGHT NON-OVERLAPPING greed is identical in the JVM and
+    * DuckDB (and `><` boundaries make cross-token false matches
+    * impossible; tokens containing a delimiter are dropped up front —
+    * none in this corpus — by the same filter in both engines). Each
+    * round costs one pair-count aggregate (map-side combined; the
+    * driver reads back exactly ONE row — the argmax — the bounded
+    * scalar every iterative trainer reads per round) and one narrow
+    * replace pass, checkpointed so round r never replays rounds 1..r-1.
+    * Rounds stop early if no pair remains. The Lloyd-unroll pattern
+    * makes the DuckDB oracle replay the identical rounds as a CTE
+    * chain. `t_bpe_train`. */
+  def bpeTrain(spark: SparkSession, dir: String, rounds: Int = MergeCount): DataFrame = {
+    import spark.implicits._
+    var corpus = Docs.docs(spark, dir)
+      .select(concat(lit("<"),
+        array_join(filter(split(col("text"), " "),
+          t => !t.contains("<") && !t.contains(">")), "><"),
+        lit(">")).as("s"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = corpus
+        .select(split(expr("substring(s, 2, length(s) - 2)"), "><").as("t"))
+        .select(explode(expr(
+          "transform(slice(t, 1, size(t) - 1), (x, i) -> named_struct('l', x, 'r', t[i + 1]))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) == 0L) exhausted = true
+      else {
+        val (l, rt, freq) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, l, rt, freq))
+        val next = corpus
+          .select(replace(col("s"), lit(s"<$l><$rt>"), lit(s"<$l $rt>")).as("s"))
+          .localCheckpoint(true)
+        graft.graph.Algorithms.releaseIterate(corpus)
+        corpus = next
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("round", "merge_left", "merge_right", "freq")
+      .orderBy(col("round"))
+  }
+
   // ---- oracles -------------------------------------------------------
 
   private val ToksCte =
@@ -306,7 +368,40 @@ object Text {
                           i -> array_to_string(t[i:i+2], ' ')))) AS gram
          FROM toks)"""
 
+  /** [[bpeTrain]] unrolled to `rounds` CTE steps (the Lloyd-unroll
+    * pattern): per round, re-split the wrapped corpus, count adjacent
+    * pairs, MATERIALIZE the (freq desc, l, r) argmax, and apply the
+    * replace — identical left-to-right non-overlapping semantics in
+    * both engines. */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val wrap =
+      """s0 AS MATERIALIZED (
+        SELECT '<' || array_to_string(list_filter(string_split(text, ' '),
+          t -> NOT contains(t, '<') AND NOT contains(t, '>')), '><') || '>' AS s
+        FROM documents)"""
+    val steps = (1 to rounds).map { i =>
+      s"""p$i AS (
+           SELECT p[1] AS l, p[2] AS r, COUNT(*) AS freq FROM (
+             SELECT unnest(list_transform(range(1, len(t)),
+               j -> [t[j], t[j + 1]])) AS p
+             FROM (SELECT string_split(s[2:-2], '><') AS t FROM s${i - 1}))
+           GROUP BY 1, 2),
+         m$i AS MATERIALIZED (
+           SELECT l, r, freq FROM p$i ORDER BY freq DESC, l, r LIMIT 1),
+         s$i AS MATERIALIZED (
+           SELECT replace(s,
+             '<' || (SELECT l FROM m$i) || '><' || (SELECT r FROM m$i) || '>',
+             '<' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || '>') AS s
+           FROM s${i - 1})"""
+    }
+    val out = (1 to rounds).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, l AS merge_left,
+                 r AS merge_right, freq FROM m$i""").mkString(" UNION ALL ")
+    s"WITH $wrap,\n${steps.mkString(",\n")}\n$out ORDER BY round"
+  }
+
   val oracle: Map[String, String] = Map(
+    "t_bpe_train" -> bpeTrainOracle(MergeCount),
     "t_boilerplate" ->
       s"""WITH $GramCte
          SELECT gram, COUNT(*) AS n_docs FROM grams
@@ -462,6 +557,7 @@ object Text {
     "t_distinctive_terms" -> ((s: SparkSession, d: String) => distinctiveTerms(s, d)),
     "t_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "t_bpe_pairs"   -> ((s: SparkSession, d: String) => bpePairs(s, d)),
+    "t_bpe_train"   -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "t_ttr"         -> (typeTokenRatio _),
   )
 }

@@ -206,6 +206,23 @@ class SimilaritySpec extends SparkSpec {
     info(f"mega-group recall capped-vs-uncapped: $recall%.3f " +
       s"(${cappedEdges.size} capped / ${uncEdges.size} uncapped edges)")
     assert(recall >= 0.1, f"recall degraded past graceful: $recall%.3f")
+    // NN-descent round: wedge candidates re-find neighbors the bucket
+    // cap sampled apart — recall vs the uncapped graph must IMPROVE
+    val refined = rowsOf(Similarity.nnDescentGraph(spark, d))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refRecall = refined.intersect(uncEdges).size.toDouble / uncEdges.size
+    info(f"mega-group recall after NN-descent: $refRecall%.3f " +
+      s"(${refined.size} refined edges)")
+    assert(refRecall > recall,
+      f"NN-descent must lift capped recall: $recall%.3f -> $refRecall%.3f")
+  }
+
+  test("NN-descent on the fixture keeps every planted twin edge and stays canonical") {
+    val edges = rowsOf(Similarity.nnDescentGraph(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    edges.foreach { case (s, t) => assert(s < t, "canonical src < dst") }
+    (0L until 10L).foreach(q =>
+      assert(edges((q, q + 10)), s"twin edge ($q, ${q + 10}) survives refinement"))
   }
 
   test("kNN graph on the driver corpus: edges are genuinely mutual top-k members") {

@@ -182,6 +182,24 @@ class TextPipelineSpec extends SparkSpec {
       s"raw occurrence counts across the corpus, got $r")
   }
 
+  test("BPE trainer replays known merges: greedy non-overlapping, lexicographic ties, merged tokens re-pair") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "a a a a", "en", "s", 7L),
+      (1L, "a a b b", "en", "s", 7L)))
+    val r = rowsOf(Text.bpeTrain(spark, d, rounds = 3))
+      .map(row => (row.getLong(0), row.getString(1), row.getString(2), row.getLong(3)))
+    // r1: (a,a) freq 4 (OVERLAPPING count: doc0 has 3, doc1 has 1);
+    //     greedy non-overlapping merge -> doc0 = [a a, a a], doc1 = [a a, b, b]
+    // r2: all pairs freq 1; lexicographic tiebreak picks ('a a','a a')
+    //     -> doc0 = [a a a a]
+    // r3: remaining pairs ('a a','b') and ('b','b') -> lex min ('a a','b')
+    assert(r == Seq(
+      (1L, "a", "a", 4L),
+      (2L, "a a", "a a", 1L),
+      (3L, "a a", "b", 1L)),
+      s"merge table must replay the hand-computed rounds, got $r")
+  }
+
   test("rolling fingerprint is order-sensitive and deterministic") {
     val swapped = TestSession.docsFixture(Seq(
       (0L, "alpha beta gamma", "en", "s", 16L),
