@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Hashing.md5Hash60
+
+/** Above-sf0.1 scale evidence for the C-BLOCK (LLM-pipeline) operators —
+  * the companion of [[ScaleBench]], which covers the iterative graph
+  * kernels. Drives the four C-block compositions whose skew/quadratic
+  * caps exist precisely for scale — d_minhash_lsh, s_knn_graph,
+  * d_semantic_dedup, d_curation_e2e — end-to-end over SYNTHETIC
+  * `documents` + `embeddings` tables of arbitrary size.
+  *
+  * The synthesis is hash-derivable like [[ScaleBench.syntheticEdges]]
+  * (no driver data needed) and deliberately mirrors the stress shapes
+  * the caps defend against:
+  *   - documents: 60-token salads over a 5k-word vocabulary; every
+  *     id ≡ 0 (mod 4) re-uses its 16-block anchor's text, planting
+  *     exact-duplicate groups of ≤4 (25% duplication — the LSH bucket
+  *     and curation-dedup load); `lang` is hash-assigned with en at
+  *     ~60% (the dominant-language budget path [[pipeline.Dedup
+  *     .budgetCut]] must spread over range slices).
+  *   - embeddings: hash-uniform 64-dim vectors; every id ≡ 0 (mod 10)
+  *     is a near-copy of id+1 (0.002-scaled perturbation — the
+  *     near-dup mass that collapses LSH buckets and feeds SemDeDup).
+  *
+  * Tables are written to parquet once per size (the operators read
+  * parquet dirs — same code path as the driver corpus), each operator
+  * runs ONCE (multi-minute jobs; min-of-5 is for the sub-10 s fleet),
+  * and one JSON line reports wall seconds + output rows per operator.
+  * `SPARK_GRAFT_SCALE_FACTOR` (default 10) scales the sf0.1 table
+  * sizes (5k docs / 2k vectors).
+  */
+object ScaleBenchC {
+
+  /** Deterministic synthetic `documents` at `n` rows (sf0.1 = 5000). */
+  def syntheticDocs(spark: SparkSession, n: Long): DataFrame = {
+    // 25% of ids copy their 16-block anchor's text: exact-dup groups
+    val seed = when(col("id") % 4 === 0, (col("id") / 16).cast("long") * 16)
+      .otherwise(col("id"))
+    val text = array_join(
+      transform(sequence(lit(0), lit(59)),
+        j => concat(lit("w"),
+          pmod(md5Hash60(concat_ws("|", seed, j)), lit(5000L)))), " ")
+    val langBucket = pmod(md5Hash60(concat_ws("|", col("id"), lit("lang"))), lit(10L))
+    val lang = when(langBucket <= 5, "en").when(langBucket === 6, "de")
+      .when(langBucket === 7, "es").when(langBucket === 8, "fr").otherwise("zh")
+    spark.range(n)
+      .select(col("id").as("doc_id"), text.as("text"), lang.as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(3L))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** Deterministic synthetic `embeddings` at `n` rows (sf0.1 = 2000). */
+  def syntheticEmbeddings(spark: SparkSession, n: Long): DataFrame = {
+    // 10% of ids sit 0.002-noise away from their successor: near-dups
+    val base = when(col("id") % 10 === 0, col("id") + 1).otherwise(col("id"))
+    val comp = (d: org.apache.spark.sql.Column) =>
+      md5Hash60(concat_ws("|", base, d)).cast("double") /
+        lit(math.pow(2.0, 60)) - lit(0.5)
+    val noise = (d: org.apache.spark.sql.Column) =>
+      (md5Hash60(concat_ws("|", col("id"), d, lit("p"))).cast("double") /
+        lit(math.pow(2.0, 60)) - lit(0.5)) *
+        when(col("id") % 10 === 0, lit(0.002)).otherwise(lit(0.0))
+    val vec = transform(sequence(lit(0), lit(Dim - 1)),
+      d => (comp(d) + noise(d)).cast("float"))
+    spark.range(n)
+      .select(col("id").as("vec_id"), vec.as("embedding"),
+        pmod(col("id"), lit(25L)).cast("int").as("label"))
+  }
+
+  private val Dim = pipeline.Similarity.Dim
+
+  def main(args: Array[String]): Unit = {
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nDocs = 5000L * factor
+    val nVecs = 2000L * factor
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = s"target/scale_c_$factor"
+    syntheticDocs(spark, nDocs).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    syntheticEmbeddings(spark, nVecs).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def timed(name: String)(df: => DataFrame): Unit = {
+      val s = System.nanoTime()
+      rows(name) = df.count()
+      times(name) = (System.nanoTime() - s) / 1e9
+      System.err.println(f"[scale-c] $name: ${times(name)}%.1f s (${rows(name)} rows)")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    timed("d_minhash_lsh") { pipeline.Dedup.minhashLsh(spark, dir) }
+    timed("s_knn_graph") { pipeline.Similarity.knnGraph(spark, dir) }
+    timed("d_semantic_dedup") { pipeline.Similarity.semanticDedup(spark, dir) }
+    timed("d_curation_e2e") { pipeline.Dedup.curationE2e(spark, dir) }
+
+    val qs = times.map { case (k, v) =>
+      Json.q(k) + ":" + f"$v%.1f" }.mkString("{", ",", "}")
+    val rs = rows.map { case (k, v) => Json.q(k) + ":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_cblock","factor":$factor,""" +
+      s""""n_docs":$nDocs,"n_vecs":$nVecs,"sec":$qs,"rows":$rs}""")
+    spark.stop()
+  }
+}

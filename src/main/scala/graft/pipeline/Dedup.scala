@@ -283,25 +283,32 @@ object Dedup {
     * count is DISTINCT docs (a doc internally repeating its own segment
     * is repetition, [[Text.repetition]]'s signal, not boilerplate).
     * `d_segment_dedup`. */
-  def segmentDedup(spark: SparkSession, dir: String,
-                   segTokens: Int = SegTokens, dfCap: Int = SegDfCap): DataFrame = {
+  /** The exploded (doc_id, n_segments, seg, seg_text) table of
+    * [[segmentDedup]] — fixed windows via transform(sequence(...)):
+    * stays inside codegen and preserves token order by construction
+    * (an explode + collect_list rebuild would lose intra-group order).
+    * Factored un-checkpointed so the plan audit can assert the scan
+    * pruning the checkpoint barrier would hide. */
+  private[graft] def segmentTable(spark: SparkSession, dir: String,
+                                  segTokens: Int): DataFrame = {
     val toks = Docs.docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
     val nSeg = ceil(size(col("t")).cast("double") / segTokens).cast("int")
-    // fixed windows via transform(sequence(...)): stays inside codegen
-    // and preserves token order by construction (an explode +
-    // collect_list rebuild would lose intra-group order)
-    val segText = toks
+    toks
       .select(col("doc_id"), nSeg.as("n_segments"), col("t"))
       .select(col("doc_id"), col("n_segments"),
         posexplode(expr(s"transform(sequence(0, n_segments - 1), " +
           s"i -> array_join(slice(t, i * $segTokens + 1, $segTokens), ' '))"))
           .as(Seq("seg", "seg_text")))
-      // materialized once: the exploded segment table fans out into
-      // three plan references (boilerplate df, kept counts, per-doc
-      // totals) and Catalyst does not share the subtree — uncheckpointed
-      // the tokenize+explode would execute three times
-      .localCheckpoint(true)
+  }
+
+  def segmentDedup(spark: SparkSession, dir: String,
+                   segTokens: Int = SegTokens, dfCap: Int = SegDfCap): DataFrame = {
+    // materialized once: the exploded segment table fans out into
+    // three plan references (boilerplate df, kept counts, per-doc
+    // totals) and Catalyst does not share the subtree — uncheckpointed
+    // the tokenize+explode would execute three times
+    val segText = segmentTable(spark, dir, segTokens).localCheckpoint(true)
     val boiler = segText.groupBy(col("seg_text"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > dfCap)

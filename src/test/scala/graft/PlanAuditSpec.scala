@@ -134,9 +134,40 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(knnCand.contains("TopKPerGroup"),
       "kNN bucket cap must run through the native heap operator")
-    // segment dedup reads only (doc_id, text) from documents
-    val seg = scanOf("d_segment_dedup", "documents")
+    // segment dedup reads only (doc_id, text) from documents — asserted
+    // on the pre-checkpoint segment table (the shared-input checkpoint
+    // hides the FileScan from the final plan)
+    val seg = graft.pipeline.Dedup
+      .segmentTable(spark, SF, graft.pipeline.Dedup.SegTokens)
+      .queryExecution.executedPlan.toString
+      .linesIterator.filter(l =>
+        l.contains("FileScan") && l.contains("documents")).mkString("\n")
     assert(seg.contains("text") && !seg.contains("source") && !seg.contains("n_chars"),
       s"segment dedup must read only (doc_id, text): $seg")
+  }
+
+  test("r9 operators: pruned scans and range-sliced budget windows") {
+    def planOf(name: String): String =
+      SparkEntry.queries(name)(spark, SF).queryExecution.executedPlan.toString
+    def scanOf(name: String, table: String): String =
+      planOf(name).linesIterator.filter(l =>
+        l.contains("FileScan") && l.contains(table)).mkString("\n")
+    // shuffle index needs nothing but the id column from documents
+    val si = scanOf("d_shuffle_index", "documents")
+    assert(si.contains("doc_id") && !si.contains("text") && !si.contains("lang"),
+      s"shuffle index must read only doc_id: $si")
+    // curation chain: every data-sized running-sum window is keyed by
+    // (range slice, lang) — a window on lang alone would be one task
+    // per language (the r8 verdict's scale finding, fixed in r9)
+    val cur = planOf("d_curation_e2e")
+    val sumW = cur.linesIterator
+      .filter(l => l.contains("Window") && l.contains("sum(n_tokens")).toSeq
+    assert(sumW.nonEmpty && sumW.forall(_.contains("slice")),
+      s"curation budget windows must be keyed by (slice, lang): $sumW")
+    val tb = planOf("d_token_budget")
+    val tbW = tb.linesIterator
+      .filter(l => l.contains("Window") && l.contains("sum(n_tokens")).toSeq
+    assert(tbW.nonEmpty && tbW.forall(_.contains("slice")),
+      s"token budget windows must be keyed by (slice, lang): $tbW")
   }
 }
