@@ -375,6 +375,265 @@ object Tpch {
       .orderBy($"cntrycode")
   }
 
+  /** PARTSUPP stand-in — the corpus ships no partsupp table, so the
+    * relation is the DISTINCT (partkey, suppkey) pairs that actually
+    * traded in lineitem, carrying hash-derived attributes both engines
+    * rebuild identically (the q9 unit-cost precedent, generalized):
+    * ps_supplycost = h("cost|pk|sk") % 900 + 100 as whole-dollar
+    * DECIMAL(12,2) (integer→decimal, no division — exact in both
+    * engines), ps_availqty = h("avail|pk|sk") % 1000 + 1. Feeds
+    * Q2/Q11/Q16/Q20 exactly where the spec reads partsupp; the distinct
+    * is one shuffle on (pk, sk) and the attributes are codegen'd
+    * column expressions on top. */
+  private[relational] def partsupp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def h(salt: String) = graft.Hashing.md5Hash60(
+      concat_ws("|", lit(salt), $"ps_partkey", $"ps_suppkey"))
+    Tables.lineitem(spark, dir)
+      .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_supplycost", (pmod(h("cost"), lit(900L)) + 100L).cast(D12_2))
+      .withColumn("ps_availqty", pmod(h("avail"), lit(1000L)) + lit(1L))
+  }
+
+  /** The DuckDB rendering of [[partsupp]] (a WITH-clause body). */
+  private def partsuppSql: String = {
+    def h(salt: String) = graft.Hashing.hexFoldSql(
+      s"'$salt' || '|' || CAST(l_partkey AS VARCHAR) || '|' || CAST(l_suppkey AS VARCHAR)")
+    s"""SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          CAST(${h("cost")} % 900 + 100 AS DECIMAL(12,2)) AS ps_supplycost,
+          ${h("avail")} % 1000 + 1 AS ps_availqty
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)"""
+  }
+
+  /** TPC-H Q2 shape: min-cost supplier per part within a region — the
+    * classic ARGMIN-per-group correlated subquery, decorrelated as one
+    * aggregate + rejoin: min(struct(cost, suppkey)) picks the cheapest
+    * supplier with a deterministic tie-break in a single shuffle, and
+    * the rejoin on (part, winner) restores the output columns. Region
+    * and nation are broadcast; the part filter is pushed to its scan.
+    * `q2_min_cost_supplier`. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val euroNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val euroSupp = Tables.supplier(spark, dir)
+      .join(broadcast(euroNations), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val prt = Tables.part(spark, dir)
+      .filter($"p_size".between(10, 20) && $"p_type" === "STANDARD")
+      .select($"p_partkey", $"p_name")
+    val cand = partsupp(spark, dir)
+      .join(euroSupp, $"ps_suppkey" === $"s_suppkey")
+      .join(prt, $"ps_partkey" === $"p_partkey")
+    val best = cand.groupBy($"ps_partkey".as("bk"))
+      .agg(min(struct($"ps_supplycost", $"ps_suppkey")).as("m"))
+      .select($"bk", $"m.ps_suppkey".as("best_supp"))
+    cand.join(best, $"ps_partkey" === $"bk" && $"ps_suppkey" === $"best_supp")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+        $"ps_supplycost".cast("double").as("supplycost"))
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  /** TPC-H Q6 shape: the pure scan-kernel forecast query — no join at
+    * all; the date/discount/quantity filters ALL reach the parquet
+    * scan (PushedFilters), and the plan is a single whole-stage-codegen
+    * scan + partial/final agg. The revenue term is extendedprice ×
+    * discount (the discount given, not the discounted price).
+    * `q6_forecast_revenue`. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice".cast(D12_4) * $"l_discount".cast(D12_4)), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q8 shape: national market share — of all ECONOMY-part volume
+    * sold to AMERICA-region customers over two years, the fraction
+    * supplied from one nation, per year. The numerator is a conditional
+    * decimal sum out of the SAME aggregate as the denominator (q14's
+    * ratio pattern — one scan, one shuffle, one double division).
+    * `q8_market_share`. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val amCust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "AMERICA")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey".as("sn_nk"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"sn_nk")
+      .select($"s_suppkey", $"supp_nation")
+    val disc = $"l_extendedprice".cast(D12_4) * (lit(1.0) - $"l_discount").cast(D12_4)
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter($"p_type" === "ECONOMY")
+        .select($"p_partkey"), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, dir)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(amCust, $"o_custkey" === $"c_custkey")
+      .join(suppNation, $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(sum(when($"supp_nation" === "NATION_3", disc)).as("nat_sum"),
+        sum(disc).as("tot_sum"))
+      .select($"o_year",
+        round(coalesce($"nat_sum", lit(0)).cast("double") /
+          $"tot_sum".cast("double"), 4).as("mkt_share"),
+        round($"tot_sum", 2).cast("double").as("total_volume"))
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q11 shape: important stock — parts whose held value exceeds
+    * a fraction of the TOTAL held value. The global threshold is a
+    * 1-row decimal aggregate CROSS-broadcast into the HAVING filter
+    * (q22's scalar pattern — no driver collect, no second scan of the
+    * grouped side); per-part and total sums are both decimal-exact.
+    * Two deviations keep the result non-empty at EVERY SF where the
+    * spec's constants go vacuous: the holder filter is region-level
+    * (a single nation holds nothing at tiny SFs), and the threshold is
+    * 2× the MEAN per-part value rather than a fixed corpus fraction
+    * (the spec scales its 0.0001 by 1/SF for exactly this reason —
+    * mean-relative is the SF-invariant form of the same intent).
+    * `q11_important_stock`. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ps = partsupp(spark, dir)
+      .join(Tables.supplier(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)
+              .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "EUROPE")),
+                $"n_regionkey" === $"r_regionkey")
+              .select($"n_nationkey")),
+            $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey"),
+        $"ps_suppkey" === $"s_suppkey")
+      .withColumn("val0", $"ps_supplycost" * $"ps_availqty".cast(D12_2))
+    val total = ps.agg(round(sum($"val0"), 2).cast("double").as("total_value"),
+      countDistinct($"ps_partkey").as("n_parts"))
+    ps.groupBy($"ps_partkey")
+      .agg(round(sum($"val0"), 2).cast("double").as("value"))
+      .join(broadcast(total))
+      .filter($"value" > ($"total_value" / $"n_parts") * 2.0)
+      .select($"ps_partkey", $"value")
+      .orderBy($"value".desc, $"ps_partkey")
+  }
+
+  /** TPC-H Q15 shape: top supplier(s) by quarterly revenue — the
+    * revenue VIEW is one decimal-sum aggregate, its max a 1-row
+    * CROSS-broadcast scalar, and the winners an equality filter on the
+    * ROUNDED revenue (exact double equality of identically-derived
+    * values, so ties all surface). `q15_top_supplier`. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_extendedprice".cast(D12_4) *
+          (lit(1.0) - $"l_discount").cast(D12_4)), 2)
+        .cast("double").as("total_revenue"))
+    val mx = rev.agg(max($"total_revenue").as("max_revenue"))
+    rev.join(broadcast(mx))
+      .filter($"total_revenue" === $"max_revenue")
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q16 shape: supplier counts per (brand, type, size) bucket,
+    * excluding flagged suppliers — the spec's complaint-comment filter
+    * has no comment column here, so the deterministic stand-in is
+    * negative account balance. The exclusion is a broadcast LEFT-ANTI
+    * join; the count is exact COUNT DISTINCT (one extra expand round,
+    * the price of exactness). `q16_parts_supplier`. */
+  def q16PartsSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val flagged = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    partsupp(spark, dir)
+      .join(broadcast(flagged), $"ps_suppkey" === $"s_suppkey", "left_anti")
+      .join(Tables.part(spark, dir)
+          .filter($"p_brand" =!= "Brand#45" && $"p_type" =!= "PROMO" &&
+            $"p_size".isin(1, 4, 9, 14, 19, 23, 36, 45)),
+        $"ps_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"ps_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  /** TPC-H Q20 shape: suppliers holding excess stock of promotable
+    * (red-named) parts — availqty > half the quantity they actually
+    * shipped in 1997. Shipped quantity is a decimal sum per
+    * (part, supplier); the availability test is one double compare;
+    * the supplier projection applies the region filter LAST (the
+    * semantics require the full shipped aggregate first; region-level
+    * rather than the spec's nation so the result is non-empty at
+    * every SF). `q20_potential_part`. */
+  def q20PotentialPart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shipped = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(round(sum($"l_quantity".cast(D12_2)), 2).cast("double").as("qty_1997"))
+    partsupp(spark, dir)
+      .join(Tables.part(spark, dir).filter($"p_name".startsWith("red"))
+        .select($"p_partkey"), $"ps_partkey" === $"p_partkey")
+      .join(shipped,
+        $"ps_partkey" === $"l_partkey" && $"ps_suppkey" === $"l_suppkey")
+      .filter($"ps_availqty".cast("double") > $"qty_1997" * 0.5)
+      .select($"ps_suppkey").distinct()
+      .join(Tables.supplier(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)
+              .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "EUROPE")),
+                $"n_regionkey" === $"r_regionkey")
+              .select($"n_nationkey")),
+            $"s_nationkey" === $"n_nationkey"),
+        $"ps_suppkey" === $"s_suppkey")
+      .select($"s_name", $"s_acctbal")
+      .orderBy($"s_name")
+  }
+
+  /** TPC-H Q21 shape: suppliers who kept multi-supplier orders waiting
+    * — the ONLY late supplier on a completed order someone else also
+    * supplied. The spec's commit/receipt dates are absent; "late"
+    * follows [[q12LatePriority]]'s idiom (shipped > 90 days after the
+    * order date). The double-EXISTS decorrelates into one per-(order,
+    * supplier) aggregate plus per-order count/sum windows — the window
+    * partitions are single orders (≤ a handful of lines each), bounded
+    * at any corpus size. `q21_waiting_suppliers`. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val late = ($"l_shipdate" >
+      to_timestamp(date_add(to_date($"o_orderdate"), 90))).cast("long")
+    val perSupp = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(late).as("late_any"))
+    val w = Window.partitionBy($"l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum($"late_any").over(w))
+      .filter($"late_any" === 1 && $"n_supp" > 1 && $"n_late" === 1)
+      .join(Tables.supplier(spark, dir), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+
   /** Explicit GROUPING SETS — the two one-dimension margins plus the
     * leaf, WITHOUT the grand total (the lattice subset neither
     * [[qRollup]]'s hierarchy nor [[qCube]]'s full lattice expresses):
@@ -750,6 +1009,125 @@ object Tpch {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                            AND o_orderdate >= TIMESTAMP '1997-06-01')
          GROUP BY cntrycode ORDER BY cntrycode""",
+    "q2_min_cost_supplier" ->
+      s"""WITH ps AS ($partsuppSql),
+          es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                 FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                 JOIN region ON n_regionkey = r_regionkey
+                 WHERE r_name = 'EUROPE'),
+          cand AS (SELECT * FROM ps
+                   JOIN es ON ps_suppkey = s_suppkey
+                   JOIN (SELECT p_partkey, p_name FROM part
+                         WHERE p_size BETWEEN 10 AND 20
+                           AND p_type = 'STANDARD') p
+                     ON ps_partkey = p_partkey),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ps_partkey
+                       ORDER BY ps_supplycost, ps_suppkey) AS rn FROM cand)
+          SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                 CAST(ps_supplycost AS DOUBLE) AS supplycost
+          FROM ranked WHERE rn = 1
+          ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "q6_forecast_revenue" ->
+      """SELECT
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "q8_market_share" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         ROUND(CAST(COALESCE(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                  THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                       * CAST(1.0 - l_discount AS DECIMAL(12,4)) END), 0) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * CAST(1.0 - l_discount AS DECIMAL(12,4))) AS DOUBLE), 4) AS mkt_share,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                        * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_volume
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY o_year ORDER BY o_year""",
+    "q11_important_stock" ->
+      s"""WITH ps AS ($partsuppSql),
+          held AS (SELECT ps_partkey,
+                          ps_supplycost * CAST(ps_availqty AS DECIMAL(12,2)) AS val0
+                   FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+                   WHERE r_name = 'EUROPE'),
+          total AS (SELECT CAST(ROUND(SUM(val0), 2) AS DOUBLE) AS total_value,
+                           CAST(COUNT(DISTINCT ps_partkey) AS BIGINT) AS n_parts FROM held)
+          SELECT ps_partkey, CAST(ROUND(SUM(val0), 2) AS DOUBLE) AS value
+          FROM held GROUP BY ps_partkey
+          HAVING CAST(ROUND(SUM(val0), 2) AS DOUBLE) >
+                 ((SELECT total_value FROM total) / (SELECT n_parts FROM total)) * 2.0
+          ORDER BY value DESC, ps_partkey""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                            * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1997-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, s_acctbal, total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+    "q16_parts_supplier" ->
+      s"""WITH ps AS ($partsuppSql)
+          SELECT p_brand, p_type, p_size,
+                 CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+          FROM ps JOIN part ON ps_partkey = p_partkey
+          WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+            AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+            AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          GROUP BY p_brand, p_type, p_size
+          ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q20_potential_part" ->
+      s"""WITH ps AS ($partsuppSql),
+          shipped AS (SELECT l_partkey, l_suppkey,
+                        CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty_1997
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                        AND l_shipdate < TIMESTAMP '1998-01-01'
+                      GROUP BY l_partkey, l_suppkey),
+          excess AS (SELECT DISTINCT ps_suppkey FROM ps
+                     JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'red%'
+                     JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+                     WHERE CAST(ps_availqty AS DOUBLE) > qty_1997 * 0.5)
+          SELECT s_name, s_acctbal
+          FROM excess JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+          ORDER BY s_name""",
+    "q21_waiting_suppliers" ->
+      """WITH per AS (
+           SELECT l_orderkey, l_suppkey,
+             MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS late_any
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'
+           GROUP BY l_orderkey, l_suppkey),
+         f AS (
+           SELECT *, COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                  SUM(late_any) OVER (PARTITION BY l_orderkey) AS n_late
+           FROM per)
+         SELECT s_name, COUNT(*) AS numwait
+         FROM f JOIN supplier ON l_suppkey = s_suppkey
+         WHERE late_any = 1 AND n_supp > 1 AND n_late = 1
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
          CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1.0 - l_discount AS DECIMAL(12,4))), 2) AS DOUBLE) AS revenue,
@@ -986,5 +1364,13 @@ object Tpch {
     "q_grouping_sets"      -> qGroupingSets _,
     "q_anti_inactive"      -> qAntiInactive _,
     "q_ntile_quartiles"    -> qNtileQuartiles _,
+    "q2_min_cost_supplier" -> q2MinCostSupplier _,
+    "q6_forecast_revenue"  -> q6ForecastRevenue _,
+    "q8_market_share"      -> q8MarketShare _,
+    "q11_important_stock"  -> q11ImportantStock _,
+    "q15_top_supplier"     -> q15TopSupplier _,
+    "q16_parts_supplier"   -> q16PartsSupplier _,
+    "q20_potential_part"   -> q20PotentialPart _,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers _,
   )
 }

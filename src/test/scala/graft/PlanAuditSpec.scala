@@ -15,7 +15,8 @@ class PlanAuditSpec extends SparkSpec {
     "s_ivf_ann",     // NumLists centroids × corpus (assignment cross)
     "s_ivfpq_ann",   // same NumLists coarse-assignment cross as s_ivf_ann
     "s_kmeans",      // KmeansK centroids × corpus (assignment cross)
-    "q22_dormant_balance" // ONE-row scalar-average aggregate × customer
+    "q22_dormant_balance", // ONE-row scalar-average aggregate × customer
+    "q11_important_stock"  // ONE-row (total, n_parts) scalar × per-part aggregate
   )
 
   test("no operator plans a cartesian product; BNLJ only where bounded") {
@@ -169,5 +170,12 @@ class PlanAuditSpec extends SparkSpec {
       .filter(l => l.contains("Window") && l.contains("sum(n_tokens")).toSeq
     assert(tbW.nonEmpty && tbW.forall(_.contains("slice")),
       s"token budget windows must be keyed by (slice, lang): $tbW")
+    // Q6 is the pure scan kernel: all three predicates pushed, and the
+    // scan reads none of the columns the query never touches
+    val q6 = scanOf("q6_forecast_revenue", "lineitem")
+    assert(q6.contains("l_shipdate") && q6.contains("l_discount") &&
+      q6.contains("l_quantity"), s"q6 predicates must be pushed: $q6")
+    assert(!q6.contains("l_tax") && !q6.contains("l_returnflag"),
+      s"q6 must not read unused columns: $q6")
   }
 }

