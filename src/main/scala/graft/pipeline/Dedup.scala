@@ -424,6 +424,70 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Context-window length (tokens) for [[seqPack]] — deliberately small
+    * so the bin structure is exercised at every test SF (a doc both
+    * fills bins and spans bin boundaries). */
+  val PackContext = 256
+
+  /** [[rankShuffle]] extended with a WEIGHTED prefix sum: alongside
+    * `shuffle_pos`, appends `start_pos` = the total `n_tokens` of every
+    * document BEFORE this one in shuffle order. Same radix structure —
+    * the per-bucket aggregate now also sums tokens, the ≤~√n-row offset
+    * cumsum carries a second column, and the partitioned window computes
+    * a running token sum next to the row number (one window spec, both
+    * functions, a single sort per bucket). A global token offset with no
+    * global sort and no single-task window, at any corpus size.
+    * `df` must carry unique `doc_id` + `n_tokens`. */
+  private[graft] def packRank(df: DataFrame, seed: Long, corpusN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = shuffleBucketCount(corpusN)
+    val w = (1L << 60) / b
+    val keyed = df.withColumn("hkey",
+        md5Hash60(concat_ws("|", col("doc_id"), lit(seed))))
+      .withColumn("bucket", expr(s"hkey div $w"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tw"))
+      .withColumn("offset", coalesce(sum(col("n")).over(cum), lit(0L)))
+      .withColumn("tok_off", coalesce(sum(col("tw")).over(cum), lit(0L)))
+      .select(col("bucket"), col("offset"), col("tok_off"))
+    val win = Window.partitionBy(col("bucket")).orderBy(col("hkey"), col("doc_id"))
+    keyed
+      .withColumn("rk", row_number().over(win))
+      .withColumn("cum_tw", sum(col("n_tokens")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("shuffle_pos", col("offset") + col("rk") - 1)
+      .withColumn("start_pos", col("tok_off") + col("cum_tw") - col("n_tokens"))
+      .drop("hkey", "bucket", "offset", "tok_off", "rk", "cum_tw")
+  }
+
+  /** Training-sequence packing: the GPT-style "concatenate the shuffled
+    * token stream, slice into fixed [[PackContext]]-token windows"
+    * manifest. Documents are laid out in [[rankShuffle]]'s deterministic
+    * training order; each doc's global token offset comes from
+    * [[packRank]]'s distributed weighted prefix sum, and its context
+    * bins are pure integer arithmetic on that offset: `bin_id` = the
+    * window its first token lands in, `bin_offset` the position inside
+    * it, `n_bins` how many windows the doc spans (documents cross
+    * window boundaries — the standard causal-LM packing, no padding).
+    * A training reader consumes this manifest directly: bin b's content
+    * is every doc with bin_id ≤ b ≤ bin_id + n_bins − 1, in shuffle
+    * order. `d_seq_pack`. */
+  def seqPack(spark: SparkSession, dir: String, ctx: Int = PackContext,
+              seed: Long = 42L): DataFrame = {
+    val docs = Docs.docs(spark, dir)
+      .select(col("doc_id"), size(Docs.tokens).cast("long").as("n_tokens"))
+    packRank(docs, seed, Docs.docs(spark, dir).count())
+      .select(col("doc_id"), col("n_tokens"), col("shuffle_pos"), col("start_pos"),
+        expr(s"start_pos div $ctx").as("bin_id"),
+        pmod(col("start_pos"), lit(ctx.toLong)).as("bin_offset"),
+        (expr(s"(start_pos + n_tokens - 1) div $ctx") -
+          expr(s"start_pos div $ctx") + lit(1L)).as("n_bins"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The end-to-end curation chain as ONE declarative plan — the
     * composition a training-data build actually runs, proving the
     * stages compose without materialization walls:
@@ -669,6 +733,40 @@ object Dedup {
          FROM bkr JOIN offr USING (bucket))"""
   }
 
+  /** [[radixRankSql]]'s weighted sibling, replaying [[packRank]]: the
+    * offset CTE carries BOTH the row-count and token-sum cumsums, and
+    * `rrk` adds `start_pos` from the in-bucket running token sum.
+    * `src` must be a CTE of (doc_id, n_tokens, hkey). */
+  private def radixPackSql(src: String): String =
+    s"""nb AS (
+         SELECT GREATEST($MinShuffleBuckets,
+                  LEAST($MaxShuffleBuckets,
+                        CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))) AS b
+         FROM documents),
+       bkr AS (
+         SELECT doc_id, n_tokens, hkey,
+                hkey // ((CAST(1 AS BIGINT) << 60) // (SELECT b FROM nb))
+                  AS bucket
+         FROM $src),
+       offr AS (
+         SELECT bucket,
+                CAST(COALESCE(SUM(COUNT(*)) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off,
+                CAST(COALESCE(SUM(SUM(n_tokens)) OVER (ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS tok_off
+         FROM bkr GROUP BY bucket),
+       rrk AS (
+         SELECT bkr.doc_id, bkr.n_tokens,
+                CAST(offr.off + ROW_NUMBER() OVER (PARTITION BY bkr.bucket
+                  ORDER BY bkr.hkey, bkr.doc_id) - 1 AS BIGINT) AS shuffle_pos,
+                CAST(offr.tok_off + SUM(bkr.n_tokens) OVER (
+                  PARTITION BY bkr.bucket ORDER BY bkr.hkey, bkr.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - bkr.n_tokens AS BIGINT) AS start_pos
+         FROM bkr JOIN offr USING (bucket))"""
+
   /** DuckDB equivalent of [[Docs.gramTable]] as a CTE body. */
   private val GramCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -767,6 +865,22 @@ object Dedup {
            FROM documents),
          ${radixRankSql("k")}
          SELECT doc_id, shuffle_pos FROM rrk ORDER BY doc_id""",
+    // replays packRank's weighted radix prefix sum STRUCTURE — bucket,
+    // two-column bounded offset cumsum, in-bucket running token sum —
+    // then seqPack's integer bin arithmetic on top
+    "d_seq_pack" ->
+      s"""WITH k AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  ${hexFoldSql("CAST(doc_id AS VARCHAR) || '|' || '42'")} AS hkey
+           FROM documents),
+         ${radixPackSql("k")}
+         SELECT doc_id, n_tokens, shuffle_pos, start_pos,
+                start_pos // $PackContext AS bin_id,
+                start_pos % $PackContext AS bin_offset,
+                (start_pos + n_tokens - 1) // $PackContext
+                  - start_pos // $PackContext + 1 AS n_bins
+         FROM rrk ORDER BY doc_id""",
     "d_curation_e2e" ->
       s"""WITH keep AS (
            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -982,6 +1096,7 @@ object Dedup {
     "d_minhash_est"   -> ((s: SparkSession, d: String) => minhashEstimateAudit(s, d)),
     "d_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
     "d_shuffle_index" -> ((s: SparkSession, d: String) => shuffleIndex(s, d)),
+    "d_seq_pack"      -> ((s: SparkSession, d: String) => seqPack(s, d)),
     "d_curation_e2e"  -> ((s: SparkSession, d: String) => curationE2e(s, d)),
   )
 }

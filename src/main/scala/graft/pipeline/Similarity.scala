@@ -691,6 +691,55 @@ object Similarity {
     assign.orderBy(col("vec_id"))
   }
 
+  /** Clustering-quality evaluation against the corpus' gold `label`
+    * column: per cluster, the member count, the majority label (argmax
+    * via max(struct(count, −label)) — the single-shuffle idiom, ties to
+    * the smallest label), and purity = majority count / cluster size.
+    * The eval every embedding-space curation step (semantic dedup,
+    * topic balancing) runs to sanity-check its k-means stage. Two
+    * bounded aggregates over the assignment — the cost IS the k-means
+    * kernel it audits. All counts integer-exact; the one division is
+    * the final ratio. `s_cluster_purity`. */
+  def clusterPurity(spark: SparkSession, dir: String,
+                    k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    val byLabel = kmeans(spark, dir, k, iters)
+      .select(col("vec_id"), col("cluster_id"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label")), Seq("vec_id"))
+      .groupBy(col("cluster_id"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    byLabel.groupBy(col("cluster_id"))
+      .agg(sum(col("cnt")).as("n_members"),
+        max(struct(col("cnt"), (-col("label")).as("neglab"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.neglab")).as("majority_label"),
+        col("best.cnt").as("majority_cnt"),
+        round(col("best.cnt").cast("double") / col("n_members"), 4).as("purity"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** ANN-recall evaluation: recall@k of the LSH index ([[lshAnn]])
+    * against the exact brute-force top-k ([[cosineTopK]]), per query —
+    * the index-quality report every ANN deployment tracks (the
+    * recall-vs-cost trade is THE tuning axis for NumTables /
+    * BitsPerTable). One plan: true top-k LEFT-joined to the approximate
+    * top-k on (query, neighbor), hits counted per query. n_true is
+    * always k; recall = n_hit / k. `s_ann_recall`. */
+  def annRecall(spark: SparkSession, dir: String,
+                nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val truth = cosineTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor"))
+    val approx = lshAnn(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("query_id"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   // ---- semantic dedup (SemDeDup) --------------------------------------
 
   /** SemDeDup Lloyd passes / duplicate threshold. */
@@ -913,6 +962,65 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
+    // the trained assignment CTE is shared with the kmeans oracle; the
+    // argmax replays max(struct(cnt, -label)) as (cnt DESC, label) rank
+    "s_cluster_purity" ->
+      s"""${kmeansCtePrelude(KmeansK.toString, KmeansIters)},
+         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         cl AS (SELECT cluster_id, label, COUNT(*) AS cnt
+                FROM a$KmeansIters JOIN lab USING (vec_id)
+                GROUP BY cluster_id, label),
+         tot AS (SELECT cluster_id, CAST(SUM(cnt) AS BIGINT) AS n_members
+                 FROM cl GROUP BY cluster_id),
+         maj AS (SELECT cluster_id, label AS majority_label,
+                        CAST(cnt AS BIGINT) AS majority_cnt,
+                        ROW_NUMBER() OVER (PARTITION BY cluster_id
+                          ORDER BY cnt DESC, label) AS rn
+                 FROM cl)
+         SELECT m.cluster_id, t.n_members, m.majority_label, m.majority_cnt,
+                ROUND(CAST(m.majority_cnt AS DOUBLE) / t.n_members, 4) AS purity
+         FROM maj m JOIN tot t ON m.cluster_id = t.cluster_id
+         WHERE m.rn = 1 ORDER BY m.cluster_id""",
+    // truth = fresh brute-force top-k CTEs, approx = the shared LSH
+    // bucket CTE ranked — both replayed verbatim, then the hit join
+    "s_ann_recall" ->
+      s"""$VecCte,
+         $LshBucketsCte,
+         bp AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor,
+                  ROUND(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
+           FROM e q JOIN e c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         bt AS (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor) AS rn
+             FROM bp) WHERE rn <= 5),
+         ac AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+           FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         aps AS (
+           SELECT ac.query_id, ac.vec_id AS neighbor,
+                  ROUND(list_cosine_similarity(q.v, e.v), 4) AS cos_sim
+           FROM ac JOIN e q ON q.vec_id = ac.query_id
+           JOIN e ON e.vec_id = ac.vec_id),
+         apt AS (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor) AS rn
+             FROM aps) WHERE rn <= 5)
+         SELECT bt.query_id,
+                CAST(COUNT(*) AS BIGINT) AS n_true,
+                CAST(SUM(CASE WHEN apt.neighbor IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit,
+                ROUND(CAST(SUM(CASE WHEN apt.neighbor IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS recall
+         FROM bt LEFT JOIN apt
+           ON bt.query_id = apt.query_id AND bt.neighbor = apt.neighbor
+         GROUP BY bt.query_id ORDER BY bt.query_id""",
     "d_semantic_dedup" ->
       s"""${kmeansCtePrelude(SemKSql, SemIters)},
          av AS (
@@ -1161,6 +1269,8 @@ object Similarity {
     "s_range_search"      -> ((s: SparkSession, d: String) => rangeSearch(s, d)),
     "s_ivf_ann"           -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "s_kmeans"            -> ((s: SparkSession, d: String) => kmeans(s, d)),
+    "s_cluster_purity"    -> ((s: SparkSession, d: String) => clusterPurity(s, d)),
+    "s_ann_recall"        -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "s_pq_ann"            -> ((s: SparkSession, d: String) => pqAnn(s, d)),
     "s_ivfpq_ann"         -> ((s: SparkSession, d: String) => ivfPqAnn(s, d)),
     "s_knn_graph"         -> ((s: SparkSession, d: String) => knnGraph(s, d)),

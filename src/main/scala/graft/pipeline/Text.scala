@@ -350,6 +350,52 @@ object Text {
       .orderBy(col("round"))
   }
 
+  // ---- PII detection / redaction -------------------------------------
+
+  /** PII patterns — deliberately restricted to regex constructs with
+    * identical semantics in Java regex (Spark codegen) and RE2 (DuckDB):
+    * character classes, bounded/unbounded greedy quantifiers, literal
+    * escapes. No lookaround, no backreferences, no `\b` (RE2 and Java
+    * agree on it, but the patterns don't need it). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII scan + redaction over any (doc_id, text) frame — the
+    * compliance pass every crawl corpus runs before training: count
+    * emails / IPv4s / phone-shaped spans, and replace them with typed
+    * placeholder tags. Redaction order matters and is fixed (emails →
+    * IPs → phones): an email's host or an IP could otherwise be
+    * partially eaten by the looser phone pattern. Pure codegen'd
+    * `regexp_extract_all` / `regexp_replace` column expressions — a
+    * scan-bound narrow map at any corpus size. The redacted corpus is
+    * the real product; the gate row carries its md5 + length rather
+    * than re-emitting the text (narrow output at 100 TB). */
+  private[graft] def piiScan(docs: DataFrame): DataFrame = {
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(IpRe), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phones"),
+      md5(clean).as("redacted_md5"),
+      length(clean).cast("long").as("n_chars_redacted"))
+  }
+
+  /** [[piiScan]] on the corpus. The synthetic documents contain no PII
+    * — every count is legitimately 0 and redacted_md5 = md5(text) —
+    * which the oracle independently confirms; TextSpec drives the
+    * match/redact semantics on planted emails/IPs/phones.
+    * `t_pii_redact`. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiScan(Docs.docs(spark, dir)).orderBy(col("doc_id"))
+
   // ---- oracles -------------------------------------------------------
 
   private val ToksCte =
@@ -402,6 +448,25 @@ object Text {
 
   val oracle: Map[String, String] = Map(
     "t_bpe_train" -> bpeTrainOracle(MergeCount),
+    // the regex literals are shared constants: identical pattern text
+    // reaches Java regex (Spark) and RE2 (DuckDB); 'g' makes DuckDB's
+    // regexp_replace global like Spark's
+    "t_pii_redact" ->
+      s"""WITH red AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(text,
+                    '$EmailRe', '<EMAIL>', 'g'),
+                    '$IpRe', '<IP>', 'g'),
+                    '$PhoneRe', '<PHONE>', 'g') AS clean,
+                  text
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+                md5(clean) AS redacted_md5,
+                CAST(length(clean) AS BIGINT) AS n_chars_redacted
+         FROM red ORDER BY doc_id""",
     "t_boilerplate" ->
       s"""WITH $GramCte
          SELECT gram, COUNT(*) AS n_docs FROM grams
@@ -559,5 +624,6 @@ object Text {
     "t_bpe_pairs"   -> ((s: SparkSession, d: String) => bpePairs(s, d)),
     "t_bpe_train"   -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
     "t_ttr"         -> (typeTokenRatio _),
+    "t_pii_redact"  -> (piiRedact _),
   )
 }

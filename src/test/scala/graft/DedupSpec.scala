@@ -341,4 +341,45 @@ class DedupSpec extends SparkSpec {
       assert(byCluster(d).getLong(byCluster(d).fieldIndex("keep_doc_id")) == d)
     }
   }
+
+  test("packRank: start_pos is the exact token prefix sum of the shuffle order, at scaled radix width") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 8192 docs leaves the 64-bucket clamp floor (b = ceil(sqrt(8192)) = 91)
+    // and varied token counts exercise the weighted cumsum
+    val n = 8192L
+    val df = spark.range(n).select(col("id").as("doc_id"),
+      (lit(1L) + pmod(col("id") * 7L, lit(13L))).as("n_tokens"))
+    val r = Dedup.packRank(df, 42L, n)
+      .select("doc_id", "n_tokens", "shuffle_pos", "start_pos")
+      .collect().sortBy(_.getLong(2))
+    assert(r.map(_.getLong(2)).toSeq == (0L until n), "dense permutation")
+    var cum = 0L
+    r.foreach { row =>
+      assert(row.getLong(3) == cum,
+        s"doc ${row.getLong(0)} at pos ${row.getLong(2)}: start_pos ${row.getLong(3)} != prefix $cum")
+      cum += row.getLong(1)
+    }
+    // same seed, same permutation as the unweighted rank
+    val unweighted = Dedup.rankShuffle(df.select(col("doc_id")), 42L, n)
+      .select("doc_id", "shuffle_pos").collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    r.foreach(row => assert(unweighted(row.getLong(0)) == row.getLong(2),
+      "packRank's order IS rankShuffle's order"))
+  }
+
+  test("seqPack bins tile the concatenated token stream exactly") {
+    val ctx = Dedup.PackContext.toLong
+    val r = rowsOf(Dedup.seqPack(spark, dir))
+    val totalTokens = r.map(_.getLong(1)).sum
+    assert(r.map(row => row.getLong(3) + row.getLong(1)).max == totalTokens,
+      "last doc in shuffle order ends exactly at the stream length")
+    r.foreach { row =>
+      val (nTok, start, bin, off, span) =
+        (row.getLong(1), row.getLong(3), row.getLong(4), row.getLong(5), row.getLong(6))
+      assert(bin == start / ctx && off == start % ctx, "bin arithmetic")
+      assert(span == (start + nTok - 1) / ctx - bin + 1, "span covers the doc's last token")
+      assert(span >= 1)
+    }
+  }
 }

@@ -16,7 +16,9 @@ class PlanAuditSpec extends SparkSpec {
     "s_ivfpq_ann",   // same NumLists coarse-assignment cross as s_ivf_ann
     "s_kmeans",      // KmeansK centroids × corpus (assignment cross)
     "q22_dormant_balance", // ONE-row scalar-average aggregate × customer
-    "q11_important_stock"  // ONE-row (total, n_parts) scalar × per-part aggregate
+    "q11_important_stock", // ONE-row (total, n_parts) scalar × per-part aggregate
+    "s_cluster_purity",    // embeds s_kmeans' centroid-assignment cross
+    "s_ann_recall"         // embeds s_cosine_topk's fixed-query broadcast
   )
 
   test("no operator plans a cartesian product; BNLJ only where bounded") {

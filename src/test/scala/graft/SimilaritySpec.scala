@@ -356,4 +356,49 @@ class SimilaritySpec extends SparkSpec {
       assert(rs.size <= 5)
     }
   }
+
+  test("cluster purity equals the hand-computed majority share of the kmeans assignment") {
+    val assign = rowsOf(Similarity.kmeans(spark, dir))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val expected = assign.groupBy(_._2).map { case (cid, members) =>
+      val byLabel = members.keys.toSeq.map(labels).groupBy(identity)
+        .map { case (l, xs) => (l, xs.size.toLong) }
+      // argmax with ties to the SMALLEST label — the struct-max contract
+      val (majLabel, majCnt) = byLabel.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      cid -> (members.size.toLong, majLabel, majCnt)
+    }
+    val got = rowsOf(Similarity.clusterPurity(spark, dir))
+    assert(got.map(_.getLong(1)).sum == labels.size, "every vector in exactly one cluster")
+    got.foreach { r =>
+      val (n, l, c) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == l && r.getLong(3) == c,
+        s"cluster ${r.getLong(0)}: expected ($n, $l, $c)")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("ANN recall report equals the set intersection of LSH and brute-force top-k") {
+    val truth = rowsOf(Similarity.cosineTopK(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = rowsOf(Similarity.lshAnn(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rowsOf(Similarity.annRecall(spark, dir))
+    assert(got.map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    got.foreach { r =>
+      val q = r.getLong(0)
+      val hits = truth.filter(_._1 == q).count(approx.contains)
+      assert(r.getLong(1) == 5L, "n_true is always k")
+      assert(r.getLong(2) == hits.toLong, s"query $q: n_hit must be the intersection size")
+      assert(r.getDouble(3) == math.round(hits / 5.0 * 10000) / 10000.0)
+    }
+    // every query's twin is rank-1 in the truth AND recovered by the
+    // LSH index (asserted above), so no query can report zero hits;
+    // the remaining top-5 are near-orthogonal decoys whose recall is
+    // legitimately partial — no mean floor beyond that
+    got.foreach(r => assert(r.getLong(2) >= 1L,
+      s"query ${r.getLong(0)}: the recovered twin alone guarantees a hit"))
+  }
 }

@@ -212,4 +212,35 @@ class TextPipelineSpec extends SparkSpec {
     val P = 2147483647L
     fp.values.foreach(v => assert(v >= 0 && v < P))
   }
+
+  test("piiScan counts and redacts planted emails, IPs and phones; clean text untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{md5, lit}
+    val docs = Seq(
+      (0L, "contact john.doe@example.com or jane@sub.example.org today"),
+      (1L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (2L, "call +1 (555) 123-4567 now"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val r = rowsOf(graft.pipeline.Text.piiScan(docs))
+      .map(row => row.getLong(0) -> row).toMap
+    def counts(id: Long) = {
+      val row = r(id)
+      (row.getLong(row.fieldIndex("n_emails")), row.getLong(row.fieldIndex("n_ips")),
+        row.getLong(row.fieldIndex("n_phones")))
+    }
+    assert(counts(0L) == ((2L, 0L, 0L)))
+    assert(counts(1L) == ((0L, 2L, 0L)))
+    assert(counts(2L) == ((0L, 0L, 1L)))
+    assert(counts(3L) == ((0L, 0L, 0L)))
+    // redaction replaces each span with its typed tag — md5 of the
+    // expected literal, computed through the same engine
+    def md5Of(s: String): String =
+      docs.sparkSession.range(1).select(md5(lit(s)).as("h")).head().getString(0)
+    def red(id: Long) = r(id).getString(r(id).fieldIndex("redacted_md5"))
+    assert(red(0L) == md5Of("contact <EMAIL> or <EMAIL> today"))
+    assert(red(1L) == md5Of("server <IP> and <IP> up"))
+    assert(red(2L) == md5Of("call <PHONE> now"))
+    assert(red(3L) == md5Of("nothing sensitive here at all"), "clean text is byte-identical")
+    assert(r(2L).getLong(r(2L).fieldIndex("n_chars_redacted")) == "call <PHONE> now".length)
+  }
 }
