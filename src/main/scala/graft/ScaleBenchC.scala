@@ -107,6 +107,7 @@ object ScaleBenchC {
     timed("s_knn_graph") { pipeline.Similarity.knnGraph(spark, dir) }
     timed("d_semantic_dedup") { pipeline.Similarity.semanticDedup(spark, dir) }
     timed("d_curation_e2e") { pipeline.Dedup.curationE2e(spark, dir) }
+    timed("d_seq_pack") { pipeline.Dedup.seqPack(spark, dir) }
 
     val qs = times.map { case (k, v) =>
       Json.q(k) + ":" + f"$v%.1f" }.mkString("{", ",", "}")

@@ -523,6 +523,63 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- corpus observability ------------------------------------------
+
+  /** Per-(lang, source) corpus report card — the daily health dashboard
+    * of an ingestion pipeline: document and unique-content counts,
+    * within-group exact-duplicate rate, token volume, and mean quality.
+    * ONE shuffle on the (lang, source) group key; the mean is a
+    * DECIMAL sum of the per-doc 4-dp quality scores (order-independent,
+    * so it hash-matches at any partitioning) divided once at the end.
+    * Duplicate rate is within-group by construction (cross-source
+    * duplicates are [[incrementalDedup]]'s job). `d_corpus_report`. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val q = Text.quality(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    Docs.docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), md5(col("text")).as("h"))
+      .join(q, Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"),
+        sum(col("n_tokens")).as("n_tokens"),
+        // decimal-exact sum, ONE double division, NO rounding of the
+        // quotient: sum/count can land exactly on a 4-dp midpoint,
+        // where Spark's BigDecimal HALF_UP and DuckDB's float rounding
+        // disagree — the unrounded quotient of identical operands is
+        // bit-identical instead (observed: fr/src1 at sf0.01)
+        (sum(col("quality_score").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("mean_quality"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 4))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Derived language-mixing weights — where [[sampleMix]] APPLIES
+    * given rates, this op COMPUTES them from the corpus: each
+    * language's token share vs the uniform target (1/n_langs), and the
+    * downsample-only weight min(1, target/actual) a sampler multiplies
+    * in (dominant languages are cut toward the target; scarce ones are
+    * never upsampled — the standard static mixing rule). Two bounded
+    * aggregates: per-language sums, then a ONE-row (total, n_langs)
+    * scalar broadcast back — the [[relational.Tpch]] q11/q22 scalar
+    * idiom, never a driver collect. `d_mix_weights`. */
+  def mixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Docs.docs(spark, dir)
+      .select(col("lang"), size(Docs.tokens).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = perLang.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    val share = col("n_tokens").cast("double") / col("total_tokens").cast("double")
+    perLang.join(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(share, 4).as("token_share"),
+        round(least(lit(1.0),
+          (lit(1.0) / col("n_langs").cast("double")) / share), 4).as("weight"))
+      .orderBy(col("lang"))
+  }
+
   // ---- deterministic stratified sampling ----------------------------
 
   /** Per-language keep rates in percent — the "data mixing" knob of a
@@ -865,6 +922,41 @@ object Dedup {
            FROM documents),
          ${radixRankSql("k")}
          SELECT doc_id, shuffle_pos FROM rrk ORDER BY doc_id""",
+    "d_corpus_report" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source, md5(text) AS h,
+                  string_split(text, ' ') AS toks
+           FROM documents),
+         d AS (
+           SELECT doc_id, lang, source, h,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  ROUND(LEAST(1.0, CAST(len(toks) AS DOUBLE) / 400.0) *
+                        (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)),
+                        4) AS quality_score
+           FROM t)
+         SELECT lang, source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE)
+                  / COUNT(*) AS mean_quality,
+                ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 4)
+                  AS dup_rate
+         FROM d GROUP BY lang, source ORDER BY lang, source""",
+    "d_mix_weights" ->
+      """WITH pl AS (
+           SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY lang),
+         tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                        CAST(COUNT(*) AS BIGINT) AS n_langs FROM pl)
+         SELECT lang, n_docs, n_tokens,
+                ROUND(CAST(n_tokens AS DOUBLE)
+                  / (SELECT total_tokens FROM tot), 4) AS token_share,
+                ROUND(LEAST(1.0, (1.0 / (SELECT n_langs FROM tot)) /
+                  (CAST(n_tokens AS DOUBLE) / (SELECT total_tokens FROM tot))),
+                  4) AS weight
+         FROM pl ORDER BY lang""",
     // replays packRank's weighted radix prefix sum STRUCTURE — bucket,
     // two-column bounded offset cumsum, in-bucket running token sum —
     // then seqPack's integer bin arithmetic on top
@@ -1098,5 +1190,7 @@ object Dedup {
     "d_shuffle_index" -> ((s: SparkSession, d: String) => shuffleIndex(s, d)),
     "d_seq_pack"      -> ((s: SparkSession, d: String) => seqPack(s, d)),
     "d_curation_e2e"  -> ((s: SparkSession, d: String) => curationE2e(s, d)),
+    "d_corpus_report" -> (corpusReport _),
+    "d_mix_weights"   -> (mixWeights _),
   )
 }

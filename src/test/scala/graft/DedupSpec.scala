@@ -342,6 +342,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("corpus report: within-group dup rate and decimal-exact mean quality") {
+    // two langs, a duplicate INSIDE (en, s0), one lone (de, s1) doc
+    val d = TestSession.docsFixture(Seq(
+      (0L, "alpha beta gamma delta", "en", "s0", 22L),
+      (1L, "alpha beta gamma delta", "en", "s0", 22L), // exact dup of 0
+      (2L, "epsilon zeta eta theta iota", "en", "s0", 27L),
+      (3L, "kappa lambda mu", "de", "s1", 15L)))
+    val r = rowsOf(Dedup.corpusReport(spark, d))
+      .map(row => (row.getString(0), row.getString(1)) -> row).toMap
+    val en = r(("en", "s0"))
+    assert(en.getLong(2) == 3L && en.getLong(3) == 2L, "3 docs, 2 unique contents")
+    assert(en.getDouble(6) == 0.3333, "dup rate = 1 - 2/3 rounded")
+    assert(en.getLong(4) == 13L, "4 + 4 + 5 tokens")
+    val de = r(("de", "s1"))
+    assert(de.getLong(2) == 1L && de.getDouble(6) == 0.0)
+    // mean quality equals the hand-rolled decimal-sum / count division
+    val q = rowsOf(graft.pipeline.Text.quality(spark, d))
+      .map(row => row.getLong(0) -> row.getDouble(row.fieldIndex("quality_score"))).toMap
+    val expect = Seq(0L, 1L, 2L).map(q).map(BigDecimal(_)).sum.toDouble / 3
+    assert(en.getDouble(5) == expect)
+  }
+
+  test("mix weights: dominant language is cut to the uniform target, scarce ones stay at 1") {
+    // ~90% of tokens in en => en share ~0.9, target 1/2 => weight ~0.55
+    val rows = (0L until 100L).map { i =>
+      if (i < 90) (i, "tok tok tok tok tok tok tok tok tok tok", "en", "s", 40L)
+      else (i, "tok tok tok tok tok tok tok tok tok tok", "de", "s", 40L)
+    }
+    val d = TestSession.docsFixture(rows)
+    val r = rowsOf(Dedup.mixWeights(spark, d)).map(row => row.getString(0) -> row).toMap
+    assert(r("en").getDouble(3) == 0.9 && r("de").getDouble(3) == 0.1)
+    assert(r("en").getDouble(4) == 0.5556, "min(1, 0.5/0.9) rounded")
+    assert(r("de").getDouble(4) == 1.0, "scarce language never upsampled")
+    assert(r("en").getLong(2) == 900L && r("de").getLong(2) == 100L)
+  }
+
   test("packRank: start_pos is the exact token prefix sum of the shuffle order, at scaled radix width") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
