@@ -448,6 +448,45 @@ object Clouds {
       .orderBy(col("component"))
   }
 
+  /** Degree assortativity of the similarity graph — the Pearson
+    * correlation between the total degrees at the two endpoints of
+    * every edge (Newman 2002, "Assortative mixing in networks"):
+    * positive = hubs link to hubs (one dense cloud core), negative =
+    * hub–leaf star clouds. The one-number graph-topology summary a
+    * corpus report card leads with.
+    *
+    * Exactness: every edge contributes its endpoint-degree pair in
+    * BOTH orientations (the undirected convention), so all four
+    * sufficient statistics are INTEGER sums — order-independent, no
+    * float accumulation — and the coefficient is one fixed double
+    * expression over them, bit-identical across engines. Degree
+    * products are summed as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB):
+    * at 10^10 edges with 10^6-degree hubs the Σd² terms pass 2^63, so
+    * long sums would overflow exactly where the statistic matters.
+    * Plan: the degree table joins the edge list twice on its key (two
+    * keyed shuffles), then ONE aggregate row; nothing grows beyond the
+    * edge count, no window, no collect. `g_assortativity`. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val deg = g.degrees.select(col("id"), col("deg"))
+    val dec = DecimalType(18, 0)
+    val joined = g.edges.select(col("src"), col("dst"))
+      .join(deg.select(col("id").as("src"), col("deg").cast(dec).as("dx")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").cast(dec).as("dy")), Seq("dst"))
+    joined
+      .agg((count(lit(1)) * 2).cast("long").as("n_endpoints"),
+        (sum(col("dx") * col("dy")) * 2).as("sxy"),
+        sum(col("dx") + col("dy")).as("sx"),
+        sum(col("dx") * col("dx") + col("dy") * col("dy")).as("sx2"))
+      .select(col("n_endpoints"),
+        round(
+          (col("n_endpoints").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+          (col("n_endpoints").cast("double") * col("sx2").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("assortativity"))
+  }
+
   /** Walk length for [[randomWalks]]. */
   val WalkLen = 4
 
@@ -823,6 +862,33 @@ object Clouds {
   }
 
   val oracle: Map[String, String] = Map(
+    "g_assortativity" ->
+      s"""$OracleCte,
+         deg AS (
+           SELECT n.id,
+                  COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS deg
+           FROM nodes n
+           LEFT JOIN (SELECT src AS id, COUNT(*) AS out_deg
+                      FROM edges GROUP BY src) o ON n.id = o.id
+           LEFT JOIN (SELECT dst AS id, COUNT(*) AS in_deg
+                      FROM edges GROUP BY dst) i ON n.id = i.id),
+         ej AS (
+           SELECT d1.deg AS dx, d2.deg AS dy FROM edges e
+           JOIN deg d1 ON e.src = d1.id
+           JOIN deg d2 ON e.dst = d2.id),
+         st AS (
+           SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_endpoints,
+                  2 * SUM(dx * dy) AS sxy,
+                  SUM(dx + dy) AS sx,
+                  SUM(dx * dx + dy * dy) AS sx2
+           FROM ej)
+         SELECT n_endpoints,
+                ROUND((CAST(n_endpoints AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                      (CAST(n_endpoints AS DOUBLE) * CAST(sx2 AS DOUBLE) -
+                       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                  AS assortativity
+         FROM st""",
     "g_shortest_paths" -> ssspOracle(Algorithms.RelaxBudget),
     "g_kcore" -> kcoreOracle(KCoreK, Algorithms.KCoreMaxRounds),
     "g_label_prop" -> labelPropOracle(Algorithms.LabelPropRounds),
@@ -1155,6 +1221,7 @@ object Clouds {
     "g_shortest_paths"        -> shortestPaths _,
     "g_clustering_coeff"      -> clusteringCoeff _,
     "g_cloud_stats"           -> cloudStats _,
+    "g_assortativity"         -> assortativity _,
     "g_random_walk"           -> ((s: SparkSession, d: String) => randomWalks(s, d)),
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),
   )

@@ -607,6 +607,120 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ---- exact substring-window dedup ---------------------------------
+
+  /** Window width (tokens) for exact substring-window dedup. The dedup
+    * literature (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better") uses 50-token spans over a suffix array;
+    * the synthetic docs are shorter, so 16 keeps the fixture spans
+    * meaningful while the plan shape is width-independent. */
+  val SubstrWindow = 16
+
+  /** Exact substring-window dedup — the "any shared W-token span" rule,
+    * re-expressed distributed: instead of a (sequential) suffix array,
+    * hash every OVERLAPPING W-token window of every document and
+    * keep-first on window ownership. A document is flagged when any of
+    * its windows already occurs in a lower-id document; `dup_share`
+    * (flagged windows / windows) is the span-level contamination
+    * fraction a remove-or-trim pass acts on. Docs shorter than W
+    * contribute their whole text as ONE window, so short exact dups are
+    * still caught.
+    *
+    * Plan: one explode (scan-bound narrow map), one distinct, one
+    * groupBy-min per window hash (map-side combined), one hash join
+    * back + one per-doc re-agg — no pair product anywhere: a window
+    * shared by 10^6 documents costs 10^6 rows through the min
+    * aggregate, never C(10^6, 2) pairs. The ownership join is keyed on
+    * the window hash whose owner side is one row per hash, so a viral
+    * boilerplate window skews a probe side AQE splits, not a build
+    * side. `d_substring_dedup`. */
+  def substringDedup(spark: SparkSession, dir: String,
+                     w: Int = SubstrWindow): DataFrame = {
+    val wins = Docs.docs(spark, dir)
+      .select(col("doc_id"), Docs.tokens.as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $w THEN
+              transform(sequence(1, size(toks) - ${w - 1}),
+                        i -> concat_ws(' ', slice(toks, i, $w)))
+            ELSE array(concat_ws(' ', toks)) END""")).as("win"))
+      .select(col("doc_id"), md5Hash60(col("win")).as("h"))
+      .distinct()
+      .localCheckpoint(true) // shared by the ownership agg and the probe side
+    val owners = wins.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+    val dup = col("doc_id") > col("owner")
+    wins.join(owners, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(dup, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6)
+          .as("dup_share"),
+        (col("n_dup_windows") > 0).cast("int").as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- DSIR-style importance weights --------------------------------
+
+  /** Hashed-feature space size for importance weighting (DSIR, Xie et
+    * al. 2023 use 10^4 hashed n-gram buckets; 1024 keeps the oracle
+    * replay cheap while the plan is width-independent — the histogram
+    * stays broadcast-bounded at ANY corpus size because its row count
+    * is B, not n). */
+  val DsirBuckets = 1024
+
+  /** Documents `doc_id < DsirTargetDocs` act as the target-domain
+    * sample (the same fixed-prefix idiom as [[Text.contamination]]'s
+    * benchmark set). */
+  val DsirTargetDocs = 10
+
+  /** Data Selection via Importance Resampling (DSIR) — the hashed
+    * n-gram importance weight, kept integer-exact: every token hashes
+    * into one of [[DsirBuckets]] buckets; a document's affinity to a
+    * corpus is the sum of that corpus's bucket counts over the doc's
+    * tokens (integer, order-independent — no float log-sums whose
+    * addition order would make the gate nondeterministic). The weight
+    * is the ratio-of-rates
+    * `(target_mass / N_target) / (raw_mass / N_raw)` — one double
+    * expression over four exact integers — and the resample gate
+    * `hash(text) mod 10^6 < min(1, weight)·10^6` keeps documents
+    * reproducibly, proportional to the weight, composing with
+    * [[sampleMix]]'s content-hash sampling.
+    *
+    * Plan: one explode + bucket hash (narrow), two bounded-key
+    * aggregates (≤B rows each — map-side combined), the B-row histogram
+    * BROADCAST into the scoring pass, one per-doc re-agg, and a 1-row
+    * corpus-mass scalar broadcast (the q22 idiom). Nothing here grows
+    * with the corpus except the scan itself. `d_importance_weights`. */
+  def importanceWeights(spark: SparkSession, dir: String,
+                        nTarget: Int = DsirTargetDocs,
+                        b: Int = DsirBuckets): DataFrame = {
+    val toks = Docs.docs(spark, dir)
+      .select(col("doc_id"),
+        pmod(md5Hash60(col("text")), lit(1000000L)).as("gate"),
+        explode(Docs.tokens).as("tok"))
+      .select(col("doc_id"), col("gate"),
+        pmod(md5Hash60(col("tok")), lit(b.toLong)).as("bucket"))
+      .localCheckpoint(true) // shared by the histogram and the scoring pass
+    val hist = toks
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("doc_id") < nTarget, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("doc_id") >= nTarget, 1L).otherwise(0L)).as("cr"))
+    val masses = hist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val weight = round(
+      (col("target_mass").cast("double") * col("nr").cast("double")) /
+        (col("raw_mass").cast("double") * col("nt").cast("double")), 6)
+    toks.filter(col("doc_id") >= nTarget)
+      .join(broadcast(hist), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), min(col("gate")).as("gate"),
+        sum(col("ct")).as("target_mass"), sum(col("cr")).as("raw_mass"))
+      .join(broadcast(masses))
+      .select(col("doc_id"), col("n_tokens"),
+        col("target_mass"), col("raw_mass"), weight.as("weight"),
+        (col("gate").cast("double") < weight * 1000000.0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- cluster + canonicalize ---------------------------------------
 
   /** The step after pair generation that an actual dedup pipeline needs:
@@ -914,6 +1028,53 @@ object Dedup {
           WHERE ${hexFoldSql("text")} % 100 < CASE $rateCase ELSE 0 END
           ORDER BY doc_id"""
     },
+    "d_substring_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         wins AS (
+           SELECT DISTINCT doc_id, ${hexFoldSql("w")} AS h FROM (
+             SELECT doc_id, unnest(CASE WHEN len(t) >= $SubstrWindow
+               THEN list_transform(range(1, len(t) - ${SubstrWindow - 2}),
+                                   i -> array_to_string(t[i:i+${SubstrWindow - 1}], ' '))
+               ELSE [array_to_string(t, ' ')] END) AS w
+             FROM toks)),
+         own AS (SELECT h, MIN(doc_id) AS owner FROM wins GROUP BY h)
+         SELECT w.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_windows,
+                CAST(SUM(CASE WHEN w.doc_id > o.owner THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_dup_windows,
+                ROUND(CAST(SUM(CASE WHEN w.doc_id > o.owner THEN 1 ELSE 0 END)
+                           AS DOUBLE) / COUNT(*), 6) AS dup_share,
+                CAST(MAX(CASE WHEN w.doc_id > o.owner THEN 1 ELSE 0 END) AS INT)
+                  AS flagged
+         FROM wins w JOIN own o USING (h)
+         GROUP BY w.doc_id ORDER BY doc_id""",
+    "d_importance_weights" -> {
+      val wSql =
+        s"""ROUND((CAST(target_mass AS DOUBLE) * CAST((SELECT nr FROM m) AS DOUBLE)) /
+                  (CAST(raw_mass AS DOUBLE) * CAST((SELECT nt FROM m) AS DOUBLE)), 6)"""
+      s"""WITH toks AS (
+           SELECT doc_id, ${hexFoldSql("text")} % 1000000 AS gate,
+                  unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         tb AS (SELECT doc_id, gate, ${hexFoldSql("tok")} % $DsirBuckets AS bucket
+                FROM toks),
+         hist AS (SELECT bucket,
+                         SUM(CASE WHEN doc_id < $DsirTargetDocs THEN 1 ELSE 0 END) AS ct,
+                         SUM(CASE WHEN doc_id >= $DsirTargetDocs THEN 1 ELSE 0 END) AS cr
+                  FROM tb GROUP BY bucket),
+         m AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM hist),
+         s AS (SELECT t.doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      MIN(t.gate) AS gate,
+                      CAST(SUM(h.ct) AS BIGINT) AS target_mass,
+                      CAST(SUM(h.cr) AS BIGINT) AS raw_mass
+               FROM tb t JOIN hist h USING (bucket)
+               WHERE t.doc_id >= $DsirTargetDocs
+               GROUP BY t.doc_id)
+         SELECT doc_id, n_tokens, target_mass, raw_mass, $wSql AS weight,
+                CAST(CAST(gate AS DOUBLE) < $wSql * 1000000.0 AS INT) AS keep
+         FROM s ORDER BY doc_id"""
+    },
     "d_minhash_lsh" -> minhashOracle,
     "d_shuffle_index" ->
       s"""WITH k AS (
@@ -1185,6 +1346,8 @@ object Dedup {
     "d_token_budget"  -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "d_sample_mix"    -> (sampleMix _),
     "d_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
+    "d_substring_dedup" -> ((s: SparkSession, d: String) => substringDedup(s, d)),
+    "d_importance_weights" -> ((s: SparkSession, d: String) => importanceWeights(s, d)),
     "d_minhash_est"   -> ((s: SparkSession, d: String) => minhashEstimateAudit(s, d)),
     "d_segment_dedup" -> ((s: SparkSession, d: String) => segmentDedup(s, d)),
     "d_shuffle_index" -> ((s: SparkSession, d: String) => shuffleIndex(s, d)),

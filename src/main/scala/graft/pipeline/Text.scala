@@ -350,6 +350,44 @@ object Text {
       .orderBy(col("round"))
   }
 
+  /** BPE ENCODER — [[bpeTrain]]'s merge table applied to every document:
+    * the merge table (≤ [[MergeCount]] rows — it IS the trained model,
+    * bounded by construction) is collected once and unrolled into a
+    * chain of literal `replace`s over each doc's delimiter-wrapped
+    * token string, in training order — the same greedy left-to-right
+    * non-overlapping semantics as the trainer's corpus pass, now
+    * per-document. Emits the per-doc whitespace-token count, the
+    * post-merge BPE token count, and tokens-per-word (the compression
+    * a tokenizer buys — the number a context-length planner feeds on).
+    *
+    * Scale shape: training cost is [[bpeTrain]]'s bounded loop; the
+    * ENCODE itself is one narrow codegen'd map over the scan — zero
+    * shuffles, the merge table rides in as string literals. At 100 TB
+    * this is exactly how a trained tokenizer deploys: broadcast the
+    * model, map the corpus. `t_bpe_encode`. */
+  def bpeEncode(spark: SparkSession, dir: String,
+                rounds: Int = MergeCount): DataFrame = {
+    val merges = bpeTrain(spark, dir, rounds)
+      .select(col("merge_left"), col("merge_right")).collect()
+    val wrapped = Docs.docs(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " "),
+          t => !t.contains("<") && !t.contains(">")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_ws_tokens"),
+        concat(lit("<"), array_join(col("w"), "><"), lit(">")).as("s"))
+    val encoded = merges.foldLeft(wrapped) { (df, m) =>
+      val (l, r) = (m.getString(0), m.getString(1))
+      df.withColumn("s", replace(col("s"), lit(s"<$l><$r>"), lit(s"<$l $r>")))
+    }
+    val nBpe = size(split(expr("substring(s, 2, length(s) - 2)"), "><")).cast("long")
+    encoded.select(col("doc_id"), col("n_ws_tokens"),
+      when(col("n_ws_tokens") === 0, 0L).otherwise(nBpe).as("n_bpe_tokens"),
+      when(col("n_ws_tokens") === 0, lit(null).cast("double"))
+        .otherwise(round(nBpe.cast("double") / col("n_ws_tokens"), 6))
+        .as("tokens_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- PII detection / redaction -------------------------------------
 
   /** PII patterns — deliberately restricted to regex constructs with
@@ -419,7 +457,10 @@ object Text {
     * pairs, MATERIALIZE the (freq desc, l, r) argmax, and apply the
     * replace — identical left-to-right non-overlapping semantics in
     * both engines. */
-  private def bpeTrainOracle(rounds: Int): String = {
+  /** The trainer's corpus-state + argmax CTE chain (`s0`, then
+    * `p_i/m_i/s_i` per round) — shared by the trainer oracle and the
+    * encoder oracle, so the two replays cannot drift apart. */
+  private def bpeChainCtes(rounds: Int): String = {
     val wrap =
       """s0 AS MATERIALIZED (
         SELECT '<' || array_to_string(list_filter(string_split(text, ' '),
@@ -440,14 +481,48 @@ object Text {
              '<' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || '>') AS s
            FROM s${i - 1})"""
     }
+    s"$wrap,\n${steps.mkString(",\n")}"
+  }
+
+  private def bpeTrainOracle(rounds: Int): String = {
     val out = (1 to rounds).map(i =>
       s"""SELECT CAST($i AS BIGINT) AS round, l AS merge_left,
                  r AS merge_right, freq FROM m$i""").mkString(" UNION ALL ")
-    s"WITH $wrap,\n${steps.mkString(",\n")}\n$out ORDER BY round"
+    s"WITH ${bpeChainCtes(rounds)}\n$out ORDER BY round"
+  }
+
+  /** [[bpeEncode]] replay: the trainer chain yields the merge table
+    * (`m1..mN`); a parallel doc-keyed chain `e0..eN` applies the same
+    * literal replaces per document, then counts `><`-separated pieces. */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val docChain = (1 to rounds).map { i =>
+      s"""e$i AS (
+           SELECT doc_id, n_ws_tokens, replace(s,
+             '<' || (SELECT l FROM m$i) || '><' || (SELECT r FROM m$i) || '>',
+             '<' || (SELECT l FROM m$i) || ' ' || (SELECT r FROM m$i) || '>') AS s
+           FROM e${i - 1})"""
+    }.mkString(",\n")
+    val nBpe = "CAST(len(string_split(s[2:-2], '><')) AS BIGINT)"
+    s"""WITH ${bpeChainCtes(rounds)},
+       e0 AS (
+         SELECT doc_id, CAST(len(w) AS BIGINT) AS n_ws_tokens,
+                '<' || array_to_string(w, '><') || '>' AS s
+         FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                 t -> NOT contains(t, '<') AND NOT contains(t, '>')) AS w
+               FROM documents)),
+       $docChain
+       SELECT doc_id, n_ws_tokens,
+              CASE WHEN n_ws_tokens = 0 THEN CAST(0 AS BIGINT)
+                   ELSE $nBpe END AS n_bpe_tokens,
+              CASE WHEN n_ws_tokens = 0 THEN NULL
+                   ELSE ROUND(CAST($nBpe AS DOUBLE) / n_ws_tokens, 6)
+              END AS tokens_per_word
+       FROM e$rounds ORDER BY doc_id"""
   }
 
   val oracle: Map[String, String] = Map(
     "t_bpe_train" -> bpeTrainOracle(MergeCount),
+    "t_bpe_encode" -> bpeEncodeOracle(MergeCount),
     // the regex literals are shared constants: identical pattern text
     // reaches Java regex (Spark) and RE2 (DuckDB); 'g' makes DuckDB's
     // regexp_replace global like Spark's
@@ -623,6 +698,7 @@ object Text {
     "t_token_histogram" -> ((s: SparkSession, d: String) => tokenHistogram(s, d)),
     "t_bpe_pairs"   -> ((s: SparkSession, d: String) => bpePairs(s, d)),
     "t_bpe_train"   -> ((s: SparkSession, d: String) => bpeTrain(s, d)),
+    "t_bpe_encode"  -> ((s: SparkSession, d: String) => bpeEncode(s, d)),
     "t_ttr"         -> (typeTokenRatio _),
     "t_pii_redact"  -> (piiRedact _),
   )

@@ -404,6 +404,46 @@ class DedupSpec extends SparkSpec {
       "packRank's order IS rankShuffle's order"))
   }
 
+  test("substring dedup flags shared 16-token spans keep-first; unique and short docs behave") {
+    val span = salad(42, 16) // exactly one window wide
+    val d = TestSession.docsFixture(Seq(
+      (0L, salad(3, 20) + " " + span, "en", "s", 1L),     // owner of the span
+      (1L, span + " " + salad(4, 20), "en", "s", 1L),     // later doc sharing it
+      (2L, salad(5, 40), "en", "s", 1L),                  // unique long doc
+      (3L, "tiny doc", "en", "s", 1L),                    // shorter than W: one whole-text window
+      (4L, "tiny doc", "en", "s", 1L)))                   // short exact dup -> caught
+    val r = rowsOf(Dedup.substringDedup(spark, d))
+      .map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getInt(4))).toMap
+    // doc0 owns every window it has (lowest id): never flagged
+    assert(r(0L)._3 == 0, "owner doc must not be flagged")
+    // doc1: exactly the windows inside the planted span are flagged —
+    // the span is 16 tokens = 1 window of doc1's prefix
+    assert(r(1L)._3 == 1 && r(1L)._2 >= 1, s"doc1 must be flagged via the shared span: ${r(1L)}")
+    assert(r(2L)._3 == 0, "unique doc clean")
+    assert(r(3L) == (1L, 0L, 0) && r(4L) == (1L, 1L, 1),
+      s"short docs: one whole-text window, exact dup flagged keep-first: ${r(3L)} ${r(4L)}")
+  }
+
+  test("importance weights: target-aligned docs outweigh disjoint-vocab docs; gate is reproducible") {
+    // docs 0..9 are the target sample (DsirTargetDocs = 10): vocabulary A.
+    val vocabA = (0 until 10).map(i => (i.toLong, salad(100 + i, 30), "en", "t", 1L))
+    val aligned = (10L, salad(200, 30), "en", "s", 1L)          // same vocabulary pool
+    val disjoint = (11L, Seq.fill(30)("qqq zzz xxx").mkString(" "), "en", "s", 1L)
+    val d = TestSession.docsFixture(vocabA :+ aligned :+ disjoint)
+    val r = rowsOf(Dedup.importanceWeights(spark, d))
+    assert(r.map(_.getLong(0)) == Seq(10L, 11L), "only raw docs are scored")
+    val byId = r.map(row => row.getLong(0) ->
+      (row.getLong(2), row.getDouble(4), row.getInt(5))).toMap
+    assert(byId(10L)._1 > 0, "aligned doc hits target buckets")
+    assert(byId(10L)._2 > byId(11L)._2,
+      s"target-vocabulary doc must carry the higher weight: $byId")
+    val again = rowsOf(Dedup.importanceWeights(spark, d))
+      .map(row => row.getLong(0) -> row.getInt(5)).toMap
+    assert(r.map(row => row.getLong(0) -> row.getInt(5)).toMap == again,
+      "hash-gated keep decision is reproducible")
+  }
+
   test("seqPack bins tile the concatenated token stream exactly") {
     val ctx = Dedup.PackContext.toLong
     val r = rowsOf(Dedup.seqPack(spark, dir))

@@ -369,6 +369,24 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("assortativity matches a direct integer recomputation from degrees and edges") {
+    val deg = rowsOf(Clouds.degrees(spark, SF))
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val es = rowsOf(Clouds.edgesBuild(spark, SF))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = es.flatMap { case (s, t) => Seq((deg(s), deg(t)), (deg(t), deg(s))) }
+    val m = pairs.size.toDouble
+    val sxy = pairs.map { case (x, y) => x * y }.sum.toDouble
+    val sx = pairs.map(_._1).sum.toDouble
+    val sx2 = pairs.map { case (x, _) => x * x }.sum.toDouble
+    val expected = (m * sxy - sx * sx) / (m * sx2 - sx * sx)
+    val row = rowsOf(Clouds.assortativity(spark, SF)).head
+    assert(row.getLong(0) == pairs.size, "n_endpoints = 2 x |edges|")
+    val r = row.getDouble(1)
+    assert(r >= -1.0 && r <= 1.0, s"Pearson r out of range: $r")
+    assert(math.abs(r - expected) < 1.1e-6, s"$r vs hand-computed $expected")
+  }
+
   test("random walks follow edges, are deterministic, and stop at dead ends") {
     val r = rowsOf(Clouds.randomWalks(spark, SF))
     assert(r.nonEmpty)

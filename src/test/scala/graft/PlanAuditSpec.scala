@@ -19,7 +19,8 @@ class PlanAuditSpec extends SparkSpec {
     "q11_important_stock", // ONE-row (total, n_parts) scalar × per-part aggregate
     "s_cluster_purity",    // embeds s_kmeans' centroid-assignment cross
     "s_ann_recall",        // embeds s_cosine_topk's fixed-query broadcast
-    "d_mix_weights"        // ONE-row (total, n_langs) scalar × per-lang aggregate
+    "d_mix_weights",       // ONE-row (total, n_langs) scalar × per-lang aggregate
+    "d_importance_weights" // ONE-row (N_target, N_raw) corpus-mass scalar × per-doc aggregate
   )
 
   test("no operator plans a cartesian product; BNLJ only where bounded") {

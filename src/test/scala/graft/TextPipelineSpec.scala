@@ -200,6 +200,19 @@ class TextPipelineSpec extends SparkSpec {
       s"merge table must replay the hand-computed rounds, got $r")
   }
 
+  test("BPE encode applies the trained merges per doc: hand-computed token counts") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "a a a a", "en", "s", 7L),
+      (1L, "a a b b", "en", "s", 7L)))
+    // merges (see trainer spec): r1 (a,a), r2 (a a,a a), r3 (a a,b)
+    // doc0: <a><a><a><a> -> <a a><a a> -> <a a a a>           = 1 token
+    // doc1: <a><a><b><b> -> <a a><b><b> -> ... -> <a a b><b>  = 2 tokens
+    val r = rowsOf(Text.bpeEncode(spark, d, rounds = 3))
+      .map(row => (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3)))
+    assert(r == Seq((0L, 4L, 1L, 0.25), (1L, 4L, 2L, 0.5)),
+      s"encode must replay the trained merges per document, got $r")
+  }
+
   test("rolling fingerprint is order-sensitive and deterministic") {
     val swapped = TestSession.docsFixture(Seq(
       (0L, "alpha beta gamma", "en", "s", 16L),
