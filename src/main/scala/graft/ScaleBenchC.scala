@@ -108,6 +108,8 @@ object ScaleBenchC {
     timed("d_semantic_dedup") { pipeline.Similarity.semanticDedup(spark, dir) }
     timed("d_curation_e2e") { pipeline.Dedup.curationE2e(spark, dir) }
     timed("d_seq_pack") { pipeline.Dedup.seqPack(spark, dir) }
+    timed("d_substring_dedup") { pipeline.Dedup.substringDedup(spark, dir) }
+    timed("d_importance_weights") { pipeline.Dedup.importanceWeights(spark, dir) }
 
     val qs = times.map { case (k, v) =>
       Json.q(k) + ":" + f"$v%.1f" }.mkString("{", ",", "}")

@@ -109,6 +109,51 @@ object Windowed {
         col("first.event_id").as("first_event_id"), col("n_copies"))
       .orderBy(col("content_hash"))
 
+  /** Canonical (order-insensitive) content hash: tokens sorted before
+    * hashing, so two payloads that differ only in serialization order —
+    * JSON field order, shuffled attribute lists, the classic
+    * "same event, different producer library" ingest artifact —
+    * collapse to ONE key that plain content hashing treats as
+    * distinct. Pure codegen'd column expression (split → array_sort →
+    * md5), byte-wise string ordering in both engines. */
+  private def canonicalHash(payload: org.apache.spark.sql.Column) =
+    md5(concat_ws(" ", array_sort(split(payload, " "))))
+
+  /** Streaming canonicalizing dedup — [[streamingDedup]]'s
+    * order-insensitive sibling: drops payloads whose SORTED token
+    * multiset was already seen inside the watermark. Stateless
+    * canonicalization + one `dropDuplicatesWithinWatermark` stateful
+    * op, so state stays hash-keyed and watermark-bounded exactly like
+    * the exact-dedup path. */
+  def canonicalDedupStreaming(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("canon_hash", canonicalHash(col("payload")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("canon_hash")
+
+  /** Batch counterpart of [[canonicalDedupStreaming]] over the events
+    * stream: first occurrence per canonical hash (earliest
+    * (ts, event_id) — the deterministic choice an oracle replays),
+    * duplicate count, and `n_variants` = distinct RAW content hashes
+    * in the group — the serialization-variant collapse that separates
+    * this operator from `st_dedup` (n_variants > 1 ⇔ order-only
+    * duplicates that exact hashing misses). One map-side-combined
+    * aggregation; countDistinct rewrites to a two-level exact
+    * distinct aggregate on the same key. `st_canonical_dedup`. */
+  def canonicalDedupBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(canonicalHash(col("props")).as("canon_hash"),
+        md5(col("props")).as("raw_hash"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      .groupBy(col("canon_hash"))
+      .agg(min(struct(col("sec"), col("event_id"))).as("first"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("raw_hash")).as("n_variants"))
+      .select(col("canon_hash"), col("first.sec").as("first_sec"),
+        col("first.event_id").as("first_event_id"), col("n_copies"),
+        col("n_variants"))
+      .orderBy(col("canon_hash"))
+
   /** Reported ranks per window for [[topkBatch]]. */
   val TopkK = 3
 
@@ -224,6 +269,24 @@ object Windowed {
                     ORDER BY sum_value DESC, user_id) AS rnk
            FROM sums)
          WHERE rnk <= $TopkK ORDER BY window_start_sec, rnk""",
+    "st_canonical_dedup" ->
+      """WITH e AS (
+           SELECT md5(array_to_string(list_sort(string_split(props, ' ')), ' '))
+                    AS canon_hash,
+                  md5(props) AS raw_hash,
+                  CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id
+           FROM events),
+         r AS (
+           SELECT canon_hash, sec, event_id,
+                  ROW_NUMBER() OVER (PARTITION BY canon_hash
+                    ORDER BY sec, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY canon_hash) AS n_copies,
+                  COUNT(DISTINCT raw_hash) OVER (PARTITION BY canon_hash)
+                    AS n_variants
+           FROM e)
+         SELECT canon_hash, sec AS first_sec, event_id AS first_event_id,
+                n_copies, CAST(n_variants AS BIGINT) AS n_variants
+         FROM r WHERE rn = 1 ORDER BY canon_hash""",
     "st_dedup" ->
       """WITH e AS (
            SELECT md5(props) AS content_hash,
@@ -263,6 +326,7 @@ object Windowed {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_windowed_agg"   -> (batch _),
     "st_dedup"          -> (dedupBatch _),
+    "st_canonical_dedup" -> (canonicalDedupBatch _),
     "st_sliding_window" -> (slidingBatch _),
     "st_windowed_topk"  -> (topkBatch _),
   )

@@ -71,6 +71,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("canonical dedup collapses token-order variants, keeps genuinely new payloads") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = Windowed.canonicalDedupStreaming(stream.toDF.toDF("ts", "payload"))
+      .select("payload").writeStream
+      .format("memory").queryName("canon_sink").outputMode("append").start()
+    try {
+      stream.addData((ts(0, 0), "k1 v1 k2 v2"), (ts(0, 1), "k3 v3"))
+      q.processAllAvailable()
+      // same event re-serialized in a different field order -> dropped;
+      // a payload with genuinely different tokens -> kept
+      stream.addData((ts(0, 30), "k2 v2 k1 v1"), (ts(0, 31), "k1 v1 k2 v9"))
+      q.processAllAvailable()
+      val seen = spark.table("canon_sink").as[String].collect().sorted.toSeq
+      assert(seen == Seq("k1 v1 k2 v2", "k1 v1 k2 v9", "k3 v3"),
+        s"order variant must collapse, new payload must survive: $seen")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks within the lookback only") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
