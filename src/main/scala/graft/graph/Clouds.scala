@@ -487,6 +487,104 @@ object Clouds {
           .as("assortativity"))
   }
 
+  /** Newman modularity Q of the label-propagation communities — the
+    * standard "are these communities real structure or noise" score
+    * (Q > 0.3 ≈ meaningful): Q = Σ_c [e_c/m − (d_c/2m)²] over the
+    * query-threshold subgraph, where e_c is the intra-community edge
+    * count and d_c the community degree sum. Composes [[labelProp]]'s
+    * kernel with three aggregates — the eval an actual community-
+    * detection pipeline runs after the clustering.
+    *
+    * Exactness: the float form sums per-community doubles in a
+    * run-dependent order, so the RATIONAL form is used instead —
+    * Q·4m² = 4m·Σe_c − Σd_c², all integer sums (DECIMAL(38,0) /
+    * HUGEINT), then ONE double division + round. Plan: the label
+    * iterate joins the edge list (two keyed joins), one degree union
+    * aggregate, then three 1-row aggregates combined by broadcast —
+    * nothing beyond the label-prop loop grows with the graph.
+    * `g_modularity`. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val lbl = Algorithms.labelPropagation(g.nodes, g.edges)
+      .select(col("id"), col("lbl")).localCheckpoint(true)
+    val e = g.edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val dec = DecimalType(38, 0)
+    val deg = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val dc = lbl.join(deg, Seq("id"), "left_outer")
+      .groupBy(col("lbl"))
+      .agg(sum(coalesce(col("deg"), lit(0L))).cast(dec).as("dsum"))
+    val dstats = dc.agg(count(lit(1)).as("n_communities"),
+      sum(col("dsum") * col("dsum")).as("sum_d2"))
+    val mrow = e.agg(count(lit(1)).as("n_edges"))
+    val erow = e
+      .join(lbl.select(col("id").as("src"), col("lbl").as("ls")), Seq("src"))
+      .join(lbl.select(col("id").as("dst"), col("lbl").as("ld")), Seq("dst"))
+      .filter(col("ls") === col("ld"))
+      .agg(count(lit(1)).as("intra_edges"))
+    dstats.join(broadcast(mrow)).join(broadcast(erow))
+      .select(col("n_communities"), col("n_edges"), col("intra_edges"),
+        round(
+          (lit(4).cast(dec) * col("n_edges").cast(dec) *
+            col("intra_edges").cast(dec) - col("sum_d2")).cast("double") /
+          (lit(4).cast(dec) * col("n_edges").cast(dec) *
+            col("n_edges").cast(dec)).cast("double"), 6).as("modularity"))
+  }
+
+  /** Seed count and hop budget for [[eccentricity]]. */
+  val EccSeeds = 4
+  val EccMaxRounds = 16
+
+  /** Sampled eccentricity / approximate diameter — hop-count BFS from
+    * [[EccSeeds]] fixed seeds (lowest node ids — deterministic and
+    * oracle-replayable) over the symmetrized query-threshold graph:
+    * per seed, the reach count and the max hop distance; the max over
+    * seeds lower-bounds the graph diameter (the standard sampled
+    * estimator — exact diameter is all-pairs and off the table at any
+    * scale). The hop BUDGET ([[EccMaxRounds]]) is part of the
+    * contract, exactly like the SSSP relax budget: distances are exact
+    * within ≤ budget hops, and the oracle replays the same cap.
+    *
+    * Scale shape: state is the SPARSE reached set (seed, node, d) —
+    * ≤ seeds × n rows, frontier-delta expansion (only last round's new
+    * pairs join the edge list), one keyed aggregate + one anti-join
+    * per round, iterates checkpointed and released like every graph
+    * loop here. Seeds ride along as a key column, so K sources cost
+    * ONE loop, not K. `g_eccentricity`. */
+  def eccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    val e = g.symmetrizedEdges.filter(col("distance") <= QueryThreshold)
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    var dist = g.nodes.select(col("id")).orderBy(col("id")).limit(EccSeeds)
+      .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var r = 0
+    var live = true
+    while (r < EccMaxRounds && live) {
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(col("seed"), col("dst").as("id"), (col("d") + 1).as("d"))
+        .groupBy(col("seed"), col("id")).agg(min(col("d")).as("d"))
+      // unweighted BFS: first reach IS the hop distance, so the delta
+      // is pairs never seen before — one anti-join against the state
+      val newly = cand
+        .join(dist.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
+        .localCheckpoint(false)
+      live = newly.count() > 0 // materializes the lazy checkpoint
+      if (live) {
+        val next = dist.unionByName(newly).localCheckpoint(true)
+        Algorithms.releaseIterate(dist)
+        dist = next
+        frontier = newly
+      }
+      r += 1
+    }
+    dist.groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), max(col("d")).as("eccentricity"))
+      .orderBy(col("seed"))
+  }
+
   /** Walk length for [[randomWalks]]. */
   val WalkLen = 4
 
@@ -805,8 +903,10 @@ object Clouds {
 
   /** Label propagation unrolled to [[Algorithms.LabelPropRounds]]
     * synchronous rounds — integer counts and a deterministic min-label
-    * tiebreak make the replay unconditional (no floats at all). */
-  private def labelPropOracle(rounds: Int): String = {
+    * tiebreak make the replay unconditional (no floats at all). The
+    * chain (`und`, `l0..lN`) is shared with the modularity oracle so
+    * the two replays cannot drift apart. */
+  private def labelPropChain(rounds: Int): String = {
     val steps = (1 to rounds).map { i =>
       s"""g$i AS (
            SELECT e.u AS id, l.lbl, COUNT(*) AS c
@@ -827,9 +927,38 @@ object Clouds {
          UNION ALL
          SELECT dst, src FROM edges WHERE distance <= 0.10),
        l0 AS (SELECT id, id AS lbl FROM nodes),
-       $steps
-       SELECT id AS node, lbl AS community FROM l$rounds ORDER BY node"""
+       $steps"""
   }
+
+  private def labelPropOracle(rounds: Int): String =
+    s"""${labelPropChain(rounds)}
+       SELECT id AS node, lbl AS community FROM l$rounds ORDER BY node"""
+
+  /** [[modularity]] replay: the label-prop chain yields `l$rounds`
+    * communities; the sufficient statistics are exact integer sums and
+    * the coefficient one fixed double expression. */
+  private def modularityOracle(rounds: Int): String =
+    s"""${labelPropChain(rounds)},
+       e10 AS (SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10),
+       deg AS (SELECT id, COUNT(*) AS deg FROM (
+                 SELECT u AS id FROM e10 UNION ALL SELECT v FROM e10)
+               GROUP BY id),
+       dc AS (SELECT l.lbl, SUM(COALESCE(d.deg, 0)) AS dsum
+              FROM l$rounds l LEFT JOIN deg d ON d.id = l.id
+              GROUP BY l.lbl),
+       ec AS (SELECT COUNT(*) AS e_in FROM e10 e
+              JOIN l$rounds a ON a.id = e.u
+              JOIN l$rounds b ON b.id = e.v
+              WHERE a.lbl = b.lbl),
+       ms AS (SELECT COUNT(*) AS m FROM e10),
+       ag AS (SELECT COUNT(*) AS n_communities, SUM(dsum * dsum) AS sum_d2
+              FROM dc)
+       SELECT CAST(n_communities AS BIGINT) AS n_communities,
+              CAST(m AS BIGINT) AS n_edges,
+              CAST(e_in AS BIGINT) AS intra_edges,
+              ROUND(CAST(4 * m * e_in - sum_d2 AS DOUBLE) /
+                    CAST(4 * m * m AS DOUBLE), 6) AS modularity
+       FROM ms, ec, ag"""
 
   /** PageRank unrolled to `iters` stages. The per-node contribution SUM
     * is order-dependent double addition, so BOTH engines quantize each
@@ -892,6 +1021,7 @@ object Clouds {
     "g_shortest_paths" -> ssspOracle(Algorithms.RelaxBudget),
     "g_kcore" -> kcoreOracle(KCoreK, Algorithms.KCoreMaxRounds),
     "g_label_prop" -> labelPropOracle(Algorithms.LabelPropRounds),
+    "g_modularity" -> modularityOracle(Algorithms.LabelPropRounds),
     "g_neighbor_jaccard" ->
       s"""$OracleCte,
          nbrs AS (
@@ -1090,6 +1220,23 @@ object Clouds {
          SELECT n.id AS node, COALESCE(p.tri, 0) AS n_triangles
          FROM nodes n LEFT JOIN pernode p ON p.node = n.id
          ORDER BY node""",
+    "g_eccentricity" ->
+      s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         und AS (
+           SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+           UNION ALL
+           SELECT dst, src FROM edges WHERE distance <= 0.10),
+         sd AS (SELECT id FROM nodes ORDER BY id LIMIT $EccSeeds),
+         bfs(seed, id, d) AS (
+           SELECT id, id, 0 FROM sd
+           UNION
+           SELECT b.seed, e.v, b.d + 1
+           FROM bfs b JOIN und e ON e.u = b.id
+           WHERE b.d < $EccMaxRounds),
+         md AS (SELECT seed, id, MIN(d) AS d FROM bfs GROUP BY 1, 2)
+         SELECT seed, COUNT(*) AS n_reached,
+                CAST(MAX(d) AS BIGINT) AS eccentricity
+         FROM md GROUP BY seed ORDER BY seed""",
     "g_connected_components" ->
       s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          und AS (
@@ -1222,6 +1369,8 @@ object Clouds {
     "g_clustering_coeff"      -> clusteringCoeff _,
     "g_cloud_stats"           -> cloudStats _,
     "g_assortativity"         -> assortativity _,
+    "g_eccentricity"          -> eccentricity _,
+    "g_modularity"            -> modularity _,
     "g_random_walk"           -> ((s: SparkSession, d: String) => randomWalks(s, d)),
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),
   )

@@ -387,6 +387,56 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r - expected) < 1.1e-6, s"$r vs hand-computed $expected")
   }
 
+  test("eccentricity: per-seed reach equals the seed's connected component; hop counts match brute BFS") {
+    val rows = rowsOf(Clouds.eccentricity(spark, SF))
+    assert(rows.size == Clouds.EccSeeds, "one row per seed")
+    // brute-force reference BFS on the collected symmetric edge list
+    val g = TestGraph.graph(spark, SF)
+      .filterEdges(col("distance") <= TestGraph.QueryThreshold)
+    val adj = rowsOf(g.edges.select("src", "dst"))
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { row =>
+      val (seed, nReached, ecc) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      var depth = Map(seed -> 0L)
+      var frontier = Set(seed)
+      var d = 0L
+      while (frontier.nonEmpty && d < Clouds.EccMaxRounds) {
+        d += 1
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+          .filterNot(depth.contains)
+        depth ++= frontier.map(_ -> d)
+      }
+      assert(nReached == depth.size, s"seed $seed reach: $nReached vs ${depth.size}")
+      assert(ecc == depth.values.max, s"seed $seed ecc: $ecc vs ${depth.values.max}")
+    }
+  }
+
+  test("modularity matches a direct rational recomputation over label-prop communities") {
+    val lbl = rowsOf(Clouds.labelProp(spark, SF))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = rowsOf(TestGraph.graph(spark, SF)
+      .filterEdges(col("distance") <= TestGraph.QueryThreshold)
+      .edges.select("src", "dst"))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = es.size.toLong
+    val eIn = es.count { case (s, t) => lbl(s) == lbl(t) }.toLong
+    val deg = es.flatMap { case (s, t) => Seq(s, t) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // toSeq: mapping the grouped Map to bare sums would otherwise build a
+    // Set and silently dedup equal per-community degree sums
+    val dSum = lbl.keys.toSeq.groupBy(lbl).values.map { members =>
+      members.map(id => deg.getOrElse(id, 0L)).sum
+    }
+    val expected = (4.0 * m * eIn - dSum.map(d => d.toDouble * d).sum) / (4.0 * m * m)
+    val row = rowsOf(Clouds.modularity(spark, SF)).head
+    assert(row.getLong(0) == lbl.values.toSet.size, "community count")
+    assert(row.getLong(1) == m && row.getLong(2) == eIn, "edge statistics")
+    val q = row.getDouble(3)
+    assert(math.abs(q - expected) < 1.1e-6, s"$q vs hand-computed $expected")
+    assert(q > 0.0 && q <= 1.0, s"cloud graph must show real community structure: $q")
+  }
+
   test("random walks follow edges, are deterministic, and stop at dead ends") {
     val r = rowsOf(Clouds.randomWalks(spark, SF))
     assert(r.nonEmpty)
