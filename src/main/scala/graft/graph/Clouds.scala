@@ -552,7 +552,40 @@ object Clouds {
     * per round, iterates checkpointed and released like every graph
     * loop here. Seeds ride along as a key column, so K sources cost
     * ONE loop, not K. `g_eccentricity`. */
-  def eccentricity(spark: SparkSession, dir: String): DataFrame = {
+  def eccentricity(spark: SparkSession, dir: String): DataFrame =
+    seedBfs(spark, dir)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), max(col("d")).as("eccentricity"))
+      .orderBy(col("seed"))
+
+  /** LCM(1..[[EccMaxRounds]]) — every hop distance divides it, so the
+    * harmonic sum Σ 1/d can be kept integer-exact as Σ HarmonicLcm/d. */
+  val HarmonicLcm = 720720L
+
+  /** Sampled harmonic centrality (Boldi & Vigna 2014's preferred
+    * closeness variant — finite under disconnection): per seed,
+    * H(s) = Σ_{v≠s, reached} 1/d(s,v) over the same budgeted BFS as
+    * [[eccentricity]] — one extra aggregate over the identical
+    * [[seedBfs]] state, so the marginal cost of the second centrality
+    * is ZERO loop rounds. Exactness: 1/d sums in run-dependent double
+    * order, so the sum is kept INTEGER — Σ [[HarmonicLcm]]/d (every
+    * d ≤ [[EccMaxRounds]] divides the LCM exactly; the division is an
+    * exact IEEE op in both engines) — with ONE double division +
+    * round(6) at the end. `g_harmonic`. */
+  def harmonic(spark: SparkSession, dir: String): DataFrame =
+    seedBfs(spark, dir)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(when(col("d") > 0, (lit(HarmonicLcm) / col("d")).cast("long"))
+          .otherwise(0L)).as("hsum"))
+      .select(col("seed"), col("n_reached"),
+        round(col("hsum").cast("double") / HarmonicLcm, 6).as("harmonic"))
+      .orderBy(col("seed"))
+
+  /** The shared K-seed budgeted-BFS state: (seed, id, d) for every
+    * node within [[EccMaxRounds]] hops of an [[EccSeeds]] seed —
+    * [[eccentricity]] and [[harmonic]] are aggregates over it. */
+  private[graft] def seedBfs(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
     val e = g.symmetrizedEdges.filter(col("distance") <= QueryThreshold)
       .select(col("src"), col("dst")).localCheckpoint(true)
@@ -580,9 +613,7 @@ object Clouds {
       }
       r += 1
     }
-    dist.groupBy(col("seed"))
-      .agg(count(lit(1)).as("n_reached"), max(col("d")).as("eccentricity"))
-      .orderBy(col("seed"))
+    dist
   }
 
   /** Walk length for [[randomWalks]]. */
@@ -1237,6 +1268,25 @@ object Clouds {
          SELECT seed, COUNT(*) AS n_reached,
                 CAST(MAX(d) AS BIGINT) AS eccentricity
          FROM md GROUP BY seed ORDER BY seed""",
+    "g_harmonic" ->
+      s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         und AS (
+           SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+           UNION ALL
+           SELECT dst, src FROM edges WHERE distance <= 0.10),
+         sd AS (SELECT id FROM nodes ORDER BY id LIMIT $EccSeeds),
+         bfs(seed, id, d) AS (
+           SELECT id, id, 0 FROM sd
+           UNION
+           SELECT b.seed, e.v, b.d + 1
+           FROM bfs b JOIN und e ON e.u = b.id
+           WHERE b.d < $EccMaxRounds),
+         md AS (SELECT seed, id, MIN(d) AS d FROM bfs GROUP BY 1, 2)
+         SELECT seed, COUNT(*) AS n_reached,
+                ROUND(CAST(SUM(CASE WHEN d > 0
+                    THEN CAST($HarmonicLcm / d AS BIGINT) ELSE 0 END)
+                  AS DOUBLE) / $HarmonicLcm, 6) AS harmonic
+         FROM md GROUP BY seed ORDER BY seed""",
     "g_connected_components" ->
       s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          und AS (
@@ -1370,6 +1420,7 @@ object Clouds {
     "g_cloud_stats"           -> cloudStats _,
     "g_assortativity"         -> assortativity _,
     "g_eccentricity"          -> eccentricity _,
+    "g_harmonic"              -> harmonic _,
     "g_modularity"            -> modularity _,
     "g_random_walk"           -> ((s: SparkSession, d: String) => randomWalks(s, d)),
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),

@@ -412,6 +412,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("harmonic centrality matches brute BFS 1/d sums per seed") {
+    val rows = rowsOf(Clouds.harmonic(spark, SF))
+    assert(rows.size == Clouds.EccSeeds, "one row per seed")
+    val g = TestGraph.graph(spark, SF)
+      .filterEdges(col("distance") <= TestGraph.QueryThreshold)
+    val adj = rowsOf(g.edges.select("src", "dst"))
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { row =>
+      val (seed, nReached, h) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+      var depth = Map(seed -> 0L)
+      var frontier = Set(seed)
+      var d = 0L
+      while (frontier.nonEmpty && d < Clouds.EccMaxRounds) {
+        d += 1
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+          .filterNot(depth.contains)
+        depth ++= frontier.map(_ -> d)
+      }
+      assert(nReached == depth.size, s"seed $seed reach: $nReached vs ${depth.size}")
+      val expected = depth.values.filter(_ > 0)
+        .map(Clouds.HarmonicLcm / _).sum.toDouble / Clouds.HarmonicLcm
+      assert(math.abs(h - expected) < 1.1e-6, s"seed $seed: $h vs $expected")
+    }
+  }
+
   test("modularity matches a direct rational recomputation over label-prop communities") {
     val lbl = rowsOf(Clouds.labelProp(spark, SF))
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
