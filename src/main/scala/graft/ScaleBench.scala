@@ -93,6 +93,12 @@ object ScaleBench {
     timed("kcore") {
       Algorithms.kCore(nodes, edges, k = 3)
     }
+    timed("bfs_hops") {
+      Algorithms.hopDistances(nodes.filter(col("id") < 4),
+        edges.select(col("src"), col("dst"))
+          .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))),
+        maxRounds = 16)
+    }
     timed("sssp") {
       Algorithms.shortestPaths(nodes,
         edges.withColumnRenamed("distance", "weight")

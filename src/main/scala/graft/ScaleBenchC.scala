@@ -110,6 +110,8 @@ object ScaleBenchC {
     timed("d_seq_pack") { pipeline.Dedup.seqPack(spark, dir) }
     timed("d_substring_dedup") { pipeline.Dedup.substringDedup(spark, dir) }
     timed("d_importance_weights") { pipeline.Dedup.importanceWeights(spark, dir) }
+    timed("d_bloom_dedup") { pipeline.Dedup.bloomDedup(spark, dir) }
+    timed("t_bigram_lm") { pipeline.Text.bigramLm(spark, dir) }
 
     val qs = times.map { case (k, v) =>
       Json.q(k) + ":" + f"$v%.1f" }.mkString("{", ",", "}")

@@ -343,6 +343,42 @@ object Algorithms {
     pr.select(col("id"), col("rank"))
   }
 
+  /** Multi-seed hop-count BFS: the sparse reached set (seed, id, d) for
+    * every node within `maxRounds` hops of a seed, over PRE-SYMMETRIZED
+    * (src, dst) edges. Unweighted BFS means first reach IS the hop
+    * distance, so the per-round delta is one anti-join against the
+    * state; only last round's new pairs join the edge list
+    * (frontier-delta), seeds ride as a key column so K sources cost ONE
+    * loop, and iterates are checkpointed + released like every loop
+    * here. Kernel for [[graft.graph.Clouds.eccentricity]] /
+    * [[graft.graph.Clouds.harmonic]] and the ScaleBench harness. */
+  def hopDistances(seeds: DataFrame, edges: DataFrame,
+                   maxRounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var dist = seeds.select(col("id").as("seed"), col("id"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var r = 0
+    var live = true
+    while (r < maxRounds && live) {
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(col("seed"), col("dst").as("id"), (col("d") + 1).as("d"))
+        .groupBy(col("seed"), col("id")).agg(min(col("d")).as("d"))
+      val newly = cand
+        .join(dist.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
+        .localCheckpoint(false)
+      live = newly.count() > 0 // materializes the lazy checkpoint
+      if (live) {
+        val next = dist.unionByName(newly).localCheckpoint(true)
+        releaseIterate(dist)
+        dist = next
+        frontier = newly
+      }
+      r += 1
+    }
+    dist
+  }
+
   /** Weighted single-source (or multi-source) shortest paths from a seed
     * id set over directed edges with a `weight` column — delta-stepping
     * Bellman-Ford: only the FRONTIER (nodes whose distance improved last

@@ -587,33 +587,10 @@ object Clouds {
     * [[eccentricity]] and [[harmonic]] are aggregates over it. */
   private[graft] def seedBfs(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
-    val e = g.symmetrizedEdges.filter(col("distance") <= QueryThreshold)
-      .select(col("src"), col("dst")).localCheckpoint(true)
-    var dist = g.nodes.select(col("id")).orderBy(col("id")).limit(EccSeeds)
-      .select(col("id").as("seed"), col("id"), lit(0L).as("d"))
-      .localCheckpoint(true)
-    var frontier = dist
-    var r = 0
-    var live = true
-    while (r < EccMaxRounds && live) {
-      val cand = frontier.join(e, frontier("id") === e("src"))
-        .select(col("seed"), col("dst").as("id"), (col("d") + 1).as("d"))
-        .groupBy(col("seed"), col("id")).agg(min(col("d")).as("d"))
-      // unweighted BFS: first reach IS the hop distance, so the delta
-      // is pairs never seen before — one anti-join against the state
-      val newly = cand
-        .join(dist.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
-        .localCheckpoint(false)
-      live = newly.count() > 0 // materializes the lazy checkpoint
-      if (live) {
-        val next = dist.unionByName(newly).localCheckpoint(true)
-        Algorithms.releaseIterate(dist)
-        dist = next
-        frontier = newly
-      }
-      r += 1
-    }
-    dist
+    Algorithms.hopDistances(
+      g.nodes.select(col("id")).orderBy(col("id")).limit(EccSeeds),
+      g.symmetrizedEdges.filter(col("distance") <= QueryThreshold),
+      EccMaxRounds)
   }
 
   /** Walk length for [[randomWalks]]. */

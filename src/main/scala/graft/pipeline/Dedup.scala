@@ -348,6 +348,71 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-filter geometry for [[bloomDedup]]: 2^17 bits in 32-bit
+    * words (4096 bitmap rows — corpus-size-INDEPENDENT and broadcast-
+    * trivial at test SF; at 100 TB the bits parameter grows and the
+    * bitmap join degrades gracefully from broadcast to a word-keyed
+    * hash join, because the filter is RELATIONAL rows, not a driver
+    * structure). 32-bit words, not 64: `1 << 63` overflows DuckDB's
+    * checked BIGINT shift, and the word width only shifts the
+    * row-count constant. k = 4 probes ⇒ FP rate (1−e^(−kn/m))^k ≈
+    * 2.4e-3 at n = 5k reference docs. */
+  val BloomBits = 1L << 17
+  val BloomWordBits = 32L
+  val BloomK = 4
+
+  /** The k double-hashed bit positions of `h`: p_i = (h1 + i·h2) mod m
+    * with h1 = h mod m, h2 = (h >> 17) mod m forced odd — Kirsch &
+    * Mitzenmacher's two-hash scheme, all exact integer ops both
+    * engines. */
+  private def bloomPositions(h: org.apache.spark.sql.Column) = {
+    val h1 = pmod(h, lit(BloomBits))
+    val h2 = pmod(shiftright(h, 17), lit(BloomBits)).bitwiseOR(lit(1L))
+    explode(array((0 until BloomK).map(i => pmod(h1 + lit(i.toLong) * h2, lit(BloomBits))): _*))
+  }
+
+  /** Bloom-filter incremental dedup — the screen an ingest pipeline
+    * puts in FRONT of exact cross-corpus dedup ([[incrementalDedup]])
+    * so the unbounded "yesterday's corpus" never joins the new batch:
+    * the reference corpus (source = src0, same split as the exact op)
+    * is folded into a [[BloomBits]]-bit Bloom filter expressed as
+    * RELATIONAL bitmap rows — (word_idx, bit_or of member bits), ONE
+    * map-side-combined aggregate, ≤ bits/32 rows — and each new doc
+    * probes its [[BloomK]] double-hashed positions against the
+    * broadcast bitmap. `bloom_maybe_dup` = all k bits set; the exact
+    * md5 anti-join verdict rides along as `true_dup`, so the operator
+    * exhibits its own false-positive rate and the spec can assert the
+    * Bloom contract (NO false negatives; FPs possible, never FNs).
+    * Scale: the new-batch side is scanned once, narrow except the
+    * k-way position explode; the reference side collapses to the
+    * bitmap aggregate — at 100 TB the reference corpus is never
+    * shuffled, only its 4096-row bitmap moves. `d_bloom_dedup`. */
+  def bloomDedup(spark: SparkSession, dir: String,
+                 existingSource: String = "src0"): DataFrame = {
+    val docs = Docs.docs(spark, dir)
+    val bit = expr(s"shiftleft(1L, cast(pmod(p, $BloomWordBits) as int))")
+    val bitmap = docs.filter(col("source") === existingSource)
+      .select(bloomPositions(md5Hash60(col("text"))).as("p"))
+      .select(shiftright(col("p"), 5).as("w"), bit.as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+    val exact = docs.filter(col("source") === existingSource)
+      .select(md5(col("text")).as("ch")).distinct()
+    val probes = docs.filter(col("source") =!= existingSource)
+      .select(col("doc_id"), md5(col("text")).as("ch"),
+        bloomPositions(md5Hash60(col("text"))).as("p"))
+      .select(col("doc_id"), col("ch"), shiftright(col("p"), 5).as("w"), bit.as("b"))
+    probes
+      .join(broadcast(bitmap), Seq("w"), "left_outer")
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(sum(when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("b")) =!= 0L, 1L)
+        .otherwise(0L)).as("n_hits"))
+      .join(exact.select(col("ch"), lit(1).as("true_dup")), Seq("ch"), "left_outer")
+      .select(col("doc_id"), col("n_hits"),
+        (col("n_hits") === BloomK).cast("int").as("bloom_maybe_dup"),
+        coalesce(col("true_dup"), lit(0)).as("true_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Radix-width clamp for [[rankShuffle]]: at least 64 buckets (below
     * this the cumsum saves nothing) and at most 2^20 (the offset table
     * must stay broadcast-small: 1M × 16 B ≈ 16 MB). */
@@ -1012,6 +1077,32 @@ object Dedup {
        WHERE est_jaccard >= 0.5 ORDER BY a, b"""
 
   val oracle: Map[String, String] = Map(
+    "d_bloom_dedup" ->
+      s"""WITH h AS (SELECT doc_id, source, md5(text) AS ch,
+                            ${hexFoldSql("text")} AS h
+                     FROM documents),
+         hp AS (SELECT doc_id, source, ch, (h % $BloomBits) AS h1,
+                       (((h >> 17) % $BloomBits) | 1) AS h2
+                FROM h),
+         pos AS (SELECT doc_id, source, ch,
+                        unnest(list_transform(range(0, $BloomK),
+                          i -> (h1 + i * h2) % $BloomBits)) AS p
+                 FROM hp),
+         ref AS (SELECT (p >> 5) AS w,
+                        bit_or(CAST(1 AS BIGINT) << CAST(p % $BloomWordBits AS INT)) AS bits
+                 FROM pos WHERE source = 'src0' GROUP BY 1),
+         refh AS (SELECT DISTINCT ch FROM h WHERE source = 'src0'),
+         pr AS (SELECT doc_id, ch, (p >> 5) AS w,
+                       CAST(1 AS BIGINT) << CAST(p % $BloomWordBits AS INT) AS b
+                FROM pos WHERE source <> 'src0'),
+         hits AS (SELECT pr.doc_id, pr.ch,
+                         SUM(CASE WHEN (COALESCE(r.bits, 0) & pr.b) <> 0
+                             THEN 1 ELSE 0 END) AS n_hits
+                  FROM pr LEFT JOIN ref r ON r.w = pr.w GROUP BY 1, 2)
+         SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+                CAST(n_hits = $BloomK AS INT) AS bloom_maybe_dup,
+                CAST(ch IN (SELECT ch FROM refh) AS INT) AS true_dup
+         FROM hits ORDER BY doc_id""",
     "d_incremental_dedup" ->
       """SELECT d.doc_id, d.source FROM documents d
          WHERE d.source <> 'src0' AND NOT EXISTS (
@@ -1346,6 +1437,7 @@ object Dedup {
     "d_token_budget"  -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "d_sample_mix"    -> (sampleMix _),
     "d_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
+    "d_bloom_dedup" -> ((s: SparkSession, d: String) => bloomDedup(s, d)),
     "d_substring_dedup" -> ((s: SparkSession, d: String) => substringDedup(s, d)),
     "d_importance_weights" -> ((s: SparkSession, d: String) => importanceWeights(s, d)),
     "d_minhash_est"   -> ((s: SparkSession, d: String) => minhashEstimateAudit(s, d)),

@@ -434,6 +434,59 @@ object Text {
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
     piiScan(Docs.docs(spark, dir)).orderBy(col("doc_id"))
 
+  /** Quantization scale for [[bigramLm]]'s per-bigram probability: the
+    * conditional p = c(prev,cur)/c(prev·) is one correctly-rounded IEEE
+    * division of two exact integers (bit-identical in both engines),
+    * then frozen at 12 dp as a DECIMAL so the PER-DOC sum is exact and
+    * order-independent — the repo-wide "no float sums across rows"
+    * rule, without giving up a real probability model. */
+  val BigramPScale = 12
+
+  /** Self-trained bigram language-model score per document — the CCNet
+    * / Gopher-style "how predictable is this text under a corpus LM"
+    * quality signal (CCNet scores wiki-LM perplexity; here the LM is
+    * the corpus itself, which flags template/spam text as
+    * high-probability outliers and garbled text as low): per doc, the
+    * mean conditional probability of its token bigrams,
+    * p(cur|prev) = c(prev,cur) / c(prev,·), both counts from the whole
+    * corpus. No logs — log-perplexity would sum transcendentals whose
+    * cross-engine bit-equality is not guaranteed; the arithmetic mean
+    * of [[BigramPScale]]-quantized conditionals carries the same
+    * ordering signal with unconditional gate parity.
+    *
+    * Plan: one narrow bigram explode; the LM "training" is ONE
+    * map-side-combined (prev,cur) aggregate (checkpointed — the model
+    * table is distinct-bigram-bounded, NOT corpus-bounded) re-agged to
+    * the prev margin; scoring re-joins the stream to the model on the
+    * token keys — vocabulary-keyed shuffles that scale with corpus
+    * content, deliberately NOT broadcast. Docs under 2 tokens have no
+    * bigrams and drop out (mirrored in the oracle). `t_bigram_lm`. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    // materialized once: the bigram stream fans into the model build and
+    // the scoring probe; without the checkpoint the explode runs thrice
+    val bg = Docs.docs(spark, dir)
+      .select(col("doc_id"), Docs.tokens.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+                     i -> struct(toks[i-1] AS prev, toks[i] AS cur))"""))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .localCheckpoint(true)
+    val cb = bg.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true) // the trained model; reused by margin + probe
+    val cp = cb.groupBy(col("prev")).agg(sum(col("cb")).as("cp"))
+    bg.join(cb, Seq("prev", "cur")).join(cp, Seq("prev"))
+      .select(col("doc_id"),
+        round(col("cb").cast("double") / col("cp").cast("double"), BigramPScale)
+          .cast(s"decimal(${BigramPScale + 2},$BigramPScale)").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qs"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("qs").cast("double") / col("n_bigrams"), 6).as("avg_bigram_p"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- oracles -------------------------------------------------------
 
   private val ToksCte =
@@ -521,6 +574,26 @@ object Text {
   }
 
   val oracle: Map[String, String] = Map(
+    "t_bigram_lm" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                    i -> struct_pack(prev := t[i], cur := t[i + 1]))) AS b
+           FROM toks),
+         s AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM bg),
+         cb AS (SELECT prev, cur, COUNT(*) AS cb FROM s GROUP BY 1, 2),
+         cp AS (SELECT prev, SUM(cb) AS cp FROM cb GROUP BY 1),
+         scored AS (
+           SELECT s.doc_id,
+                  CAST(ROUND(CAST(cb.cb AS DOUBLE) / CAST(cp.cp AS DOUBLE),
+                             $BigramPScale)
+                       AS DECIMAL(${BigramPScale + 2},$BigramPScale)) AS q
+           FROM s JOIN cb USING (prev, cur) JOIN cp USING (prev))
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+                ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_p
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "t_bpe_train" -> bpeTrainOracle(MergeCount),
     "t_bpe_encode" -> bpeEncodeOracle(MergeCount),
     // the regex literals are shared constants: identical pattern text
@@ -701,5 +774,6 @@ object Text {
     "t_bpe_encode"  -> ((s: SparkSession, d: String) => bpeEncode(s, d)),
     "t_ttr"         -> (typeTokenRatio _),
     "t_pii_redact"  -> (piiRedact _),
+    "t_bigram_lm"   -> (bigramLm _),
   )
 }

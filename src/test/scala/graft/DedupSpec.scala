@@ -219,6 +219,27 @@ class DedupSpec extends SparkSpec {
       s"only the genuinely new doc survives the anti join, got $kept")
   }
 
+  test("bloom dedup: no false negatives, exact verdict rides along") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "stored document one", "en", "src0", 19L),
+      (1L, "stored document two", "en", "src0", 19L),
+      (10L, "stored document one", "en", "src1", 19L), // exact dup of stored
+      (11L, "fresh new crawl text", "en", "src1", 20L),
+      (12L, "stored document two", "en", "src2", 19L))) // dup from another source
+    val r = rowsOf(pipeline.Dedup.bloomDedup(spark, d))
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(10L, 11L, 12L), "one row per probe doc")
+    // the Bloom contract: a true duplicate can NEVER be missed
+    Seq(10L, 12L).foreach { id =>
+      assert(r(id).getInt(3) == 1, s"doc $id is a true dup")
+      assert(r(id).getLong(1) == Dedup.BloomK && r(id).getInt(2) == 1,
+        s"doc $id must hit all ${Dedup.BloomK} bits (no false negatives)")
+    }
+    // 11 is genuinely new; with 2 reference docs in 2^17 bits a false
+    // positive would need a 4-way bit collision — not at this density
+    assert(r(11L).getInt(3) == 0 && r(11L).getInt(2) == 0)
+  }
+
   test("moving 7-day average frame shrinks at the calendar start") {
     val r = rowsOf(relational.Tpch.qMovingAvg(spark, SF))
     assert(r.nonEmpty)

@@ -122,6 +122,23 @@ class TextPipelineSpec extends SparkSpec {
       "(4 + 1) / 2 tokens")
   }
 
+  test("bigram LM: mean conditional probability on hand-counted bigrams") {
+    val r = rowsOf(Text.bigramLm(spark, dir)).map(x => x.getLong(0) -> x).toMap
+    // doc 3 "word word word": both bigrams are (word,word), the only
+    // continuation of "word" ⇒ p = 1 for each, mean 1.0
+    assert(r(3L).getLong(1) == 2)
+    assert(r(3L).getDouble(2) == 1.0)
+    // doc 0: "the" continues two ways (cat, dog) ⇒ those two bigrams
+    // score 1/2; the other 7 prevs are unambiguous ⇒ (7 + 2·0.5)/9
+    assert(r(0L).getLong(1) == 9)
+    assert(math.abs(r(0L).getDouble(2) - 8.0 / 9) < 1e-6)
+    // single-token / empty docs drop out, all probabilities in (0, 1]
+    r.values.foreach { row =>
+      val p = row.getDouble(2)
+      assert(p > 0.0 && p <= 1.0, s"p out of range: $p")
+    }
+  }
+
   test("repetition score counts repeated 3-grams exactly on a planted template") {
     val d = TestSession.docsFixture(Seq(
       (0L, "a b c a b c a b c", "en", "s", 17L), // 7 grams, 3 distinct
