@@ -70,15 +70,22 @@ object ScaleBench {
       _.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
       }).toSet
+    // optional comma-separated kernel filter, so a single kernel's
+    // 15k/150k row pair can be (re)measured without paying the full
+    // multi-minute fleet at sf1
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_KERNELS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed(name: String)(df: => DataFrame): Unit = {
-      val s = System.nanoTime()
-      val rows = df.count()
-      times(name) = (System.nanoTime() - s) / 1e9
-      System.err.println(f"[scale] $name: ${times(name)}%.1f s ($rows rows)")
-      spark.sparkContext.getPersistentRDDs
-        .filterNot { case (id, _) => protectedIds.contains(id) }
-        .values.foreach(_.unpersist(blocking = false))
+      if (only.forall(_.contains(name))) {
+        val s = System.nanoTime()
+        val rows = df.count()
+        times(name) = (System.nanoTime() - s) / 1e9
+        System.err.println(f"[scale] $name: ${times(name)}%.1f s ($rows rows)")
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => protectedIds.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
     }
 
     timed("connected_components") {

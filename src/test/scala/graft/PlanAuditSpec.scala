@@ -24,14 +24,33 @@ class PlanAuditSpec extends SparkSpec {
     "g_modularity"         // two ONE-row aggregates (m, E_in) × the community stats row
   )
 
+  /** Build every registered plan ONCE, isolating per-key failures so a
+    * single broken operator surfaces as its own labelled assertion
+    * instead of voiding the fleet-wide audit (r10 lesson: two
+    * analysis-time failures silently decertified all 133 healthy
+    * plans). */
+  private lazy val builtPlans: Map[String, Either[Throwable, String]] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> scala.util.Try(
+        fn(spark, SF).queryExecution.executedPlan.toString).toEither
+    }
+
+  test("every registered operator's plan builds (analysis succeeds)") {
+    val broken = builtPlans.collect { case (name, Left(e)) =>
+      s"$name: ${e.getMessage.linesIterator.take(2).mkString(" ")}"
+    }.toSeq.sorted
+    assert(broken.isEmpty, s"plans fail to build: ${broken.mkString("; ")}")
+  }
+
   test("no operator plans a cartesian product; BNLJ only where bounded") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, SF).queryExecution.executedPlan.toString
-      val cartesian = plan.contains("CartesianProduct")
-      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !boundedBnlj(name)
-      if (cartesian) Some(s"$name: CartesianProduct")
-      else if (bnlj) Some(s"$name: unallowlisted BroadcastNestedLoopJoin")
-      else None
+    val offenders = builtPlans.toSeq.sortBy(_._1).flatMap {
+      case (_, Left(_)) => None // reported by the build-failure assertion
+      case (name, Right(plan)) =>
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") && !boundedBnlj(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unallowlisted BroadcastNestedLoopJoin")
+        else None
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
