@@ -106,6 +106,11 @@ object ScaleBench {
           .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))),
         maxRounds = 16)
     }
+    timed("betweenness_sampled") {
+      graft.graph.Clouds.betweennessKernel(nodes,
+        edges.select(col("src"), col("dst"))
+          .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    }
     timed("sssp") {
       Algorithms.shortestPaths(nodes,
         edges.withColumnRenamed("distance", "weight")

@@ -379,6 +379,49 @@ object Algorithms {
     dist
   }
 
+  /** [[hopDistances]] extended with shortest-path COUNTS: (seed, id, d,
+    * sigma) where sigma = number of distinct shortest paths seed→id —
+    * the forward pass of Brandes' betweenness algorithm (Brandes 2001).
+    * Correctness rides on the BFS layer invariant: every shortest-path
+    * predecessor of a node first reached in round r sits at distance
+    * r−1, i.e. exactly in the previous round's newly-reached frontier —
+    * so `sum(sigma)` over the frontier-join rows IS the path count, in
+    * the same single keyed aggregate the distance loop already runs.
+    * Sigma is DECIMAL(38,0): path counts multiply along dense layers
+    * and can pass 2^63 long before the row counts are a problem; the
+    * decimal sum is exact (and overflow → null, never a silent wrap).
+    * Kernel for [[graft.graph.Clouds.betweenness]]. */
+  def hopDistancesSigma(seeds: DataFrame, edges: DataFrame,
+                        maxRounds: Int): DataFrame = {
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var dist = seeds.select(col("id").as("seed"), col("id"), lit(0L).as("d"),
+        lit(1).cast(dec0).as("sigma"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var r = 0
+    var live = true
+    while (r < maxRounds && live) {
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(col("seed"), col("dst").as("id"), (col("d") + 1).as("d"),
+          col("sigma"))
+        .groupBy(col("seed"), col("id"))
+        .agg(min(col("d")).as("d"), sum(col("sigma")).cast(dec0).as("sigma"))
+      val newly = cand
+        .join(dist.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
+        .localCheckpoint(false)
+      live = newly.count() > 0 // materializes the lazy checkpoint
+      if (live) {
+        val next = dist.unionByName(newly).localCheckpoint(true)
+        releaseIterate(dist)
+        dist = next
+        frontier = newly
+      }
+      r += 1
+    }
+    dist
+  }
+
   /** Weighted single-source (or multi-source) shortest paths from a seed
     * id set over directed edges with a `weight` column — delta-stepping
     * Bellman-Ford: only the FRONTIER (nodes whose distance improved last

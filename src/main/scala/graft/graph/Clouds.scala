@@ -593,6 +593,95 @@ object Clouds {
       EccMaxRounds)
   }
 
+  /** Sampled betweenness centrality — Brandes' dependency accumulation
+    * (Brandes 2001, "A faster algorithm for betweenness centrality")
+    * over the SAME [[EccSeeds]]-seed / [[EccMaxRounds]]-hop budgeted
+    * BFS as [[eccentricity]]/[[harmonic]], on the symmetrized
+    * query-threshold graph. Per seed s: forward BFS counts shortest
+    * paths ([[Algorithms.hopDistancesSigma]] — sigma rides the
+    * existing frontier-delta loop), then layers accumulate backward,
+    *   δ(u) = Σ_{v ∈ succ(u)} σ(u)/σ(v) · (1 + δ(v)),
+    * and b(v) = Σ_s δ_s(v) for v ≠ s (the K-sample estimator; no
+    * normalization, documented as raw dependency mass). The hop budget
+    * is part of the contract exactly like SSSP's relax budget:
+    * dependencies of nodes beyond the budget are 0 by definition, and
+    * the oracle unrolls the same [[EccMaxRounds]] layers.
+    *
+    * Exactness (what makes a DuckDB hash-match possible): σ is
+    * DECIMAL(38,0) (integer-exact path counts), and each backward TERM
+    * — (σu/σv)·(1+δv), computed in identical IEEE double ops on
+    * identical inputs in both engines — is quantized round(·,6) and
+    * cast DECIMAL(38,6) BEFORE the aggregate, so every SUM in the
+    * accumulation is a decimal sum: exact and order-independent. A
+    * double-summed δ would carry shuffle-order noise that 1500-node
+    * magnitudes amplify past any rounding guard; term-wise
+    * quantization kills the ordering dependence instead of racing it.
+    *
+    * Scale shape: the backward pass is ≤[[EccMaxRounds]] rounds of
+    * (layer ⋈ edges ⋈ next-layer) equi-joins — each joins one BFS
+    * LAYER (≤ seeds × frontier rows) against the edge list, mirroring
+    * the forward loop's per-round cost; one eager checkpoint per layer
+    * keeps the plan flat. State never exceeds the (seed, id) reach
+    * set. `g_betweenness`. */
+  def betweenness(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    betweennessKernel(
+      g.nodes.select(col("id")),
+      g.symmetrizedEdges.filter(col("distance") <= QueryThreshold)
+        .select(col("src"), col("dst")))
+  }
+
+  /** The seed-sampled Brandes kernel over explicit (nodes, symmetrized
+    * edges) — factored out so specs can drive fixture graphs. */
+  private[graft] def betweennessKernel(nodes: DataFrame, symEdges: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 6)
+    val e = symEdges.select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint(true)
+    val state = Algorithms.hopDistancesSigma(
+      nodes.orderBy(col("id")).limit(EccSeeds),
+      e.select(col("u").as("src"), col("v").as("dst")), EccMaxRounds)
+    val maxD = state.agg(max(col("d"))).head.getLong(0)
+    // deepest layer has no successors within the budget → δ = 0
+    var deltaNext = state.filter(col("d") === maxD)
+      .select(col("seed"), col("id"), col("sigma"),
+        lit(0).cast(dec).as("delta"))
+      .localCheckpoint(true)
+    // layer-0 rows are the seeds themselves: b(v) sums δ_s(v) for
+    // v ≠ s only, so layer 0 never joins the output union
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (maxD > 0) layers += deltaNext.select(col("seed"), col("id"), col("delta"))
+    var l = maxD - 1
+    while (l >= 1) {
+      val uLayer = state.filter(col("d") === l)
+      val nxt = deltaNext.select(col("seed").as("s2"), col("id").as("id2"),
+        col("sigma").as("sigma2"), col("delta").as("delta2"))
+      val contrib = uLayer.join(e, uLayer("id") === e("u"))
+        .join(nxt, col("seed") === col("s2") && col("v") === col("id2"))
+        .select(col("seed"), uLayer("id").as("id"),
+          round((uLayer("sigma").cast("double") / col("sigma2").cast("double")) *
+            (lit(1.0) + col("delta2").cast("double")), 6).cast(dec).as("t"))
+        .groupBy(col("seed"), col("id")).agg(sum(col("t")).as("dsum"))
+      val deltaL = uLayer.join(contrib, Seq("seed", "id"), "left_outer")
+        .select(col("seed"), col("id"), col("sigma"),
+          coalesce(col("dsum"), lit(0)).cast(dec).as("delta"))
+        .localCheckpoint(true)
+      layers += deltaL.select(col("seed"), col("id"), col("delta"))
+      deltaNext = deltaL
+      l -= 1
+    }
+    val deltas =
+      if (layers.isEmpty)
+        // edgeless graph: no dependency mass anywhere
+        state.select(col("id"), lit(0).cast(dec).as("delta")).limit(0)
+      else layers.reduce(_ unionByName _).select(col("id"), col("delta"))
+    nodes.select(col("id"))
+      .join(deltas.groupBy(col("id")).agg(sum(col("delta")).as("b")),
+        Seq("id"), "left_outer")
+      .select(col("id").as("node"),
+        coalesce(col("b"), lit(0)).cast(dec).cast("double").as("betweenness"))
+      .orderBy(col("node"))
+  }
+
   /** Walk length for [[randomWalks]]. */
   val WalkLen = 4
 
@@ -998,7 +1087,72 @@ object Clouds {
        SELECT id, rank FROM p$iters ORDER BY id"""
   }
 
+  /** The [[betweenness]] oracle: recursive-CTE BFS (as g_eccentricity)
+    * plus UNROLLED per-layer CTEs — σ forward (sig1..sigR), δ backward
+    * (delR..del1) — exactly [[EccMaxRounds]] layers, mirroring the hop
+    * budget. Layers above the graph's true depth are empty sets, so the
+    * unroll matches Spark's data-driven loop at any depth ≤ R. Every δ
+    * SUM aggregates terms already quantized ROUND(·,6) → DECIMAL(38,6),
+    * the order-independence trick the Spark side mirrors term-for-term.
+    * The chained CTEs are AS MATERIALIZED: inlined, del1 would expand
+    * del2…delR (and every sig_l would re-run the recursive BFS behind
+    * `md`), turning a 16-layer chain into quadratically many
+    * re-evaluations — materialization makes each layer compute once,
+    * exactly like the Spark side's per-layer checkpoints. */
+  private def betweennessOracle: String = {
+    val R = EccMaxRounds
+    val sigLayers = (1 to R).map { l =>
+      s"""sig$l AS MATERIALIZED (
+            SELECT m.seed, m.id, CAST(SUM(p.sigma) AS DECIMAL(38,0)) AS sigma
+            FROM md m JOIN und e ON e.v = m.id
+            JOIN sig${l - 1} p ON p.seed = m.seed AND p.id = e.u
+            WHERE m.d = $l GROUP BY m.seed, m.id)"""
+    }.mkString(",\n")
+    val delLayers = (R - 1 to 1 by -1).map { l =>
+      s"""del$l AS MATERIALIZED (
+            SELECT u.seed, u.id, u.sigma,
+              CAST(COALESCE(SUM(CAST(ROUND(
+                (CAST(u.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE))
+                  * (1.0 + CAST(w.delta AS DOUBLE)), 6) AS DECIMAL(38,6))), 0)
+                AS DECIMAL(38,6)) AS delta
+            FROM sig$l u
+            LEFT JOIN und e ON e.u = u.id
+            LEFT JOIN del${l + 1} w ON w.seed = u.seed AND w.id = e.v
+            GROUP BY u.seed, u.id, u.sigma)"""
+    }.mkString(",\n")
+    val allUnion = (1 to R).map(l => s"SELECT seed, id, delta FROM del$l")
+      .mkString("\n           UNION ALL ")
+    s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       und AS MATERIALIZED (
+         SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+         UNION ALL
+         SELECT dst, src FROM edges WHERE distance <= 0.10),
+       sd AS (SELECT id FROM nodes ORDER BY id LIMIT $EccSeeds),
+       bfs(seed, id, d) AS (
+         SELECT id, id, 0 FROM sd
+         UNION
+         SELECT b.seed, e.v, b.d + 1
+         FROM bfs b JOIN und e ON e.u = b.id
+         WHERE b.d < $R),
+       md AS MATERIALIZED (
+         SELECT seed, id, MIN(d) AS d FROM bfs GROUP BY 1, 2),
+       sig0 AS (SELECT seed, id, CAST(1 AS DECIMAL(38,0)) AS sigma
+                FROM md WHERE d = 0),
+       $sigLayers,
+       del$R AS (SELECT seed, id, sigma, CAST(0 AS DECIMAL(38,6)) AS delta
+                 FROM sig$R),
+       $delLayers,
+       alldel AS (
+           $allUnion)
+       SELECT n.id AS node,
+              CAST(CAST(COALESCE(SUM(a.delta), 0) AS DECIMAL(38,6)) AS DOUBLE)
+                AS betweenness
+       FROM nodes n LEFT JOIN alldel a ON a.id = n.id
+       GROUP BY n.id ORDER BY node"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "g_betweenness" -> betweennessOracle,
     "g_assortativity" ->
       s"""$OracleCte,
          deg AS (
@@ -1398,6 +1552,7 @@ object Clouds {
     "g_assortativity"         -> assortativity _,
     "g_eccentricity"          -> eccentricity _,
     "g_harmonic"              -> harmonic _,
+    "g_betweenness"           -> betweenness _,
     "g_modularity"            -> modularity _,
     "g_random_walk"           -> ((s: SparkSession, d: String) => randomWalks(s, d)),
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),
