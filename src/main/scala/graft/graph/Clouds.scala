@@ -582,6 +582,25 @@ object Clouds {
         round(col("hsum").cast("double") / HarmonicLcm, 6).as("harmonic"))
       .orderBy(col("seed"))
 
+  /** Sampled closeness centrality — the within-reach form used under
+    * disconnection (Wasserman–Faust numerator): c(s) = (r−1)/Σd where
+    * r = |reached(s)|, over the same budgeted [[seedBfs]] state as
+    * [[eccentricity]]/[[harmonic]] — a third aggregate over the shared
+    * kernel, zero extra loop rounds. Both sufficient statistics
+    * (r, Σd) are INTEGER sums — exact in any aggregation order in both
+    * engines — with one double division + round(6) at the end; the hop
+    * budget is part of the contract, as with the sibling centralities.
+    * An isolated seed (Σd = 0) reports closeness 0. `g_closeness`. */
+  def closeness(spark: SparkSession, dir: String): DataFrame =
+    seedBfs(spark, dir)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_d"))
+      .select(col("seed"), col("n_reached"), col("sum_d"),
+        when(col("sum_d") > 0,
+          round((col("n_reached") - 1).cast("double") / col("sum_d").cast("double"), 6))
+          .otherwise(lit(0.0)).as("closeness"))
+      .orderBy(col("seed"))
+
   /** The shared K-seed budgeted-BFS state: (seed, id, d) for every
     * node within [[EccMaxRounds]] hops of an [[EccSeeds]] seed —
     * [[eccentricity]] and [[harmonic]] are aggregates over it. */
@@ -1418,6 +1437,27 @@ object Clouds {
                     THEN CAST($HarmonicLcm / d AS BIGINT) ELSE 0 END)
                   AS DOUBLE) / $HarmonicLcm, 6) AS harmonic
          FROM md GROUP BY seed ORDER BY seed""",
+    "g_closeness" ->
+      s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         und AS (
+           SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+           UNION ALL
+           SELECT dst, src FROM edges WHERE distance <= 0.10),
+         sd AS (SELECT id FROM nodes ORDER BY id LIMIT $EccSeeds),
+         bfs(seed, id, d) AS (
+           SELECT id, id, 0 FROM sd
+           UNION
+           SELECT b.seed, e.v, b.d + 1
+           FROM bfs b JOIN und e ON e.u = b.id
+           WHERE b.d < $EccMaxRounds),
+         md AS (SELECT seed, id, MIN(d) AS d FROM bfs GROUP BY 1, 2)
+         SELECT seed, COUNT(*) AS n_reached,
+                CAST(SUM(d) AS BIGINT) AS sum_d,
+                CASE WHEN SUM(d) > 0
+                     THEN ROUND(CAST(COUNT(*) - 1 AS DOUBLE)
+                                / CAST(SUM(d) AS DOUBLE), 6)
+                     ELSE 0.0 END AS closeness
+         FROM md GROUP BY seed ORDER BY seed""",
     "g_connected_components" ->
       s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          und AS (
@@ -1553,6 +1593,7 @@ object Clouds {
     "g_eccentricity"          -> eccentricity _,
     "g_harmonic"              -> harmonic _,
     "g_betweenness"           -> betweenness _,
+    "g_closeness"             -> closeness _,
     "g_modularity"            -> modularity _,
     "g_random_walk"           -> ((s: SparkSession, d: String) => randomWalks(s, d)),
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),

@@ -412,6 +412,34 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("closeness matches brute BFS (r-1)/sum(d) per seed") {
+    val rows = rowsOf(Clouds.closeness(spark, SF))
+    assert(rows.size == Clouds.EccSeeds, "one row per seed")
+    val g = TestGraph.graph(spark, SF)
+      .filterEdges(col("distance") <= TestGraph.QueryThreshold)
+    val adj = rowsOf(g.edges.select("src", "dst"))
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { row =>
+      val (seed, nReached, sumD, c) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+      var depth = Map(seed -> 0L)
+      var frontier = Set(seed)
+      var d = 0L
+      while (frontier.nonEmpty && d < Clouds.EccMaxRounds) {
+        d += 1
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Set.empty))
+          .filterNot(depth.contains)
+        depth ++= frontier.map(_ -> d)
+      }
+      assert(nReached == depth.size, s"seed $seed reach: $nReached vs ${depth.size}")
+      assert(sumD == depth.values.sum, s"seed $seed sum_d: $sumD vs ${depth.values.sum}")
+      val expected =
+        if (depth.values.sum > 0) (depth.size - 1).toDouble / depth.values.sum else 0.0
+      assert(math.abs(c - expected) < 1.1e-6, s"seed $seed: $c vs $expected")
+    }
+  }
+
   test("harmonic centrality matches brute BFS 1/d sums per seed") {
     val rows = rowsOf(Clouds.harmonic(spark, SF))
     assert(rows.size == Clouds.EccSeeds, "one row per seed")
