@@ -822,6 +822,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/val/test bucket split for [[splitAssign]] (percent of the
+    * 0..99 cluster-hash space): 80/10/10. */
+  val SplitTrainPct = 80L
+  val SplitValPct = 10L
+
+  /** Leakage-safe train/val/test SPLIT ASSIGNMENT — the eval-split
+    * step a pipeline runs after near-dup clustering. Hashing DOC ids
+    * would scatter a near-dup family across train and test (the
+    * classic eval-contamination path: the model "sees" a test document
+    * through its training-set near-duplicate); hashing the CLUSTER id
+    * keeps every family in exactly one split. The bucket is a salted
+    * [[md5Hash60]] mod 100 — the corpus-wide deterministic-sampling
+    * idiom ([[sampleMix]]): replayable on any cluster size, any retry,
+    * and by the DuckDB oracle. Plan shape: the cluster assignment's
+    * CC loop plus one narrow hash projection — nothing new shuffles.
+    * `d_split_assign`. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val b = pmod(md5Hash60(concat_ws("|", lit("split"), col("cluster_id"))),
+      lit(100L))
+    dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+      .withColumn("split",
+        when(b < SplitTrainPct, "train")
+          .when(b < SplitTrainPct + SplitValPct, "val")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keeper SELECTION POLICY over the near-dup clusters: instead of
     * [[dedupClusters]]' min-id keeper, keep each cluster's best document
     * by quality score (the policy real pipelines run — when near-dups
@@ -1021,6 +1049,31 @@ object Dedup {
        stopg AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > $GramDfCap),
        kept AS (SELECT doc_id, gram FROM grams
                 WHERE gram NOT IN (SELECT gram FROM stopg))"""
+
+  /** [[KeptGramCte]] extended through the ≥0.5-Jaccard pair graph and
+    * its recursive transitive closure `reach(u, v)` — the shared
+    * prelude of every cluster-consuming oracle (d_dedup_clusters,
+    * d_split_assign). Callers must open with `WITH RECURSIVE`. */
+  private val ClusterReachCte =
+    s"""$KeptGramCte,
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+       inter AS (
+         SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+         FROM kept g1 JOIN kept g2
+           ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+         GROUP BY g1.doc_id, g2.doc_id),
+       pairs AS (
+         SELECT a, b FROM inter
+         JOIN sizes sa ON sa.doc_id = a
+         JOIN sizes sb ON sb.doc_id = b
+         WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+       und AS (
+         SELECT a AS u, b AS v FROM pairs
+         UNION ALL SELECT b, a FROM pairs),
+       reach(u, v) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)"""
 
   /** SimHash fingerprint pipeline as a DuckDB CTE chain ending in
     * `fp(doc_id, simhash)` — replays [[simhash]]'s tf-weighted bit sums
@@ -1348,27 +1401,21 @@ object Dedup {
     // transitive closure over the pair graph (tiny: only near-dup pairs),
     // then min id per reachable set = the cluster label
     "d_dedup_clusters" ->
-      s"""WITH RECURSIVE $KeptGramCte,
-          sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
-          inter AS (
-            SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
-            FROM kept g1 JOIN kept g2
-              ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
-            GROUP BY g1.doc_id, g2.doc_id),
-          pairs AS (
-            SELECT a, b FROM inter
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
-          und AS (
-            SELECT a AS u, b AS v FROM pairs
-            UNION ALL SELECT b, a FROM pairs),
-          reach(u, v) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+      s"""WITH RECURSIVE $ClusterReachCte
           SELECT u AS doc_id, MIN(v) AS cluster_id, u = MIN(v) AS keep
           FROM reach GROUP BY u ORDER BY doc_id""",
+    "d_split_assign" ->
+      s"""WITH RECURSIVE $ClusterReachCte,
+          clus AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                   FROM reach GROUP BY u),
+          bkt AS (SELECT doc_id, cluster_id,
+                    ${hexFoldSql("'split|' || CAST(cluster_id AS VARCHAR)")} % 100 AS b
+                  FROM clus)
+          SELECT doc_id, cluster_id,
+                 CASE WHEN b < $SplitTrainPct THEN 'train'
+                      WHEN b < ${SplitTrainPct + SplitValPct} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM bkt ORDER BY doc_id""",
     "d_token_budget" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
                      FROM documents),
@@ -1433,6 +1480,7 @@ object Dedup {
     "d_simhash_pairs" -> (simhashPairs _),
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "d_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
+    "d_split_assign"  -> (splitAssign _),
     "d_quality_keeper" -> ((s: SparkSession, d: String) => qualityKeeper(s, d)),
     "d_token_budget"  -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "d_sample_mix"    -> (sampleMix _),

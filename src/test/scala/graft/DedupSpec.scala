@@ -312,6 +312,27 @@ class DedupSpec extends SparkSpec {
     assert(keep(0L) && !keep(1L) && !keep(2L) && keep(3L) && keep(4L))
   }
 
+  test("split assignment is cluster-atomic, deterministic, and 3-way bounded") {
+    val r = rowsOf(Dedup.splitAssign(spark, dir))
+    assert(r.size == 5, "every doc gets a split row")
+    val split = r.map(row => row.getLong(0) -> row.getString(2)).toMap
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    // the 0-1-2 near-dup family must land in ONE split (leakage safety)
+    assert(split(0L) == split(1L) && split(1L) == split(2L),
+      s"near-dup family split apart: $split")
+    // replay is bit-identical (hash-seeded, no rand())
+    val again = rowsOf(Dedup.splitAssign(spark, dir))
+      .map(row => row.getLong(0) -> row.getString(2)).toMap
+    assert(split == again)
+    // driver corpus: fractions near 80/10/10 (cluster-hash binomial)
+    val full = rowsOf(Dedup.splitAssign(spark, SF))
+    val frac = full.groupBy(_.getString(2)).view.mapValues(
+      _.size.toDouble / full.size).toMap
+    assert(frac.getOrElse("train", 0.0) > 0.6 &&
+      frac.getOrElse("val", 0.0) > 0.02 && frac.getOrElse("test", 0.0) > 0.02,
+      s"split fractions off: $frac")
+  }
+
   test("token budget keeps the best-quality prefix per language, never over budget") {
     val r = rowsOf(graft.pipeline.Dedup.tokenBudget(spark, SF))
     assert(r.nonEmpty)
