@@ -357,6 +357,13 @@ object Algorithms {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var dist = seeds.select(col("id").as("seed"), col("id"), lit(0L).as("d"))
       .localCheckpoint(true)
+    // ONE action per round (the SSSP pattern): `newly`'s count job also
+    // materializes the LAZY union checkpoint of the previous round's
+    // iterate (the anti-join reads it), so the eager per-round union
+    // job is gone. An iterate may only be released once the next union
+    // that reads its blocks has materialized — i.e. two rounds later —
+    // so the supersede window is two iterates deep, not one.
+    var older: DataFrame = null
     var frontier = dist
     var r = 0
     var live = true
@@ -367,11 +374,13 @@ object Algorithms {
       val newly = cand
         .join(dist.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
         .localCheckpoint(false)
-      live = newly.count() > 0 // materializes the lazy checkpoint
+      live = newly.count() > 0 // materializes newly AND the lazy iterate
+      // `dist` is materialized now; the iterate two rounds back can no
+      // longer be read by anything live
+      if (older ne null) { releaseIterate(older); older = null }
       if (live) {
-        val next = dist.unionByName(newly).localCheckpoint(true)
-        releaseIterate(dist)
-        dist = next
+        older = dist
+        dist = dist.unionByName(newly).localCheckpoint(false)
         frontier = newly
       }
       r += 1
@@ -392,12 +401,25 @@ object Algorithms {
     * decimal sum is exact (and overflow → null, never a silent wrap).
     * Kernel for [[graft.graph.Clouds.betweenness]]. */
   def hopDistancesSigma(seeds: DataFrame, edges: DataFrame,
-                        maxRounds: Int): DataFrame = {
+                        maxRounds: Int): DataFrame =
+    hopDistancesSigmaOn(seeds,
+      edges.select(col("src"), col("dst")).localCheckpoint(true), maxRounds)
+
+  /** [[hopDistancesSigma]] over an edge frame the CALLER already
+    * materialized (checkpoint or cheap projection of one) — the
+    * betweenness kernel shares ONE edge checkpoint between this
+    * forward pass and its backward layers; a second internal
+    * checkpoint would double the largest object in the job (measured:
+    * 2 × ~170M-row copies OOM an 8 GiB executor JVM at the 150k-node
+    * ScaleBench point where one copy fits). */
+  private[graft] def hopDistancesSigmaOn(seeds: DataFrame, e: DataFrame,
+                                         maxRounds: Int): DataFrame = {
     val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var dist = seeds.select(col("id").as("seed"), col("id"), lit(0L).as("d"),
         lit(1).cast(dec0).as("sigma"))
       .localCheckpoint(true)
+    // one action per round; two-deep supersede window (see hopDistances)
+    var older: DataFrame = null
     var frontier = dist
     var r = 0
     var live = true
@@ -410,11 +432,11 @@ object Algorithms {
       val newly = cand
         .join(dist.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
         .localCheckpoint(false)
-      live = newly.count() > 0 // materializes the lazy checkpoint
+      live = newly.count() > 0 // materializes newly AND the lazy iterate
+      if (older ne null) { releaseIterate(older); older = null }
       if (live) {
-        val next = dist.unionByName(newly).localCheckpoint(true)
-        releaseIterate(dist)
-        dist = next
+        older = dist
+        dist = dist.unionByName(newly).localCheckpoint(false)
         frontier = newly
       }
       r += 1

@@ -656,7 +656,9 @@ object Clouds {
     val dec = DecimalType(38, 6)
     val e = symEdges.select(col("src").as("u"), col("dst").as("v"))
       .localCheckpoint(true)
-    val state = Algorithms.hopDistancesSigma(
+    // the rename is a narrow projection over the SAME checkpoint blocks
+    // — forward pass and backward layers share one edge copy
+    val state = Algorithms.hopDistancesSigmaOn(
       nodes.orderBy(col("id")).limit(EccSeeds),
       e.select(col("u").as("src"), col("v").as("dst")), EccMaxRounds)
     val maxD = state.agg(max(col("d"))).head.getLong(0)
@@ -680,6 +682,14 @@ object Clouds {
           round((uLayer("sigma").cast("double") / col("sigma2").cast("double")) *
             (lit(1.0) + col("delta2").cast("double")), 6).cast(dec).as("t"))
         .groupBy(col("seed"), col("id")).agg(sum(col("t")).as("dsum"))
+      // EAGER checkpoint, one bounded job per layer — deliberately NOT
+      // the forward loop's lazy one-action pattern: measured at the
+      // 150k-node / 85M-edge ScaleBench point, an all-lazy backward
+      // chain folds all ≤16 edge-joins into ONE job whose accumulated
+      // shuffle + cache footprint OOMs a 32-thread executor JVM, while
+      // per-layer jobs hold one edge-join's working set at a time and
+      // complete. Round tax here is ≤16 small jobs — noise next to the
+      // forward BFS — so the scale-safe shape wins.
       val deltaL = uLayer.join(contrib, Seq("seed", "id"), "left_outer")
         .select(col("seed"), col("id"), col("sigma"),
           coalesce(col("dsum"), lit(0)).cast(dec).as("delta"))
