@@ -71,4 +71,49 @@ class TablesSpec extends SparkSpec {
     assert(ev.schema("ts").dataType == TimestampType)
     assert(ev.limit(1).count() == 1)
   }
+
+  /** Schema canary for EVERY consumed table: the driver has regenerated
+    * testdata with changed physical types twice (events.ts). If any
+    * column's Spark-inferred type drifts again, this fails naming the
+    * exact table/column instead of letting operators break downstream
+    * (or — worse — silently change semantics). On drift: if harmless,
+    * update the expectation; if a timestamp/decimal shape change,
+    * normalize it in `Tables` (the `normalizeEventTs` pattern) so the
+    * engine's consumed schema stays stable. */
+  test("driver testdata schemas match the engine's consumed contract") {
+    def sig(df: org.apache.spark.sql.DataFrame): String =
+      df.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}")
+        .mkString(", ")
+    val expected = Map(
+      "customer" -> ("c_custkey:bigint, c_name:string, c_nationkey:int, " +
+        "c_acctbal:double, c_mktsegment:string"),
+      "documents" -> "doc_id:bigint, text:string, lang:string, source:string, n_chars:bigint",
+      "embeddings" -> "vec_id:bigint, embedding:array<float>, label:int",
+      "events" -> ("event_id:bigint, ts:timestamp, user_id:bigint, " +
+        "event_type:string, value:double, props:string"),
+      "lineitem" -> ("l_orderkey:bigint, l_partkey:bigint, l_suppkey:bigint, " +
+        "l_linenumber:int, l_quantity:double, l_extendedprice:double, " +
+        "l_discount:double, l_tax:double, l_returnflag:string, " +
+        "l_linestatus:string, l_shipdate:timestamp_ntz"),
+      "nation" -> "n_nationkey:int, n_name:string, n_regionkey:int",
+      "orders" -> ("o_orderkey:bigint, o_custkey:bigint, o_orderstatus:string, " +
+        "o_totalprice:double, o_orderdate:timestamp_ntz, o_orderpriority:string"),
+      "part" -> ("p_partkey:bigint, p_name:string, p_brand:string, " +
+        "p_type:string, p_size:int, p_retailprice:double"),
+      "region" -> "r_regionkey:int, r_name:string",
+      "supplier" -> "s_suppkey:bigint, s_name:string, s_nationkey:int, s_acctbal:double")
+    val loaders: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "customer" -> Tables.customer _, "documents" -> Tables.documents _,
+      "embeddings" -> Tables.embeddings _, "events" -> Tables.events _,
+      "lineitem" -> Tables.lineitem _, "nation" -> Tables.nation _,
+      "orders" -> Tables.orders _, "part" -> Tables.part _,
+      "region" -> Tables.region _, "supplier" -> Tables.supplier _)
+    val drift = expected.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val got = sig(loaders(name)(spark, SF))
+      if (got != want) Some(s"$name:\n  expected $want\n  got      $got") else None
+    }
+    assert(drift.isEmpty,
+      s"TESTDATA SCHEMA DRIFT (see canary Scaladoc):\n${drift.mkString("\n")}")
+  }
 }
