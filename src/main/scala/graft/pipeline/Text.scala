@@ -107,6 +107,37 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-level Shannon entropy per document, in bits — the
+    * gibberish / binary-paste detector classic web-corpus filters cut
+    * on (flagging both very LOW entropy — repeated characters,
+    * template padding — and very HIGH — compressed or base64 blobs).
+    * Identity: H = (ln n − (Σ c·ln c)/n) / ln 2 over per-character
+    * counts c, total chars n. Exactness: the Σ c·ln c fold runs over
+    * counts SORTED BY CHARACTER — a deterministic operand sequence
+    * both engines replay step for step (the [[fingerprint]] fold
+    * idiom), so the only cross-engine freedom is libm's ln (±1 ulp on
+    * small-integer arguments, absorbed by the round-6). Plan shape:
+    * one explode + one (doc, char) count + one per-doc re-agg — two
+    * keyed shuffles; the fold is a narrow O(alphabet) map, no UDFs.
+    * `t_entropy`. */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Docs.docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("ch"), col("c")))).as("cs"))
+      .select(col("doc_id"),
+        col("n").as("n_chars_used"), col("k").as("n_distinct_chars"),
+        round((log(col("n").cast("double")) -
+          aggregate(
+            transform(col("cs"), x => x.getField("c").cast("double")),
+            lit(0.0), (acc, c) => acc + c * log(c)) / col("n").cast("double")) /
+          log(lit(2.0)), 6).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling polynomial hash over the token stream (mod 2^31−1, so the
     * accumulator stays < 2^62 and ANSI long arithmetic cannot overflow):
     * fp := (fp·1000003 + code(tok)) mod P, an order-sensitive document
@@ -744,6 +775,29 @@ object Text {
                 ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
                       CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share
          FROM tf GROUP BY doc_id ORDER BY doc_id""",
+    "t_entropy" ->
+      """WITH chars AS (
+           SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+           FROM documents),
+         cnt AS (
+           SELECT doc_id, ch, COUNT(*) AS c FROM chars
+           WHERE length(ch) > 0 GROUP BY doc_id, ch),
+         lists AS (
+           SELECT doc_id, SUM(c) AS n, COUNT(*) AS k,
+                  list(c ORDER BY ch) AS cs
+           FROM cnt GROUP BY doc_id),
+         folded AS (
+           SELECT doc_id, n, k,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(cs, c -> CAST(c AS DOUBLE))),
+               (acc, c) -> acc + c * LN(c)) AS s
+           FROM lists)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_chars_used,
+                CAST(k AS BIGINT) AS n_distinct_chars,
+                ROUND((LN(CAST(n AS DOUBLE)) - s / CAST(n AS DOUBLE))
+                      / LN(CAST(2.0 AS DOUBLE)), 6) AS entropy_bits
+         FROM folded ORDER BY doc_id""",
     "t_fingerprint" ->
       s"""$ToksCte,
          fp AS (
@@ -762,6 +816,7 @@ object Text {
     "t_quality"     -> (quality _),
     "t_tokens"      -> (tokens _),
     "t_fingerprint" -> (fingerprint _),
+    "t_entropy"     -> (entropy _),
     "t_vocab_topk"  -> ((s: SparkSession, d: String) => vocabTopK(s, d)),
     "t_boilerplate" -> ((s: SparkSession, d: String) => boilerplate(s, d)),
     "d_contamination" -> ((s: SparkSession, d: String) => contamination(s, d)),

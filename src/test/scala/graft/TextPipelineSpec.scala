@@ -10,6 +10,19 @@ class TextPipelineSpec extends SparkSpec {
     (2L, "le chat et la maison est une idée les amis", "fr", "s", 42L),
     (3L, "word word word", "xx", "s", 14L)))
 
+  test("character entropy: zero for uniform text, hand-computed for known mixes") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "aaaa", "en", "s", 4L),      // one symbol → 0 bits
+      (1L, "abcab", "en", "s", 5L),     // 2/5,2/5,1/5 → 1.521928 bits
+      (2L, "abcdefgh", "en", "s", 8L))) // 8 uniform symbols → exactly 3 bits
+    val r = rowsOf(Text.entropy(spark, d))
+      .map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    assert(r(0L) == ((4L, 1L, 0.0)))
+    assert(r(1L) == ((5L, 3L, 1.521928)))
+    assert(r(2L) == ((8L, 8L, 3.0)))
+  }
+
   test("language ID picks the language whose stopwords dominate") {
     val pred = rowsOf(Text.langId(spark, dir))
       .map(r => r.getLong(0) -> r.getString(r.fieldIndex("pred_lang"))).toMap
