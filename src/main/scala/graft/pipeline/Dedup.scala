@@ -850,6 +850,34 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source duplication REPORT over the near-dup clusters — the
+    * "which sources inflate the corpus" audit a curation run publishes
+    * before choosing mixing weights: per `source`, document and
+    * whitespace-token totals, the duplicate share of each (docs whose
+    * cluster keeper is another doc, and their token mass), and the
+    * token inflation factor total/unique. All sufficient statistics
+    * are integer sums over the cluster assignment joined to one narrow
+    * (doc, source, n_tokens) projection — one extra keyed aggregate on
+    * top of [[dedupClusters]], one rounded division at the end.
+    * `d_dup_inflation`. */
+  def dupInflation(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Docs.docs(spark, dir).select(col("doc_id"), col("source"),
+      size(Docs.tokens).cast("long").as("n_toks"))
+    dedupClusters(spark, dir).select(col("doc_id"), col("keep"))
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(!col("keep"), col("n_toks")).otherwise(0L)).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("n_tokens"), col("dup_tokens"),
+        round(col("n_tokens").cast("double") /
+          (col("n_tokens") - col("dup_tokens")).cast("double"), 6)
+          .as("inflation"))
+      .orderBy(col("source"))
+  }
+
   /** Keeper SELECTION POLICY over the near-dup clusters: instead of
     * [[dedupClusters]]' min-id keeper, keep each cluster's best document
     * by quality score (the policy real pipelines run — when near-dups
@@ -1404,6 +1432,26 @@ object Dedup {
       s"""WITH RECURSIVE $ClusterReachCte
           SELECT u AS doc_id, MIN(v) AS cluster_id, u = MIN(v) AS keep
           FROM reach GROUP BY u ORDER BY doc_id""",
+    "d_dup_inflation" ->
+      s"""WITH RECURSIVE $ClusterReachCte,
+          clus AS (SELECT u AS doc_id, u = MIN(v) AS keep
+                   FROM reach GROUP BY u),
+          tk AS (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+                 FROM documents),
+          agg AS (
+            SELECT source, COUNT(*) AS n_docs,
+              SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS n_dup_docs,
+              SUM(n_toks) AS n_tokens,
+              SUM(CASE WHEN NOT keep THEN n_toks ELSE 0 END) AS dup_tokens
+            FROM clus JOIN tk USING (doc_id) GROUP BY source)
+          SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(dup_tokens AS BIGINT) AS dup_tokens,
+                 ROUND(CAST(n_tokens AS DOUBLE) /
+                       CAST(n_tokens - dup_tokens AS DOUBLE), 6) AS inflation
+          FROM agg ORDER BY source""",
     "d_split_assign" ->
       s"""WITH RECURSIVE $ClusterReachCte,
           clus AS (SELECT u AS doc_id, MIN(v) AS cluster_id
@@ -1481,6 +1529,7 @@ object Dedup {
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "d_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "d_split_assign"  -> (splitAssign _),
+    "d_dup_inflation" -> (dupInflation _),
     "d_quality_keeper" -> ((s: SparkSession, d: String) => qualityKeeper(s, d)),
     "d_token_budget"  -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "d_sample_mix"    -> (sampleMix _),

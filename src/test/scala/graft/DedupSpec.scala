@@ -333,6 +333,24 @@ class DedupSpec extends SparkSpec {
       s"split fractions off: $frac")
   }
 
+  test("dup inflation: duplicate token mass counts non-keeper members per source") {
+    val r = rowsOf(Dedup.dupInflation(spark, dir))
+    // fixture: docs 0,1,2 cluster together (keeper 0), 3 and 4 singleton
+    val bySource = r.map(row => row.getString(0) -> row).toMap
+    val total = r.map(row => row.getLong(row.fieldIndex("n_docs"))).sum
+    assert(total == 5, "every doc counted once")
+    val dupDocs = r.map(row => row.getLong(row.fieldIndex("n_dup_docs"))).sum
+    assert(dupDocs == 2, "docs 1 and 2 are the non-keeper members")
+    r.foreach { row =>
+      val nTok = row.getLong(row.fieldIndex("n_tokens"))
+      val dTok = row.getLong(row.fieldIndex("dup_tokens"))
+      assert(dTok <= nTok)
+      val expected = nTok.toDouble / (nTok - dTok).toDouble
+      assert(math.abs(row.getDouble(row.fieldIndex("inflation")) - expected) < 1e-6)
+    }
+    assert(bySource.nonEmpty)
+  }
+
   test("token budget keeps the best-quality prefix per language, never over budget") {
     val r = rowsOf(graft.pipeline.Dedup.tokenBudget(spark, SF))
     assert(r.nonEmpty)
