@@ -76,7 +76,9 @@ object ScaleBench {
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_KERNELS")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val allKernels = scala.collection.mutable.LinkedHashSet.empty[String]
     def timed(name: String)(df: => DataFrame): Unit = {
+      allKernels += name
       if (only.forall(_.contains(name))) {
         val s = System.nanoTime()
         val rows = df.count()
@@ -120,6 +122,15 @@ object ScaleBench {
         nodes.filter(col("id") < 8))
     }
 
+    // fail loudly on a misspelled (or empty) kernel filter — an empty
+    // kernels map must never be mistaken for a clean run
+    only.foreach { names =>
+      val unknown = names -- allKernels
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_KERNELS entries matched no kernel: " +
+          s"${unknown.toSeq.sorted.mkString(",")} (known: " +
+          s"${allKernels.mkString(",")})")
+    }
     val qs = times.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scale_graph","n_nodes":$n,"n_edges":$nEdges,""" +

@@ -363,6 +363,15 @@ object Algorithms {
     // job is gone. An iterate may only be released once the next union
     // that reads its blocks has materialized — i.e. two rounds later —
     // so the supersede window is two iterates deep, not one.
+    // Memory contract on the maxRounds exit (live still true when the
+    // bound trips): the returned `dist` is the final round's LAZY union
+    // checkpoint — not yet materialized — and the last `older` iterate
+    // is intentionally retained (its blocks feed that union). Until the
+    // caller's first action on the result, TWO iterates stay resident;
+    // callers chaining kernels back-to-back at the 150k-node ScaleBench
+    // point should run their first action (or checkpoint) on the result
+    // before building the next kernel's state. The converged exit
+    // returns a materialized iterate and holds only one.
     var older: DataFrame = null
     var frontier = dist
     var r = 0

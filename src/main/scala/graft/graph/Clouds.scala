@@ -661,7 +661,9 @@ object Clouds {
     val state = Algorithms.hopDistancesSigmaOn(
       nodes.orderBy(col("id")).limit(EccSeeds),
       e.select(col("u").as("src"), col("v").as("dst")), EccMaxRounds)
-    val maxD = state.agg(max(col("d"))).head.getLong(0)
+    // coalesce: an empty node set yields max(d) = NULL; degrade to an
+    // empty result frame like every other kernel instead of an NPE
+    val maxD = state.agg(coalesce(max(col("d")), lit(0L))).head.getLong(0)
     // deepest layer has no successors within the budget → δ = 0
     var deltaNext = state.filter(col("d") === maxD)
       .select(col("seed"), col("id"), col("sigma"),

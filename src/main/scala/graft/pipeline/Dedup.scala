@@ -872,8 +872,13 @@ object Dedup {
         sum(when(!col("keep"), col("n_toks")).otherwise(0L)).as("dup_tokens"))
       .select(col("source"), col("n_docs"), col("n_dup_docs"),
         col("n_tokens"), col("dup_tokens"),
-        round(col("n_tokens").cast("double") /
-          (col("n_tokens") - col("dup_tokens")).cast("double"), 6)
+        // Guarded: a source whose every doc is a non-keeper (keepers can
+        // live in other sources) has n_tokens == dup_tokens; the ratio
+        // would be Infinity (or NaN at zero token mass). NULL is the
+        // honest report value — "no unique token mass to inflate".
+        when(col("n_tokens") > col("dup_tokens"),
+          round(col("n_tokens").cast("double") /
+            (col("n_tokens") - col("dup_tokens")).cast("double"), 6))
           .as("inflation"))
       .orderBy(col("source"))
   }
@@ -1449,8 +1454,10 @@ object Dedup {
                  CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
                  CAST(n_tokens AS BIGINT) AS n_tokens,
                  CAST(dup_tokens AS BIGINT) AS dup_tokens,
-                 ROUND(CAST(n_tokens AS DOUBLE) /
-                       CAST(n_tokens - dup_tokens AS DOUBLE), 6) AS inflation
+                 CASE WHEN n_tokens > dup_tokens
+                      THEN ROUND(CAST(n_tokens AS DOUBLE) /
+                                 CAST(n_tokens - dup_tokens AS DOUBLE), 6)
+                      ELSE NULL END AS inflation
           FROM agg ORDER BY source""",
     "d_split_assign" ->
       s"""WITH RECURSIVE $ClusterReachCte,

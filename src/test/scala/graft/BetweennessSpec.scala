@@ -82,6 +82,10 @@ class BetweennessSpec extends SparkSpec {
       Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L)))
   }
 
+  test("empty graph degrades to an empty frame, not an NPE") {
+    assert(run(Seq.empty, Seq.empty).isEmpty)
+  }
+
   test("driver graph: deterministic, all nodes present, mass positive") {
     val df = SparkEntry.queries("g_betweenness")(spark, SF)
     val rows = df.collect()

@@ -345,10 +345,26 @@ class DedupSpec extends SparkSpec {
       val nTok = row.getLong(row.fieldIndex("n_tokens"))
       val dTok = row.getLong(row.fieldIndex("dup_tokens"))
       assert(dTok <= nTok)
-      val expected = nTok.toDouble / (nTok - dTok).toDouble
-      assert(math.abs(row.getDouble(row.fieldIndex("inflation")) - expected) < 1e-6)
+      if (nTok > dTok) {
+        val expected = nTok.toDouble / (nTok - dTok).toDouble
+        assert(math.abs(row.getDouble(row.fieldIndex("inflation")) - expected) < 1e-6)
+      } else {
+        // all-dup (or zero-token) source: inflation is NULL, not Inf/NaN
+        assert(row.isNullAt(row.fieldIndex("inflation")))
+      }
     }
     assert(bySource.nonEmpty)
+  }
+
+  test("dup inflation: a source whose every doc is a dup reports NULL, not Infinity") {
+    val d2 = TestSession.docsFixture(Seq(
+      (10L, base, "en", "srcA", base.length.toLong),
+      (11L, base, "en", "srcB", base.length.toLong))) // srcB = only a copy of 10
+    val r = rowsOf(Dedup.dupInflation(spark, d2))
+      .map(row => row.getString(0) -> row).toMap
+    assert(r("srcA").getDouble(r("srcA").fieldIndex("inflation")) == 1.0)
+    assert(r("srcB").isNullAt(r("srcB").fieldIndex("inflation")),
+      "all-dup source must report NULL inflation")
   }
 
   test("token budget keeps the best-quality prefix per language, never over budget") {
