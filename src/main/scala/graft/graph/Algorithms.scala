@@ -295,6 +295,174 @@ object Algorithms {
     labels
   }
 
+  /** Synchronous local-move rounds per Louvain level and coarsening
+    * levels (fixed by contract — the oracle unrolls exactly this
+    * shape, like [[LabelPropRounds]]). */
+  val LouvainRounds = 6
+  val LouvainLevels = 2
+
+  /** One Louvain level: synchronous modularity-ascent local moves over
+    * a weighted undirected multigraph given as CANONICAL edges
+    * (u ≤ v, w) — self-loops allowed (they carry the coarsened
+    * intra-community mass at level ≥ 2). Returns (id, lbl).
+    *
+    * Determinism is the whole design: the textbook Louvain sweeps
+    * nodes in random sequential order, which neither parallelizes nor
+    * replays in SQL. Here every node simultaneously evaluates the
+    * modularity gain of joining each neighbouring community and the
+    * argmax is taken over an EXACT integer score — the rational form
+    * of Blondel et al.'s ΔQ with the constant 1/(2m²) cleared:
+    *
+    *   score(i→C) = 2m·k_{i,in}(C) − k_i·(Σ_tot(C) − [i ∈ C]·k_i)
+    *
+    * (k_{i,in} excludes self-loops — that term is invariant across
+    * candidates; Σ_tot is evaluated with i removed from its own
+    * community so "stay" competes on equal footing). All three
+    * statistics are integer sums (DECIMAL(38,0) here, HUGEINT in the
+    * oracle), so the comparison is bit-exact cross-engine; ties break
+    * to the smallest community id.
+    *
+    * Naive simultaneous moves OSCILLATE (two mutually-best singletons
+    * swap labels forever — the known failure of synchronous Louvain);
+    * two deterministic gates kill the swaps without giving up
+    * replayability:
+    *   - PARITY GATE: round r only lets nodes with id % 2 == r % 2
+    *     adopt their argmax — adjacent odd/even pairs can never move
+    *     mutually, so one anchors while the other joins it;
+    *   - SINGLETON-CHASE GUARD: a move into a singleton community is
+    *     only allowed toward a SMALLER label — two same-parity
+    *     singletons can't swap (each would need the other's label to
+    *     be smaller), the smaller-labeled one waits and the larger
+    *     joins it (the hash-to-min idiom).
+    * Both gates are plain predicates on the candidate set, identical
+    * in the unrolled SQL replay. The fixed round budget bounds
+    * whatever residual rotation remains (never divergent).
+    *
+    * Scale shape mirrors [[labelPropagation]]: the symmetrized edge
+    * list is checkpointed and pre-partitioned on the gather key once;
+    * each round is one shuffle for the (node, community) gather, one
+    * small community-degree aggregate (≤ #communities rows, shrinking
+    * every round), and one argmax — the iterate is (id, lbl) only. */
+  private[graft] def louvainLevel(nodes: DataFrame, canonEdges: DataFrame,
+                                  rounds: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ce = canonEdges.select(col("u"), col("v"), col("w"))
+      .localCheckpoint(true)
+    val nonLoop = ce.filter(col("u") =!= col("v"))
+    val sym = nonLoop.select(col("u"), col("v"), col("w"))
+      .union(nonLoop.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    // weighted degree; a self-loop contributes 2w (both endpoints)
+    val deg = ce.select(col("u").as("id"),
+        when(col("u") === col("v"), col("w") * 2).otherwise(col("w")).as("kw"))
+      .union(nonLoop.select(col("v").as("id"), col("w").as("kw")))
+      .groupBy(col("id")).agg(sum(col("kw")).cast(dec).as("k"))
+    val ids = nodes.select(col("id"))
+      .join(deg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("k"), lit(0).cast(dec)).as("k"))
+      .localCheckpoint(true)
+    // total edge weight — invariant under coarsening, so every level
+    // optimizes the SAME modularity. One 1-row driver action per level.
+    val m = ce.agg(coalesce(sum(col("w")), lit(0L)).cast("long")).head.getLong(0)
+    var lbl = ids.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val sigma = lbl.join(ids, Seq("id"))
+        .groupBy(col("lbl").as("c"))
+        .agg(sum(col("k")).as("st"), count(lit(1)).as("csz"))
+      val gath = sym
+        .join(lbl.select(col("id").as("v"), col("lbl").as("c")), Seq("v"))
+        .repartition(col("u"))
+        .groupBy(col("u").as("id"), col("c")).agg(sum(col("w")).cast(dec).as("kin"))
+      // the stay option rides as an explicit (id, own community, 0) row
+      // so isolated nodes and empty-neighbourhood communities compete
+      val cand = gath
+        .unionByName(lbl.select(col("id"), col("lbl").as("c"),
+          lit(0).cast(dec).as("kin")))
+        .groupBy(col("id"), col("c")).agg(sum(col("kin")).as("kin"))
+      val scored = cand
+        .join(ids, Seq("id"))
+        .join(lbl.withColumnRenamed("lbl", "cur"), Seq("id"))
+        .join(sigma, Seq("c"))
+        // singleton-chase guard: stay is always a candidate; a
+        // singleton target only from a larger-labeled community
+        .filter(col("c") === col("cur") || col("csz") > 1 ||
+          col("c") < col("cur"))
+        .select(col("id"), col("c"),
+          (lit(2).cast(dec) * lit(m).cast(dec) * col("kin") -
+            col("k") * (col("st") -
+              when(col("c") === col("cur"), col("k"))
+                .otherwise(lit(0).cast(dec)))).as("score"))
+      val best = scored.groupBy(col("id"))
+        .agg(max(struct(col("score"), (-col("c")).as("neg"))).as("b"))
+        .select(col("id"), (-col("b.neg")).as("blbl"))
+      // parity gate: only id % 2 == r % 2 adopts its argmax this round
+      val next = lbl.join(best, Seq("id"))
+        .select(col("id"),
+          when(pmod(col("id"), lit(2)) === lit(r % 2), col("blbl"))
+            .otherwise(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      releaseIterate(lbl)
+      lbl = next
+    }
+    releaseIterate(sym)
+    releaseIterate(ids)
+    releaseIterate(ce)
+    lbl
+  }
+
+  /** Louvain community detection (Blondel et al. 2008), deterministic
+    * synchronous variant: [[LouvainLevels]] levels of [[LouvainRounds]]
+    * local-move rounds each, with the graph COARSENED between levels
+    * (communities become super-nodes; parallel edges merge into
+    * weights; intra-community edges become self-loops, preserving
+    * total weight and hence the modularity objective). Returns
+    * (id, community) for every input node — the level-2 community of
+    * each node's level-1 super-node. The modularity-optimizing upgrade
+    * over [[labelPropagation]]: frequency-vote label prop absorbs
+    * small dense clusters into whatever label is locally loudest,
+    * while the ΔQ argmax explicitly trades intra-community mass
+    * against community degree. */
+  def louvain(nodes: DataFrame, edges: DataFrame,
+              rounds: Int = LouvainRounds,
+              levels: Int = LouvainLevels): DataFrame = {
+    var canon = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    var curNodes = nodes.select(col("id"))
+    var mapping: DataFrame = null
+    var prevLbl: DataFrame = null
+    for (lvl <- 1 to levels) {
+      val lbl = louvainLevel(curNodes, canon, rounds)
+      // louvainLevel eagerly checkpointed its edge/node inputs, so the
+      // PREVIOUS level's label iterate (which fed this level's coarse
+      // graph lazily) has no live reader left
+      releaseIterate(prevLbl)
+      prevLbl = lbl
+      val next =
+        if (mapping == null) lbl.select(col("id"), col("lbl").as("community"))
+        else mapping
+          .join(lbl.select(col("id").as("community"), col("lbl").as("c2")),
+            Seq("community"))
+          .select(col("id"), col("c2").as("community"))
+      val nextCk = next.localCheckpoint(true)
+      releaseIterate(mapping)
+      mapping = nextCk
+      if (lvl < levels) {
+        canon = canon
+          .join(lbl.select(col("id").as("u"), col("lbl").as("cu")), Seq("u"))
+          .join(lbl.select(col("id").as("v"), col("lbl").as("cv")), Seq("v"))
+          .select(least(col("cu"), col("cv")).as("u"),
+            greatest(col("cu"), col("cv")).as("v"), col("w"))
+          .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+        curNodes = lbl.select(col("lbl").as("id")).distinct()
+      }
+    }
+    releaseIterate(prevLbl) // mapping checkpoint was the last reader
+    mapping
+  }
+
   /** PageRank, fixed iteration count, damping d. The edge list is
     * checkpointed once so upstream plans run exactly once; each iteration
     * is ONE action. Dangling-node mass is folded back in as a broadcast

@@ -386,6 +386,23 @@ object Clouds {
       .orderBy(col("node"))
   }
 
+  /** Louvain communities inside the thresholded graph — the
+    * modularity-OPTIMIZING upgrade over [[labelProp]]'s frequency
+    * vote: [[Algorithms.louvain]]'s deterministic synchronous local
+    * moves (exact integer ΔQ scores, min-label tiebreak) with one
+    * graph-coarsening step between the two levels, so dense sub-clouds
+    * merge into super-nodes and the second level decides which of them
+    * belong together. Mirrors the reference's "cloud" notion
+    * (phageclouds_gdb.py:44-120 — thresholded similarity
+    * neighbourhoods) at community rather than component granularity.
+    * `g_louvain`. */
+  def louvain(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    Algorithms.louvain(g.nodes, g.edges)
+      .select(col("id").as("node"), col("community"))
+      .orderBy(col("node"))
+  }
+
   /** Local clustering coefficient: how close each genome's neighbourhood
     * is to a clique — 2·triangles(v) / (deg(v)·(deg(v)−1)) over the
     * undirected thresholded graph. Within a phage cloud this separates
@@ -1058,6 +1075,93 @@ object Clouds {
        $steps"""
   }
 
+  /** One unrolled Louvain level for the oracle: `lp` prefixes every
+    * CTE name so two levels coexist in one WITH chain; `nodesRel` /
+    * `edgesRel` name the level's (id) and canonical (u, v, w)
+    * relations. Scores are HUGEINT — the exact mirror of the kernel's
+    * DECIMAL(38,0) — so the per-node argmax (score DESC, c ASC)
+    * replays the Spark max(struct(score, −c)) bit-for-bit. */
+  private def louvainLevelSql(lp: String, nodesRel: String,
+                              edgesRel: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""${lp}s$r AS (
+           SELECT l.lbl AS c, SUM(i.k) AS st, COUNT(*) AS csz
+           FROM ${lp}l${r - 1} l JOIN ${lp}ids i ON i.id = l.id
+           GROUP BY l.lbl),
+         ${lp}g$r AS (
+           SELECT e.u AS id, l.lbl AS c, CAST(SUM(e.w) AS HUGEINT) AS kin
+           FROM ${lp}sym e JOIN ${lp}l${r - 1} l ON l.id = e.v
+           GROUP BY e.u, l.lbl),
+         ${lp}c$r AS (
+           SELECT id, c, SUM(kin) AS kin FROM (
+             SELECT id, c, kin FROM ${lp}g$r
+             UNION ALL
+             SELECT id, lbl, CAST(0 AS HUGEINT) FROM ${lp}l${r - 1})
+           GROUP BY id, c),
+         ${lp}x$r AS (
+           SELECT cd.id, cd.c,
+                  2 * mm.m * cd.kin -
+                  i.k * (s.st - CASE WHEN cd.c = l.lbl THEN i.k
+                                     ELSE CAST(0 AS HUGEINT) END) AS score
+           FROM ${lp}c$r cd
+           JOIN ${lp}ids i ON i.id = cd.id
+           JOIN ${lp}l${r - 1} l ON l.id = cd.id
+           JOIN ${lp}s$r s ON s.c = cd.c, ${lp}mm mm
+           WHERE cd.c = l.lbl OR s.csz > 1 OR cd.c < l.lbl),
+         ${lp}l$r AS MATERIALIZED (
+           SELECT o.id,
+                  CASE WHEN o.id % 2 = ${r % 2} THEN wn.lbl
+                       ELSE o.lbl END AS lbl
+           FROM ${lp}l${r - 1} o JOIN (
+             SELECT id, c AS lbl FROM (
+               SELECT id, c,
+                      ROW_NUMBER() OVER (PARTITION BY id
+                                         ORDER BY score DESC, c) AS rn
+               FROM ${lp}x$r) WHERE rn = 1) wn ON wn.id = o.id)"""
+    }.mkString(",\n")
+    s"""${lp}sym AS (
+         SELECT u, v, w FROM $edgesRel WHERE u <> v
+         UNION ALL SELECT v, u, w FROM $edgesRel WHERE u <> v),
+       ${lp}deg AS (
+         SELECT id, CAST(SUM(kw) AS HUGEINT) AS k FROM (
+           SELECT u AS id, CASE WHEN u = v THEN 2 * w ELSE w END AS kw
+           FROM $edgesRel
+           UNION ALL SELECT v, w FROM $edgesRel WHERE u <> v)
+         GROUP BY id),
+       ${lp}ids AS (
+         SELECT n.id, COALESCE(d.k, CAST(0 AS HUGEINT)) AS k
+         FROM $nodesRel n LEFT JOIN ${lp}deg d ON d.id = n.id),
+       ${lp}mm AS (
+         SELECT CAST(COALESCE(SUM(w), 0) AS HUGEINT) AS m FROM $edgesRel),
+       ${lp}l0 AS (SELECT id, id AS lbl FROM $nodesRel),
+       $steps"""
+  }
+
+  /** [[louvain]] replay: two unrolled levels with the coarsening step
+    * (community super-nodes, LEAST/GREATEST-canonicalized summed edge
+    * weights — intra-community mass becomes self-loops) spliced
+    * between them; the final projection composes level-1 labels
+    * through level-2. */
+  private def louvainOracle(rounds: Int): String =
+    s"""$OracleCte,
+       lv1e AS MATERIALIZED (
+         SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
+                CAST(COUNT(*) AS BIGINT) AS w
+         FROM edges WHERE distance <= 0.10 GROUP BY 1, 2),
+       lv1n AS (SELECT id FROM nodes),
+       ${louvainLevelSql("a", "lv1n", "lv1e", rounds)},
+       lv2e AS MATERIALIZED (
+         SELECT LEAST(x.lbl, y.lbl) AS u, GREATEST(x.lbl, y.lbl) AS v,
+                SUM(w) AS w
+         FROM lv1e e JOIN al$rounds x ON x.id = e.u
+                     JOIN al$rounds y ON y.id = e.v
+         GROUP BY 1, 2),
+       lv2n AS (SELECT DISTINCT lbl AS id FROM al$rounds),
+       ${louvainLevelSql("b", "lv2n", "lv2e", rounds)}
+       SELECT a.id AS node, b.lbl AS community
+       FROM al$rounds a JOIN bl$rounds b ON b.id = a.lbl
+       ORDER BY node"""
+
   private def labelPropOracle(rounds: Int): String =
     s"""${labelPropChain(rounds)}
        SELECT id AS node, lbl AS community FROM l$rounds ORDER BY node"""
@@ -1214,6 +1318,7 @@ object Clouds {
     "g_shortest_paths" -> ssspOracle(Algorithms.RelaxBudget),
     "g_kcore" -> kcoreOracle(KCoreK, Algorithms.KCoreMaxRounds),
     "g_label_prop" -> labelPropOracle(Algorithms.LabelPropRounds),
+    "g_louvain" -> louvainOracle(Algorithms.LouvainRounds),
     "g_modularity" -> modularityOracle(Algorithms.LabelPropRounds),
     "g_neighbor_jaccard" ->
       s"""$OracleCte,
@@ -1593,6 +1698,7 @@ object Clouds {
     "g_connected_components"  -> connectedComponents _,
     "g_kcore"                 -> kCore _,
     "g_label_prop"            -> labelProp _,
+    "g_louvain"               -> louvain _,
     "g_neighbor_jaccard"      -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),
     "g_neighbor_jaccard_capped" -> ((s: SparkSession, d: String) =>
                                     neighborJaccardCapped(s, d)),
