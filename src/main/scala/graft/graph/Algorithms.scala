@@ -511,6 +511,59 @@ object Algorithms {
     pr.select(col("id"), col("rank"))
   }
 
+  /** Personalized PageRank (random walk with restart): identical loop
+    * shape to [[pageRank]], but the teleport mass — and the dangling
+    * redistribution — lands ONLY on the seed set (uniformly, 1/|S|),
+    * so the stationary ranks measure proximity to the seeds instead of
+    * global importance. Same 12-dp per-iterate quantization contract
+    * (the contrib sum is order-dependent double addition; quantizing
+    * each iterate makes the recurrence bit-deterministic, so the
+    * unrolled SQL oracle replays it exactly). The seed membership is
+    * one extra boolean carried through the iterate — no new shuffles
+    * vs [[pageRank]]. */
+  def personalizedPageRank(nodes: DataFrame, edges: DataFrame,
+                           seeds: DataFrame, iters: Int = 10,
+                           damping: Double = 0.85): DataFrame = {
+    val reset = (BigDecimal(1) - BigDecimal(damping.toString)).toDouble
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).localCheckpoint(true)
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("odeg"))
+    val ids = nodes.select(col("id")).distinct()
+      .join(outDeg, Seq("id"), "left_outer")
+      .join(seeds.select(col("id")).distinct()
+        .withColumn("is_seed", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"), col("odeg"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val nS = ids.filter(col("is_seed")).count().toDouble
+    require(nS > 0, "personalized PageRank needs at least one seed")
+    var pr = ids.select(col("id"), col("odeg"), col("is_seed"),
+        when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val dangling = pr.filter(col("odeg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
+      val contribs = pr.filter(col("odeg").isNotNull)
+        .join(e, pr("id") === e("src"))
+        .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
+      val next = pr.select(col("id"), col("odeg"), col("is_seed"))
+        .join(contribs, Seq("id"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("odeg"), col("is_seed"),
+          round(
+            when(col("is_seed"),
+              lit(reset / nS) + lit(damping) *
+                (coalesce(col("contrib"), lit(0.0)) + col("dang") / nS))
+              .otherwise(lit(damping) * coalesce(col("contrib"), lit(0.0))),
+            12).as("rank"))
+        .localCheckpoint(true)
+      releaseIterate(pr)
+      pr = next
+    }
+    pr.select(col("id"), col("rank"))
+  }
+
   /** Multi-seed hop-count BFS: the sparse reached set (seed, id, d) for
     * every node within `maxRounds` hops of a seed, over PRE-SYMMETRIZED
     * (src, dst) edges. Unweighted BFS means first reach IS the hop

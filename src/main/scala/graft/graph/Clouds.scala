@@ -211,6 +211,23 @@ object Clouds {
       .orderBy(col("id"))
   }
 
+  /** Personalized PageRank from the taxon-cloud seed phages — "rank
+    * every genome by random-walk proximity to THIS cloud's seeds", the
+    * natural follow-up to the reference's seed-filtered cloud expand
+    * (phageclouds_gdb.py:56-58): where [[taxonCloud]] answers which
+    * genomes are one thresholded edge away, the restart walk scores
+    * multi-hop relatedness with distance decay. Teleport and dangling
+    * mass land uniformly on the seed set ([[Algorithms
+    * .personalizedPageRank]]); same directed threshold edges as
+    * [[pageRank]]. `g_ppr`. */
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir)
+    Algorithms.personalizedPageRank(g.nodes,
+      g.edges.filter(col("distance") <= QueryThreshold),
+      seeds(spark, dir, Taxon))
+      .orderBy(col("id"))
+  }
+
   /** Neighbour-set Jaccard similarity for node pairs sharing ≥ 1
     * neighbour — the link-prediction / "phages related through common
     * relatives" operator (two genomes whose similarity edge fell just
@@ -627,6 +644,31 @@ object Clouds {
       g.nodes.select(col("id")).orderBy(col("id")).limit(EccSeeds),
       g.symmetrizedEdges.filter(col("distance") <= QueryThreshold),
       EccMaxRounds)
+  }
+
+  /** Hop budget for [[khopReach]] — Cypher's `*1..3`. */
+  val KhopMaxHops = 3
+
+  /** Bounded variable-length expand — the Cypher surface
+    * `(a)-[:sharesDNA*1..k]-(b)` the reference's fixed-depth queries
+    * generalize to (gdb.py:56-58 is depth 1, [[twoHop]] is depth 2):
+    * for every taxon-seed phage, every genome within [[KhopMaxHops]]
+    * hops in the symmetrized threshold graph, with its hop distance
+    * (shortest edge count). Hop 0 is excluded, matching the `*1..`
+    * lower bound. Rides [[Algorithms.hopDistances]] — the same
+    * frontier-delta budgeted BFS as the centrality family, so K seeds
+    * cost one loop and state stays the sparse reached set.
+    * `g_khop_reach`. */
+  def khopReach(spark: SparkSession, dir: String, k: Int = KhopMaxHops,
+                taxon: String = Taxon): DataFrame = {
+    val g = graph(spark, dir)
+    Algorithms.hopDistances(
+      seeds(spark, dir, taxon).select(col("id")),
+      g.symmetrizedEdges.filter(col("distance") <= QueryThreshold), k)
+      .filter(col("d") >= 1)
+      .select(col("seed").as("seed_phage"), col("id").as("reached"),
+        col("d").as("hops"))
+      .orderBy(col("seed_phage"), col("reached"))
   }
 
   /** Sampled betweenness centrality — Brandes' dependency accumulation
@@ -1222,6 +1264,62 @@ object Clouds {
        SELECT id, rank FROM p$iters ORDER BY id"""
   }
 
+  /** [[khopReach]] replay: budgeted recursive BFS (the eccentricity
+    * idiom) from the taxon seed predicate, min hop distance per
+    * (seed, node), hop-0 rows dropped. */
+  private def khopOracle(k: Int): String =
+    s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       und AS MATERIALIZED (
+         SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+         UNION ALL
+         SELECT dst, src FROM edges WHERE distance <= 0.10),
+       sd AS (SELECT id FROM nodes
+              WHERE source='BUILDING' AND contains(taxonomy,'4')),
+       bfs(seed, id, d) AS (
+         SELECT id, id, 0 FROM sd
+         UNION
+         SELECT b.seed, e.v, b.d + 1
+         FROM bfs b JOIN und e ON e.u = b.id
+         WHERE b.d < $k)
+       SELECT seed AS seed_phage, id AS reached,
+              CAST(MIN(d) AS BIGINT) AS hops
+       FROM bfs GROUP BY seed, id HAVING MIN(d) >= 1
+       ORDER BY seed_phage, reached"""
+
+  /** [[personalizedPageRank]] replay: the [[pagerankOracle]] recurrence
+    * with the teleport/dangling terms gated by seed membership and
+    * divided by |S| instead of n — same 12-dp iterate quantization. */
+  private def pprOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         SELECT b.id, b.odeg, b.is_seed,
+           ROUND(CASE WHEN b.is_seed
+             THEN 0.15 / sn.ns + 0.85 * (COALESCE(c.contrib, 0) +
+               (SELECT COALESCE(SUM(rank), 0) FROM r${i - 1} WHERE odeg IS NULL) / sn.ns)
+             ELSE 0.85 * COALESCE(c.contrib, 0) END, 12) AS rank
+         FROM pbase b CROSS JOIN scount sn LEFT JOIN (
+           SELECT e.dst AS id, SUM(p.rank / p.odeg) AS contrib
+           FROM r${i - 1} p JOIN te e ON e.src = p.id
+           WHERE p.odeg IS NOT NULL GROUP BY e.dst) c ON c.id = b.id)"""
+    }.mkString(",\n")
+    s"""$OracleCte,
+       te AS MATERIALIZED (SELECT src, dst FROM edges WHERE distance <= 0.10),
+       sset AS (SELECT id FROM nodes
+                WHERE source='BUILDING' AND contains(taxonomy,'4')),
+       scount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM sset),
+       pbase AS MATERIALIZED (
+         SELECT n.id, o.odeg, s.id IS NOT NULL AS is_seed FROM nodes n
+         LEFT JOIN (SELECT src, COUNT(*) AS odeg FROM te GROUP BY src) o
+           ON n.id = o.src
+         LEFT JOIN sset s ON s.id = n.id),
+       r0 AS MATERIALIZED (
+         SELECT b.id, b.odeg, b.is_seed,
+                CASE WHEN b.is_seed THEN 1.0 / sn.ns ELSE 0.0 END AS rank
+         FROM pbase b CROSS JOIN scount sn),
+       $steps
+       SELECT id, rank FROM r$iters ORDER BY id"""
+  }
+
   /** The [[betweenness]] oracle: recursive-CTE BFS (as g_eccentricity)
     * plus UNROLLED per-layer CTEs — σ forward (sig1..sigR), δ backward
     * (delR..del1) — exactly [[EccMaxRounds]] layers, mirroring the hop
@@ -1402,6 +1500,8 @@ object Clouds {
          WHERE i.common_neighbors >= 3
          ORDER BY i.a, i.b""",
     "g_pagerank" -> pagerankOracle(10),
+    "g_ppr" -> pprOracle(10),
+    "g_khop_reach" -> khopOracle(KhopMaxHops),
     // JSON attr payloads rebuilt by string concatenation: longs/strings
     // render identically, and DuckDB's double->varchar is the same
     // shortest round-trip representation Jackson emits in to_json.
@@ -1693,6 +1793,7 @@ object Clouds {
     "g_viz_export_edges"      -> ((s: SparkSession, d: String) => vizExportEdges(s, d)),
     "g_degrees"               -> degrees _,
     "g_two_hop"               -> twoHop _,
+    "g_khop_reach"            -> ((s: SparkSession, d: String) => khopReach(s, d)),
     "g_pattern_chain"         -> patternChain _,
     "g_triangle_count"        -> triangleCount _,
     "g_connected_components"  -> connectedComponents _,
@@ -1704,6 +1805,7 @@ object Clouds {
                                     neighborJaccardCapped(s, d)),
     "g_link_pred"             -> ((s: SparkSession, d: String) => linkPrediction(s, d)),
     "g_pagerank"              -> pageRank _,
+    "g_ppr"                   -> personalizedPageRank _,
     "g_shortest_paths"        -> shortestPaths _,
     "g_clustering_coeff"      -> clusteringCoeff _,
     "g_cloud_stats"           -> cloudStats _,

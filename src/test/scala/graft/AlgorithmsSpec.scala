@@ -60,6 +60,37 @@ class AlgorithmsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conservation")
   }
 
+  test("personalized pagerank matches a driver-side restart-walk reference") {
+    // seed 1; node 4 is dangling (mass restarts at the seed); node 5 is
+    // disconnected from the seed side and must end at exactly 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val nodes = nodesDf(1, 2, 3, 4, 5, 6)
+    val seeds = nodesDf(1)
+    val got = Algorithms.personalizedPageRank(nodes, edges, seeds, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val out = Map(1L -> Seq(2L), 2L -> Seq(3L), 3L -> Seq(1L, 4L), 5L -> Seq(6L))
+    def round12(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP).doubleValue()
+    var pr = Map(1L -> 1.0, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0, 6L -> 0.0)
+    for (_ <- 1 to 10) {
+      val dangling = pr.filterNot(kv => out.contains(kv._1)).values.sum
+      val contrib = out.toSeq.flatMap { case (s, ds) => ds.map(_ -> pr(s) / ds.size) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = pr.keys.map { id =>
+        val c = contrib.getOrElse(id, 0.0)
+        id -> round12(
+          if (id == 1L) 0.15 / 1.0 + 0.85 * (c + dangling / 1.0)
+          else 0.85 * c)
+      }.toMap
+    }
+    got.foreach { case (id, r) => assert(math.abs(r - pr(id)) < 1e-12, s"node $id") }
+    assert(got(5L) == 0.0 && got(6L) == 0.0, "no seed mass reaches the far component")
+    assert(got(1L) > got(2L) && got(2L) > got(4L),
+      "proximity to the seed orders the ranks")
+  }
+
   test("per-node triangle counts on K4 plus an isolated node") {
     val nodes = nodesDf(1, 2, 3, 4, 5)
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))

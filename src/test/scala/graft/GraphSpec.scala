@@ -84,6 +84,30 @@ class GraphSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("khop reach equals driver-side BFS to 3 hops, hop 0 excluded") {
+    val und = rowsOf(TestGraph.sharesDna(spark, SF)
+      .filter(col("distance") <= TestGraph.QueryThreshold))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val seeds = rowsOf(TestGraph.phageNodes(spark, SF)
+      .filter(col("source") === TestGraph.Ncbi &&
+        col("taxonomy").contains(TestGraph.Taxon))).map(_.getLong(0))
+    val expected = seeds.flatMap { s =>
+      val dist = collection.mutable.Map(s -> 0L)
+      var frontier = Set(s)
+      for (d <- 1L to Clouds.KhopMaxHops) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+          .filterNot(dist.contains)
+        frontier.foreach(dist(_) = d)
+      }
+      dist.toSeq.collect { case (id, d) if d >= 1 => (s, id, d) }
+    }.toSet
+    val got = rowsOf(Clouds.khopReach(spark, SF))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
   test("pattern chain rows are two joined threshold edges") {
     val edges = rowsOf(TestGraph.sharesDna(spark, SF)
       .filter(col("distance") <= TestGraph.QueryThreshold))
