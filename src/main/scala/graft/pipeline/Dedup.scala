@@ -348,6 +348,67 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental NEAR-dup ingest screen — the fuzzy upgrade of
+    * [[incrementalDedup]] (exact md5 only): a new shard is admitted
+    * doc-by-doc after probing the EXISTING corpus's MinHash LSH band
+    * buckets. The batch's band rows equi-join the corpus's band rows on
+    * (band, band-hash) — never batch × corpus — and surviving
+    * candidates are verified with EXACT n-gram Jaccard over the
+    * df-capped gram universe (the same gram table [[ngramJaccard]]
+    * dedups with, so screen and in-corpus dedup agree on what "near
+    * dup" means). Output: every batch doc with `dup_of` = the smallest
+    * verified corpus match (NULL ⇒ fresh) and the `kept` verdict.
+    *
+    * Scale shape: signatures/bands are per-doc rows; the probe is one
+    * bucket equi-join; the verify joins only CANDIDATE docs' grams
+    * (semi-join restriction), each gram bucket ≤ [[GramDfCap]] docs —
+    * so a 100 TB corpus costs the batch only its own bucket matches,
+    * not a corpus rescan. `d_incremental_neardup`. */
+  def incrementalNeardup(spark: SparkSession, dir: String,
+                         existingSource: String = "src0",
+                         minSim: Double = 0.5): DataFrame = {
+    val docs = Docs.docs(spark, dir).select(col("doc_id"), col("source"))
+    val sig = minhashSignatures(spark, dir).localCheckpoint(true)
+    val bandStructs = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), md5Hash60(concat_ws("|", cols: _*)).as("bh"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val corpusIds = docs.filter(col("source") === existingSource)
+      .select(col("doc_id"))
+    val batch = docs.filter(col("source") =!= existingSource)
+    val corpusBands = bands.join(corpusIds, Seq("doc_id"), "left_semi")
+    val batchBands = bands.join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val cand = batchBands.as("x")
+      .join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("b_id"), col("y.doc_id").as("c_id"))
+      .distinct()
+      .localCheckpoint(true)
+    val kept = dropHighDfGrams(Docs.gramTable(spark, dir))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val gb = kept.join(cand.select(col("b_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val gc = kept.join(cand.select(col("c_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val inter = gb.as("gx").join(gc.as("gy"), col("gx.gram") === col("gy.gram"))
+      .select(col("gx.doc_id").as("b_id"), col("gy.doc_id").as("c_id"))
+      .groupBy(col("b_id"), col("c_id")).agg(count(lit(1)).as("i"))
+      .join(cand, Seq("b_id", "c_id"), "left_semi")
+    val ver = inter
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("na")), Seq("b_id"))
+      .join(sizes.select(col("doc_id").as("c_id"), col("n").as("nb")), Seq("c_id"))
+      .filter(col("i").cast("double") /
+        (col("na") + col("nb") - col("i")).cast("double") >= minSim)
+      .groupBy(col("b_id")).agg(min(col("c_id")).as("dup_of"))
+    batch
+      .join(ver, col("doc_id") === col("b_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bloom-filter geometry for [[bloomDedup]]: 2^17 bits in 32-bit
     * words (4096 bitmap rows — corpus-size-INDEPENDENT and broadcast-
     * trivial at test SF; at 100 TB the bits parameter grows and the
@@ -1195,6 +1256,32 @@ object Dedup {
            SELECT 1 FROM documents e
            WHERE e.source = 'src0' AND md5(e.text) = md5(d.text))
          ORDER BY d.doc_id""",
+    "d_incremental_neardup" ->
+      s"""WITH $minhashEstCtePrelude,
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+         corpus AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         batch AS (SELECT doc_id, source FROM documents
+                   WHERE source <> 'src0'),
+         xc AS (SELECT DISTINCT bx.doc_id AS b_id, by2.doc_id AS c_id
+                FROM bands bx JOIN bands by2
+                  ON bx.band = by2.band AND bx.bh = by2.bh
+                JOIN batch bb ON bb.doc_id = bx.doc_id
+                JOIN corpus cc ON cc.doc_id = by2.doc_id),
+         xinter AS (SELECT gb.doc_id AS b_id, gc.doc_id AS c_id,
+                           COUNT(*) AS i
+                    FROM kept gb JOIN kept gc ON gb.gram = gc.gram
+                    JOIN xc ON xc.b_id = gb.doc_id AND xc.c_id = gc.doc_id
+                    GROUP BY 1, 2),
+         ver AS (SELECT b_id, MIN(c_id) AS dup_of
+                 FROM xinter
+                 JOIN sizes sa ON sa.doc_id = b_id
+                 JOIN sizes sb ON sb.doc_id = c_id
+                 WHERE CAST(i AS DOUBLE) /
+                       CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+                 GROUP BY b_id)
+         SELECT b.doc_id, b.source, v.dup_of, v.dup_of IS NULL AS kept
+         FROM batch b LEFT JOIN ver v ON v.b_id = b.doc_id
+         ORDER BY b.doc_id""",
     "d_sample_mix" -> {
       val rateCase = MixRates
         .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
@@ -1541,6 +1628,7 @@ object Dedup {
     "d_token_budget"  -> ((s: SparkSession, d: String) => tokenBudget(s, d)),
     "d_sample_mix"    -> (sampleMix _),
     "d_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
+    "d_incremental_neardup" -> ((s: SparkSession, d: String) => incrementalNeardup(s, d)),
     "d_bloom_dedup" -> ((s: SparkSession, d: String) => bloomDedup(s, d)),
     "d_substring_dedup" -> ((s: SparkSession, d: String) => substringDedup(s, d)),
     "d_importance_weights" -> ((s: SparkSession, d: String) => importanceWeights(s, d)),

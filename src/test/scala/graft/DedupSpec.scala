@@ -356,6 +356,19 @@ class DedupSpec extends SparkSpec {
     assert(bySource.nonEmpty)
   }
 
+  test("incremental neardup screens batch docs near-dup of the corpus, passes fresh ones") {
+    // fixture: src0 = {0 base, 1 near-dup, 3 salad}; batch (src1) =
+    // {2 exact copy of 0, 4 independent salad}
+    val r = rowsOf(Dedup.incrementalNeardup(spark, dir))
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(2)) None else Some(row.getLong(2)), row.getBoolean(3)))
+      .toMap
+    assert(r.keySet == Set(2L, 4L), "every batch doc gets a verdict")
+    assert(r(2L) == (Some(0L), false),
+      s"planted near-dup is screened with the smallest corpus match: $r")
+    assert(r(4L) == (None, true), s"fresh doc passes: $r")
+  }
+
   test("dup inflation: a source whose every doc is a dup reports NULL, not Infinity") {
     val d2 = TestSession.docsFixture(Seq(
       (10L, base, "en", "srcA", base.length.toLong),
