@@ -718,26 +718,37 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
-  /** ANN-recall evaluation: recall@k of the LSH index ([[lshAnn]])
-    * against the exact brute-force top-k ([[cosineTopK]]), per query —
-    * the index-quality report every ANN deployment tracks (the
-    * recall-vs-cost trade is THE tuning axis for NumTables /
-    * BitsPerTable). One plan: true top-k LEFT-joined to the approximate
-    * top-k on (query, neighbor), hits counted per query. n_true is
-    * always k; recall = n_hit / k. `s_ann_recall`. */
+  /** ANN-recall evaluation over the FULL index ladder: recall@k of
+    * every approximate index family — LSH ([[lshAnn]]), IVF-flat
+    * ([[ivfAnn]]), PQ-ADC ([[pqAnn]]), IVF×PQ ([[ivfPqAnn]]) — against
+    * the exact brute-force top-k ([[cosineTopK]]), per (family, query)
+    * — the index-quality report every ANN deployment tracks (the
+    * recall-vs-cost trade is THE tuning axis, and one operator output
+    * makes the whole ladder observable at any SF instead of only in
+    * specs). One plan per family: true top-k LEFT-joined to that
+    * family's approximate top-k on (query, neighbor), hits counted per
+    * query; the truth is checkpointed once and shared by all four
+    * joins. n_true is always k; recall = n_hit / k. `s_ann_recall`. */
   def annRecall(spark: SparkSession, dir: String,
                 nQueries: Int = 10, k: Int = 5): DataFrame = {
     val truth = cosineTopK(spark, dir, nQueries, k)
       .select(col("query_id"), col("neighbor"))
-    val approx = lshAnn(spark, dir, nQueries, k)
-      .select(col("query_id"), col("neighbor"), lit(1L).as("hit"))
-    truth.join(approx, Seq("query_id", "neighbor"), "left_outer")
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("n_true"),
-        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
-      .select(col("query_id"), col("n_true"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
-      .orderBy(col("query_id"))
+      .localCheckpoint(true)
+    def fam(name: String, approx: DataFrame): DataFrame =
+      truth.join(
+          approx.select(col("query_id"), col("neighbor"), lit(1L).as("hit")),
+          Seq("query_id", "neighbor"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .select(lit(name).as("family"), col("query_id"), col("n_true"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+    fam("lsh", lshAnn(spark, dir, nQueries, k))
+      .unionByName(fam("ivf", ivfAnn(spark, dir, nQueries, k)))
+      .unionByName(fam("pq", pqAnn(spark, dir, nQueries, k)))
+      .unionByName(fam("ivfpq", ivfPqAnn(spark, dir, nQueries, k)))
+      .orderBy(col("family"), col("query_id"))
   }
 
   // ---- semantic dedup (SemDeDup) --------------------------------------
@@ -928,6 +939,112 @@ object Similarity {
                               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
          FROM e CROSS JOIN hp GROUP BY e.vec_id, hp.t)"""
 
+  /** LSH bucket-probe approximate top-k ending in `lshranked` — shared
+    * by the s_lsh_ann oracle and the per-family recall audit. Requires
+    * [[VecCte]] (`e`) and [[LshBucketsCte]] (`bk`) in scope. */
+  private val LshRankedCtes: String =
+    s"""lshcand AS (
+         SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+         FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       lshscored AS (
+         SELECT lshcand.query_id, lshcand.vec_id AS neighbor,
+                ROUND(list_cosine_similarity(q.v, e.v), 4) AS cos_sim
+         FROM lshcand JOIN e q ON q.vec_id = lshcand.query_id
+         JOIN e ON e.vec_id = lshcand.vec_id),
+       lshranked AS (
+         SELECT query_id, neighbor, cos_sim,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor) AS BIGINT) AS rnk
+         FROM lshscored)"""
+
+  /** IVF coarse-quantizer chain (centroids → assignment → probes →
+    * candidates → exact rescoring) ending in `ivfranked` — shared by
+    * s_ivf_ann, the ivfpq candidate restriction, and the recall audit.
+    * Requires [[VecCte]] in scope. */
+  private val IvfCtes: String =
+    s"""ivc AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumLists),
+       ivassign AS (
+         SELECT vec_id, cid FROM (
+           SELECT e.vec_id, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                    ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cid) AS rn
+           FROM e CROSS JOIN ivc c) WHERE rn = 1),
+       ivq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       ivprobes AS (
+         SELECT query_id, cid FROM (
+           SELECT q.query_id, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY q.query_id
+                    ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cid) AS rn
+           FROM ivq q CROSS JOIN ivc c) WHERE rn <= $NumProbe),
+       ivcand AS (
+         SELECT p.query_id, a.vec_id FROM ivprobes p JOIN ivassign a ON a.cid = p.cid
+         WHERE a.vec_id <> p.query_id),
+       ivfscored AS (
+         SELECT ivcand.query_id, ivcand.vec_id AS neighbor,
+                ROUND(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim
+         FROM ivcand JOIN ivq q ON q.query_id = ivcand.query_id
+         JOIN e ON e.vec_id = ivcand.vec_id),
+       ivfranked AS (
+         SELECT query_id, neighbor, cos_sim,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor) AS BIGINT) AS rnk
+         FROM ivfscored)"""
+
+  /** PQ chain (subvector slices → Lloyd codebook → codes → query
+    * distance tables → ADC scan) ending in `pqranked` plus
+    * `ivfpqranked` (the same ADC scan restricted to the IVF-probed
+    * candidates) — shared by s_pq_ann / s_ivfpq_ann and the recall
+    * audit. Requires [[VecCte]] and [[IvfCtes]] in scope (ivfpqranked
+    * reads `ivcand`). */
+  private def PqRankedCtes: String =
+    s"""sub AS (SELECT unnest(range($NumSub)) AS s),
+       nv AS (
+         SELECT vec_id,
+                list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+         FROM e),
+       slices AS (
+         SELECT vec_id, sub.s,
+                v[sub.s*$SubDim + 1 : sub.s*$SubDim + $SubDim] AS vs
+         FROM nv, sub),
+       ${pqCodebookCtes(PqIters)},
+       pqenc AS (
+         SELECT vec_id, s, cid AS code FROM (
+           SELECT sl.vec_id, sl.s, cb.cid,
+                  ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.s
+                    ORDER BY ROUND(list_dot_product(sl.vs, cb.cvs), 4) DESC,
+                             cb.cid) AS rn
+           FROM slices sl JOIN cb USING (s)) WHERE rn = 1),
+       pqdt AS (
+         SELECT q.vec_id AS query_id, q.s, cb.cid AS code,
+                CAST(ROUND(list_dot_product(q.vs, cb.cvs), 4)
+                     AS DECIMAL(18,4)) AS d
+         FROM slices q JOIN cb USING (s) WHERE q.vec_id < 10),
+       pqscore AS (
+         SELECT pqdt.query_id, pqenc.vec_id,
+                CAST(SUM(pqdt.d) AS DOUBLE) AS adc_score
+         FROM pqenc JOIN pqdt ON pqdt.s = pqenc.s AND pqdt.code = pqenc.code
+         WHERE pqenc.vec_id <> pqdt.query_id
+         GROUP BY pqdt.query_id, pqenc.vec_id),
+       pqranked AS (
+         SELECT query_id, vec_id AS neighbor, adc_score,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_score DESC, vec_id) AS BIGINT) AS rnk
+         FROM pqscore),
+       ipqscore AS (
+         SELECT ivcand.query_id, ivcand.vec_id,
+                CAST(SUM(pqdt.d) AS DOUBLE) AS adc_score
+         FROM ivcand
+         JOIN pqenc ON pqenc.vec_id = ivcand.vec_id
+         JOIN pqdt ON pqdt.query_id = ivcand.query_id
+                AND pqdt.s = pqenc.s AND pqdt.code = pqenc.code
+         GROUP BY ivcand.query_id, ivcand.vec_id),
+       ivfpqranked AS (
+         SELECT query_id, vec_id AS neighbor, adc_score,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY adc_score DESC, vec_id) AS BIGINT) AS rnk
+         FROM ipqscore)"""
+
   /** CTE chain of the capped kNN-graph build through the DIRECTED
     * per-source top-5 list `tk` (pre-mutual) — shared by the kNN-graph
     * and NN-descent oracles; replays the [[cappedBuckets]] salted rank
@@ -983,9 +1100,16 @@ object Similarity {
          WHERE m.rn = 1 ORDER BY m.cluster_id""",
     // truth = fresh brute-force top-k CTEs, approx = the shared LSH
     // bucket CTE ranked — both replayed verbatim, then the hit join
+    // truth = fresh brute-force top-k; one approximate top-k per index
+    // family from the SAME shared CTE chains the family oracles read —
+    // the recall audit cannot drift from what the green family keys
+    // certify
     "s_ann_recall" ->
       s"""$VecCte,
          $LshBucketsCte,
+         $IvfCtes,
+         $PqRankedCtes,
+         $LshRankedCtes,
          bp AS (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor,
                   ROUND(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
@@ -997,30 +1121,27 @@ object Similarity {
                     ROW_NUMBER() OVER (PARTITION BY query_id
                       ORDER BY cos_sim DESC, neighbor) AS rn
              FROM bp) WHERE rn <= 5),
-         ac AS (
-           SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-           FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
-           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-         aps AS (
-           SELECT ac.query_id, ac.vec_id AS neighbor,
-                  ROUND(list_cosine_similarity(q.v, e.v), 4) AS cos_sim
-           FROM ac JOIN e q ON q.vec_id = ac.query_id
-           JOIN e ON e.vec_id = ac.vec_id),
-         apt AS (
-           SELECT query_id, neighbor FROM (
-             SELECT query_id, neighbor,
-                    ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY cos_sim DESC, neighbor) AS rn
-             FROM aps) WHERE rn <= 5)
-         SELECT bt.query_id,
+         ap AS (
+           SELECT 'lsh' AS family, query_id, neighbor
+           FROM lshranked WHERE rnk <= 5
+           UNION ALL SELECT 'ivf', query_id, neighbor
+           FROM ivfranked WHERE rnk <= 5
+           UNION ALL SELECT 'pq', query_id, neighbor
+           FROM pqranked WHERE rnk <= 5
+           UNION ALL SELECT 'ivfpq', query_id, neighbor
+           FROM ivfpqranked WHERE rnk <= 5),
+         fams AS (SELECT unnest(['lsh', 'ivf', 'pq', 'ivfpq']) AS family)
+         SELECT f.family, bt.query_id,
                 CAST(COUNT(*) AS BIGINT) AS n_true,
-                CAST(SUM(CASE WHEN apt.neighbor IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_hit,
-                ROUND(CAST(SUM(CASE WHEN apt.neighbor IS NOT NULL THEN 1 ELSE 0 END)
-                  AS DOUBLE) / COUNT(*), 4) AS recall
-         FROM bt LEFT JOIN apt
-           ON bt.query_id = apt.query_id AND bt.neighbor = apt.neighbor
-         GROUP BY bt.query_id ORDER BY bt.query_id""",
+                CAST(COUNT(ap.neighbor) AS BIGINT) AS n_hit,
+                ROUND(CAST(COUNT(ap.neighbor) AS DOUBLE) / COUNT(*), 4)
+                  AS recall
+         FROM fams f CROSS JOIN bt
+         LEFT JOIN ap ON ap.family = f.family
+                     AND ap.query_id = bt.query_id
+                     AND ap.neighbor = bt.neighbor
+         GROUP BY f.family, bt.query_id
+         ORDER BY f.family, bt.query_id""",
     "d_semantic_dedup" ->
       s"""${kmeansCtePrelude(SemKSql, SemIters)},
          av AS (
@@ -1073,103 +1194,22 @@ object Similarity {
          WHERE t.src < t.dst ORDER BY t.src, t.dst""",
     "s_pq_ann" ->
       s"""$VecCte,
-         sub AS (SELECT unnest(range($NumSub)) AS s),
-         nv AS (
-           SELECT vec_id,
-                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
-           FROM e),
-         slices AS (
-           SELECT vec_id, sub.s,
-                  v[sub.s*$SubDim + 1 : sub.s*$SubDim + $SubDim] AS vs
-           FROM nv, sub),
-         ${pqCodebookCtes(PqIters)},
-         enc AS (
-           SELECT vec_id, s, cid AS code FROM (
-             SELECT sl.vec_id, sl.s, cb.cid,
-                    ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.s
-                      ORDER BY ROUND(list_dot_product(sl.vs, cb.cvs), 4) DESC,
-                               cb.cid) AS rn
-             FROM slices sl JOIN cb USING (s)) WHERE rn = 1),
-         dt AS (
-           SELECT q.vec_id AS query_id, q.s, cb.cid AS code,
-                  CAST(ROUND(list_dot_product(q.vs, cb.cvs), 4)
-                       AS DECIMAL(18,4)) AS d
-           FROM slices q JOIN cb USING (s) WHERE q.vec_id < 10),
-         score AS (
-           SELECT dt.query_id, enc.vec_id,
-                  CAST(SUM(dt.d) AS DOUBLE) AS adc_score
-           FROM enc JOIN dt ON dt.s = enc.s AND dt.code = enc.code
-           WHERE enc.vec_id <> dt.query_id
-           GROUP BY dt.query_id, enc.vec_id),
-         ranked AS (
-           SELECT query_id, vec_id AS neighbor, adc_score,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY adc_score DESC, vec_id) AS BIGINT) AS rnk
-           FROM score)
+         $IvfCtes,
+         $PqRankedCtes
          SELECT r.query_id, r.neighbor, r.adc_score,
                 ROUND(list_cosine_similarity(qe.v, ne.v), 4) AS cos_sim, r.rnk
-         FROM ranked r
+         FROM pqranked r
          JOIN e qe ON qe.vec_id = r.query_id
          JOIN e ne ON ne.vec_id = r.neighbor
          WHERE r.rnk <= 5
          ORDER BY query_id, rnk""",
     "s_ivfpq_ann" ->
       s"""$VecCte,
-         sub AS (SELECT unnest(range($NumSub)) AS s),
-         nv AS (
-           SELECT vec_id,
-                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
-           FROM e),
-         slices AS (
-           SELECT vec_id, sub.s,
-                  v[sub.s*$SubDim + 1 : sub.s*$SubDim + $SubDim] AS vs
-           FROM nv, sub),
-         ${pqCodebookCtes(PqIters)},
-         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $NumLists),
-         assign AS (
-           SELECT vec_id, cid FROM (
-             SELECT e.vec_id, c.cid,
-                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cid) AS rn
-             FROM e CROSS JOIN c) WHERE rn = 1),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-         probes AS (
-           SELECT query_id, cid FROM (
-             SELECT q.query_id, c.cid,
-                    ROW_NUMBER() OVER (PARTITION BY q.query_id
-                      ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cid) AS rn
-             FROM q CROSS JOIN c) WHERE rn <= $NumProbe),
-         cand AS (
-           SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.cid = p.cid
-           WHERE a.vec_id <> p.query_id),
-         enc AS (
-           SELECT vec_id, s, cid AS code FROM (
-             SELECT sl.vec_id, sl.s, cb.cid,
-                    ROW_NUMBER() OVER (PARTITION BY sl.vec_id, sl.s
-                      ORDER BY ROUND(list_dot_product(sl.vs, cb.cvs), 4) DESC,
-                               cb.cid) AS rn
-             FROM slices sl JOIN cb USING (s)) WHERE rn = 1),
-         dt AS (
-           SELECT qs.vec_id AS query_id, qs.s, cb.cid AS code,
-                  CAST(ROUND(list_dot_product(qs.vs, cb.cvs), 4)
-                       AS DECIMAL(18,4)) AS d
-           FROM slices qs JOIN cb USING (s) WHERE qs.vec_id < 10),
-         score AS (
-           SELECT cand.query_id, cand.vec_id,
-                  CAST(SUM(dt.d) AS DOUBLE) AS adc_score
-           FROM cand
-           JOIN enc ON enc.vec_id = cand.vec_id
-           JOIN dt ON dt.query_id = cand.query_id
-                  AND dt.s = enc.s AND dt.code = enc.code
-           GROUP BY cand.query_id, cand.vec_id),
-         ranked AS (
-           SELECT query_id, vec_id AS neighbor, adc_score,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY adc_score DESC, vec_id) AS BIGINT) AS rnk
-           FROM score)
+         $IvfCtes,
+         $PqRankedCtes
          SELECT r.query_id, r.neighbor, r.adc_score,
                 ROUND(list_cosine_similarity(qe.v, ne.v), 4) AS cos_sim, r.rnk
-         FROM ranked r
+         FROM ivfpqranked r
          JOIN e qe ON qe.vec_id = r.query_id
          JOIN e ne ON ne.vec_id = r.neighbor
          WHERE r.rnk <= 5
@@ -1179,21 +1219,8 @@ object Similarity {
     "s_lsh_ann" ->
       s"""$VecCte,
          $LshBucketsCte,
-         cand AS (
-           SELECT DISTINCT q.vec_id AS query_id, c.vec_id
-           FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
-           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-         scored AS (
-           SELECT cand.query_id, cand.vec_id AS neighbor,
-                  ROUND(list_cosine_similarity(q.v, e.v), 4) AS cos_sim
-           FROM cand JOIN e q ON q.vec_id = cand.query_id
-           JOIN e ON e.vec_id = cand.vec_id),
-         ranked AS (
-           SELECT query_id, neighbor, cos_sim,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cos_sim DESC, neighbor) AS BIGINT) AS rnk
-           FROM scored)
-         SELECT query_id, neighbor, cos_sim, rnk FROM ranked
+         $LshRankedCtes
+         SELECT query_id, neighbor, cos_sim, rnk FROM lshranked
          WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "s_range_search" ->
       s"""$VecCte,
@@ -1231,34 +1258,8 @@ object Similarity {
          WHERE rnk <= 5 ORDER BY query_id, rnk""",
     "s_ivf_ann" ->
       s"""$VecCte,
-         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-         assign AS (
-           SELECT vec_id, cid FROM (
-             SELECT e.vec_id, c.cid,
-                    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                      ORDER BY ROUND(list_cosine_similarity(e.v, c.cv), 4) DESC, c.cid) AS rn
-             FROM e CROSS JOIN c) WHERE rn = 1),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-         probes AS (
-           SELECT query_id, cid FROM (
-             SELECT q.query_id, c.cid,
-                    ROW_NUMBER() OVER (PARTITION BY q.query_id
-                      ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 4) DESC, c.cid) AS rn
-             FROM q CROSS JOIN c) WHERE rn <= 4),
-         cand AS (
-           SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.cid = p.cid
-           WHERE a.vec_id <> p.query_id),
-         scored AS (
-           SELECT cand.query_id, cand.vec_id AS neighbor,
-                  ROUND(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim
-           FROM cand JOIN q ON q.query_id = cand.query_id
-           JOIN e ON e.vec_id = cand.vec_id),
-         ranked AS (
-           SELECT query_id, neighbor, cos_sim,
-                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cos_sim DESC, neighbor) AS BIGINT) AS rnk
-           FROM scored)
-         SELECT query_id, neighbor, cos_sim, rnk FROM ranked
+         $IvfCtes
+         SELECT query_id, neighbor, cos_sim, rnk FROM ivfranked
          WHERE rnk <= 5 ORDER BY query_id, rnk""",
   )
 
