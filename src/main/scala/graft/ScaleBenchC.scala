@@ -92,18 +92,28 @@ object ScaleBenchC {
     syntheticEmbeddings(spark, nVecs).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
+    // optional comma-separated operator filter (validated like
+    // [[ScaleBench]]'s — a misspelled name fails loudly), so one
+    // operator's ×100 point can be (re)measured alone
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_SCALE_KERNELS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val allOps = scala.collection.mutable.LinkedHashSet.empty[String]
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def timed(name: String)(df: => DataFrame): Unit = {
-      val s = System.nanoTime()
-      rows(name) = df.count()
-      times(name) = (System.nanoTime() - s) / 1e9
-      System.err.println(f"[scale-c] $name: ${times(name)}%.1f s (${rows(name)} rows)")
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      allOps += name
+      if (only.forall(_.contains(name))) {
+        val s = System.nanoTime()
+        rows(name) = df.count()
+        times(name) = (System.nanoTime() - s) / 1e9
+        System.err.println(f"[scale-c] $name: ${times(name)}%.1f s (${rows(name)} rows)")
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
 
     timed("d_minhash_lsh") { pipeline.Dedup.minhashLsh(spark, dir) }
+    timed("d_dedup_clusters") { pipeline.Dedup.dedupClusters(spark, dir) }
     timed("s_knn_graph") { pipeline.Similarity.knnGraph(spark, dir) }
     timed("d_semantic_dedup") { pipeline.Similarity.semanticDedup(spark, dir) }
     timed("d_curation_e2e") { pipeline.Dedup.curationE2e(spark, dir) }
@@ -113,6 +123,13 @@ object ScaleBenchC {
     timed("d_bloom_dedup") { pipeline.Dedup.bloomDedup(spark, dir) }
     timed("t_bigram_lm") { pipeline.Text.bigramLm(spark, dir) }
 
+    only.foreach { names =>
+      val unknown = names -- allOps
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_KERNELS entries matched no operator: " +
+          s"${unknown.toSeq.sorted.mkString(",")} (known: " +
+          s"${allOps.mkString(",")})")
+    }
     val qs = times.map { case (k, v) =>
       Json.q(k) + ":" + f"$v%.1f" }.mkString("{", ",", "}")
     val rs = rows.map { case (k, v) => Json.q(k) + ":" + v }.mkString("{", ",", "}")
