@@ -858,7 +858,17 @@ object Dedup {
     * phage clouds use — [[graft.graph.Algorithms.connectedComponents]]);
     * the keeper is the minimum doc id per cluster. Every document gets a
     * row: unpaired docs are their own singleton cluster and are kept.
-    * `d_dedup_clusters`. */
+    * `d_dedup_clusters`.
+    *
+    * SHARED-LAYER CONTRACT: [[splitAssign]], [[dupInflation]] and
+    * [[qualityKeeper]] are all aggregates over THIS assignment. As
+    * independent registry keys each rebuilds the chain (each plan is
+    * individually scale-safe — checkpointed pair list, CC on paired
+    * docs only), but a production pipeline materializes the assignment
+    * ONCE and feeds it to every consumer; the `*On(clusters)` variants
+    * are that contract, and `DedupSpec`'s composition test certifies
+    * the three consumers agree bit-for-bit whether they run on a
+    * shared checkpointed assignment or rebuild it. */
   def dedupClusters(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
     // materialized once: the pair list fans out into four plan references
     // (both sides of the member union, both sides of the CC symmetrize) —
@@ -899,10 +909,15 @@ object Dedup {
     * and by the DuckDB oracle. Plan shape: the cluster assignment's
     * CC loop plus one narrow hash projection — nothing new shuffles.
     * `d_split_assign`. */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssignOn(dedupClusters(spark, dir))
+
+  /** [[splitAssign]] over a cluster assignment the CALLER materialized
+    * — the shared-layer form (see [[dedupClusters]]' contract). */
+  def splitAssignOn(clusters: DataFrame): DataFrame = {
     val b = pmod(md5Hash60(concat_ws("|", lit("split"), col("cluster_id"))),
       lit(100L))
-    dedupClusters(spark, dir)
+    clusters
       .select(col("doc_id"), col("cluster_id"))
       .withColumn("split",
         when(b < SplitTrainPct, "train")
@@ -921,10 +936,16 @@ object Dedup {
     * (doc, source, n_tokens) projection — one extra keyed aggregate on
     * top of [[dedupClusters]], one rounded division at the end.
     * `d_dup_inflation`. */
-  def dupInflation(spark: SparkSession, dir: String): DataFrame = {
+  def dupInflation(spark: SparkSession, dir: String): DataFrame =
+    dupInflationOn(spark, dir, dedupClusters(spark, dir))
+
+  /** [[dupInflation]] over a cluster assignment the CALLER materialized
+    * — the shared-layer form (see [[dedupClusters]]' contract). */
+  def dupInflationOn(spark: SparkSession, dir: String,
+                     clusters: DataFrame): DataFrame = {
     val toks = Docs.docs(spark, dir).select(col("doc_id"), col("source"),
       size(Docs.tokens).cast("long").as("n_toks"))
-    dedupClusters(spark, dir).select(col("doc_id"), col("keep"))
+    clusters.select(col("doc_id"), col("keep"))
       .join(toks, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -952,9 +973,15 @@ object Dedup {
     * of the cluster assignment — the argmax is (rounded quality desc,
     * doc_id asc), a total order both engines replay. Singletons keep
     * themselves. `d_quality_keeper`. */
-  def qualityKeeper(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
-    val clusters = dedupClusters(spark, dir, minSim)
-      .select(col("doc_id"), col("cluster_id"))
+  def qualityKeeper(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame =
+    qualityKeeperOn(spark, dir, dedupClusters(spark, dir, minSim))
+
+  /** [[qualityKeeper]] over a cluster assignment the CALLER
+    * materialized — the shared-layer form (see [[dedupClusters]]'
+    * contract). */
+  def qualityKeeperOn(spark: SparkSession, dir: String,
+                      clusters0: DataFrame): DataFrame = {
+    val clusters = clusters0.select(col("doc_id"), col("cluster_id"))
     val q = Text.quality(spark, dir).select(col("doc_id"), col("quality_score"))
     clusters.join(q, Seq("doc_id"))
       .groupBy(col("cluster_id"))

@@ -356,6 +356,21 @@ class DedupSpec extends SparkSpec {
     assert(bySource.nonEmpty)
   }
 
+  test("shared cluster layer: one checkpointed assignment feeds all three consumers") {
+    // the production contract from dedupClusters' scaladoc: materialize
+    // the assignment ONCE, fan it out to split/inflation/keeper — and
+    // get bit-identical results to the rebuild-per-key registry path
+    val shared = Dedup.dedupClusters(spark, SF).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      rowsOf(df).map(_.toString)
+    assert(rows(Dedup.splitAssignOn(shared)) ==
+      rows(Dedup.splitAssign(spark, SF)), "split assignment agrees")
+    assert(rows(Dedup.dupInflationOn(spark, SF, shared)) ==
+      rows(Dedup.dupInflation(spark, SF)), "dup inflation agrees")
+    assert(rows(Dedup.qualityKeeperOn(spark, SF, shared)) ==
+      rows(Dedup.qualityKeeper(spark, SF)), "quality keeper agrees")
+  }
+
   test("incremental neardup screens batch docs near-dup of the corpus, passes fresh ones") {
     // fixture: src0 = {0 base, 1 near-dup, 3 salad}; batch (src1) =
     // {2 exact copy of 0, 4 independent salad}
