@@ -248,6 +248,66 @@ object Algorithms {
     coreDegrees(members)
   }
 
+  /** Round budget for [[coreness]] — part of the contract, like every
+    * iteration budget here; the h-index iteration typically converges
+    * in a handful of rounds (Lü et al. 2016 report O(diameter)-ish
+    * worst cases, single digits on real graphs). */
+  val CorenessRounds = 16
+
+  /** FULL core decomposition — the coreness (shell) number of every
+    * node, refining [[kCore]]'s single-k binary cut: coreness(v) = the
+    * largest k such that v survives k-core peeling. Uses the H-INDEX
+    * ITERATION (Lü, Zhou, Zhang & Stanley, "The H-index of a network
+    * node and its relation to degree and coreness", Nat. Commun. 2016):
+    * c_0(v) = deg(v); c_{t+1}(v) = H({c_t(u) : u ~ v}) where H is the
+    * Hirsch operator (the largest h with ≥ h neighbours of value ≥ h,
+    * i.e. max_r min(value_r, r) over the values sorted descending).
+    * The sequence is monotone non-increasing and converges exactly to
+    * coreness — a SYNCHRONOUS, tiebreak-free recurrence, so the
+    * unrolled SQL oracle replays it unconditionally (integer values
+    * only; rank order among equal values cannot change max min(c,r)).
+    *
+    * Scale shape: one shuffle per round — neighbour values gather on
+    * the edge's head, the H-index is a per-node sorted-rank aggregate
+    * (window partitioned on the gather key, bounded by degree), and
+    * the iterate is (id, c) only, checkpointed and released like every
+    * loop here. Isolated nodes report 0. Rounds past the fixpoint are
+    * no-ops, so the fixed budget matches an early-exit loop; like the
+    * SSSP relax budget and the BFS hop budget, the round budget is
+    * part of the operator contract — convergence needs O(diameter)
+    * rounds on deep thin structures (the 1-front of a long path moves
+    * one hop per round), which the budget caps by design. */
+  def coreness(nodes: DataFrame, edges: DataFrame,
+               rounds: Int = CorenessRounds): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    val ids = nodes.select(col("id")).localCheckpoint(true)
+    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("c"))
+    var c = ids.join(deg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("c"), lit(0L)).as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val gathered = sym
+        .join(c.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+        .select(col("u"), col("cv"))
+      val h = gathered
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("u")).orderBy(col("cv").desc)))
+        .groupBy(col("u").as("id"))
+        .agg(max(least(col("cv"), col("rn").cast("long"))).as("h"))
+      val next = c.select(col("id"))
+        .join(h, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("c"))
+        .localCheckpoint(true)
+      releaseIterate(c)
+      c = next
+    }
+    c.select(col("id"), col("c").as("coreness"))
+  }
+
   /** Synchronous label-propagation rounds (fixed by contract, like
     * [[pageRank]]'s iteration count — the oracle unrolls exactly this
     * many). */

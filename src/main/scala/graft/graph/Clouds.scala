@@ -205,6 +205,18 @@ object Clouds {
       .orderBy(col("node"))
   }
 
+  /** Full core decomposition of the thresholded graph — the coreness
+    * shell number per genome ([[Algorithms.coreness]], h-index
+    * iteration), refining [[kCore]]'s single-k membership cut into the
+    * full density ladder: shell 0 = isolated, shell max = the densest
+    * mutually-similar core of a cloud. `g_coreness`. */
+  def corenessShells(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    Algorithms.coreness(g.nodes, g.edges)
+      .select(col("id").as("node"), col("coreness"))
+      .orderBy(col("node"))
+  }
+
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
     Algorithms.pageRank(g.nodes, g.edges.filter(col("distance") <= QueryThreshold))
@@ -1088,6 +1100,36 @@ object Clouds {
        GROUP BY e.u ORDER BY node"""
   }
 
+  /** [[corenessShells]] replay: the h-index recurrence unrolled to
+    * [[Algorithms.CorenessRounds]] rounds — integer values only, and
+    * the Hirsch operator max(min(value, rank)) is invariant to rank
+    * order among equal values, so the replay is unconditional. */
+  private def corenessOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""h$i AS (
+           SELECT u AS id, MAX(LEAST(cv, rn)) AS h FROM (
+             SELECT e.u, l.c AS cv,
+                    ROW_NUMBER() OVER (PARTITION BY e.u
+                                       ORDER BY l.c DESC) AS rn
+             FROM und e JOIN c${i - 1} l ON l.id = e.v)
+           GROUP BY u),
+         c$i AS MATERIALIZED (
+           SELECT n.id, COALESCE(h.h, 0) AS c
+           FROM c${i - 1} n LEFT JOIN h$i h ON h.id = n.id)"""
+    }.mkString(",\n")
+    s"""$OracleCte,
+       und AS MATERIALIZED (
+         SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+         UNION ALL
+         SELECT dst, src FROM edges WHERE distance <= 0.10),
+       dg AS (SELECT u AS id, COUNT(*) AS deg FROM und GROUP BY u),
+       c0 AS (SELECT n.id, COALESCE(d.deg, 0) AS c
+              FROM nodes n LEFT JOIN dg d ON d.id = n.id),
+       $steps
+       SELECT id AS node, CAST(c AS BIGINT) AS coreness
+       FROM c$rounds ORDER BY node"""
+  }
+
   /** Label propagation unrolled to [[Algorithms.LabelPropRounds]]
     * synchronous rounds — integer counts and a deterministic min-label
     * tiebreak make the replay unconditional (no floats at all). The
@@ -1415,6 +1457,7 @@ object Clouds {
          FROM st""",
     "g_shortest_paths" -> ssspOracle(Algorithms.RelaxBudget),
     "g_kcore" -> kcoreOracle(KCoreK, Algorithms.KCoreMaxRounds),
+    "g_coreness" -> corenessOracle(Algorithms.CorenessRounds),
     "g_label_prop" -> labelPropOracle(Algorithms.LabelPropRounds),
     "g_louvain" -> louvainOracle(Algorithms.LouvainRounds),
     "g_modularity" -> modularityOracle(Algorithms.LabelPropRounds),
@@ -1798,6 +1841,7 @@ object Clouds {
     "g_triangle_count"        -> triangleCount _,
     "g_connected_components"  -> connectedComponents _,
     "g_kcore"                 -> kCore _,
+    "g_coreness"              -> corenessShells _,
     "g_label_prop"            -> labelProp _,
     "g_louvain"               -> louvain _,
     "g_neighbor_jaccard"      -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),
