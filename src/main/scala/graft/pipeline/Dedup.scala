@@ -348,6 +348,52 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment threshold for [[containment]]. */
+  val ContainmentTau = 0.8
+
+  /** Asymmetric n-gram CONTAINMENT pairs — the quote/subset duplication
+    * symmetric Jaccard misses: a short document fully contained in a
+    * long one (a quoted article, a concatenated shard) has
+    * i/|A| = 1.0 while Jaccard i/(|A|+|B|−i) ≈ |A|/|B| falls far below
+    * any sane τ, so [[ngramJaccard]] never pairs them. Same df-capped
+    * gram bucket join (candidates from shared rare grams, every bucket
+    * ≤ [[GramDfCap]] docs — no pair product); per canonical pair a < b
+    * the report carries BOTH directions' containment, kept when either
+    * reaches τ. All counts integer; two rounded divisions at the end.
+    * `d_containment`. */
+  def containment(spark: SparkSession, dir: String,
+                  tau: Double = ContainmentTau): DataFrame = {
+    val kept = dropHighDfGrams(Docs.gramTable(spark, dir))
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = kept.as("x").join(kept.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(col("a"), col("b"), col("i"),
+        round(col("i").cast("double") / col("na").cast("double"), 6)
+          .as("cont_a_in_b"),
+        round(col("i").cast("double") / col("nb").cast("double"), 6)
+          .as("cont_b_in_a"))
+      .filter(col("cont_a_in_b") >= tau || col("cont_b_in_a") >= tau)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Cluster-size HISTOGRAM over the near-dup clusters — the one-glance
+    * dedup observability report (how much of the corpus sits in how
+    * large families; the long tail of size-1 rows is the unique mass):
+    * for each cluster size, the number of clusters and of member docs.
+    * Two keyed aggregates over the [[dedupClusters]] assignment.
+    * `d_cluster_stats`. */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** Incremental NEAR-dup ingest screen — the fuzzy upgrade of
     * [[incrementalDedup]] (exact md5 only): a new shard is admitted
     * doc-by-doc after probing the EXISTING corpus's MinHash LSH band
@@ -1283,6 +1329,34 @@ object Dedup {
            SELECT 1 FROM documents e
            WHERE e.source = 'src0' AND md5(e.text) = md5(d.text))
          ORDER BY d.doc_id""",
+    "d_containment" ->
+      s"""WITH $KeptGramCte,
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+         inter AS (
+           SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+           FROM kept g1 JOIN kept g2
+             ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b, CAST(i AS BIGINT) AS i,
+                ROUND(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 6)
+                  AS cont_a_in_b,
+                ROUND(CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE), 6)
+                  AS cont_b_in_a
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = a
+         JOIN sizes sb ON sb.doc_id = b
+         WHERE ROUND(CAST(i AS DOUBLE) / CAST(sa.n AS DOUBLE), 6) >= $ContainmentTau
+            OR ROUND(CAST(i AS DOUBLE) / CAST(sb.n AS DOUBLE), 6) >= $ContainmentTau
+         ORDER BY a, b""",
+    "d_cluster_stats" ->
+      s"""WITH RECURSIVE $ClusterReachCte,
+         clus AS (SELECT u AS doc_id, MIN(v) AS cluster_id
+                  FROM reach GROUP BY u),
+         szs AS (SELECT cluster_id, COUNT(*) AS sz FROM clus
+                 GROUP BY cluster_id)
+         SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                CAST(SUM(sz) AS BIGINT) AS n_docs
+         FROM szs GROUP BY sz ORDER BY cluster_size""",
     "d_incremental_neardup" ->
       s"""WITH $minhashEstCtePrelude,
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
@@ -1656,6 +1730,8 @@ object Dedup {
     "d_sample_mix"    -> (sampleMix _),
     "d_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "d_incremental_neardup" -> ((s: SparkSession, d: String) => incrementalNeardup(s, d)),
+    "d_containment" -> ((s: SparkSession, d: String) => containment(s, d)),
+    "d_cluster_stats" -> (clusterStats _),
     "d_bloom_dedup" -> ((s: SparkSession, d: String) => bloomDedup(s, d)),
     "d_substring_dedup" -> ((s: SparkSession, d: String) => substringDedup(s, d)),
     "d_importance_weights" -> ((s: SparkSession, d: String) => importanceWeights(s, d)),

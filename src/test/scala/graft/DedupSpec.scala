@@ -356,6 +356,33 @@ class DedupSpec extends SparkSpec {
     assert(bySource.nonEmpty)
   }
 
+  test("containment catches a quoted subset that symmetric Jaccard misses") {
+    val long = salad(3, 80)
+    val quoted = long.split(" ").take(30).mkString(" ") // strict prefix: grams ⊂ long's
+    val d2 = TestSession.docsFixture(Seq(
+      (0L, long, "en", "srcA", long.length.toLong),
+      (1L, quoted, "en", "srcA", quoted.length.toLong),
+      (2L, salad(11, 60), "en", "srcA", 60L)))
+    val cont = rowsOf(Dedup.containment(spark, d2))
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(cont.contains((0L, 1L)), s"contained prefix must pair: $cont")
+    assert(cont((0L, 1L))._2 == 1.0, "every gram of the quote is in the source")
+    assert(!cont.keySet.exists(p => p._1 == 2L || p._2 == 2L),
+      "independent doc has no containment pair")
+    // the same planted pair is INVISIBLE to symmetric Jaccard at 0.5
+    val jac = rowsOf(Dedup.ngramJaccard(spark, d2))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)),
+      "jaccard ~ |A|/|B| stays under τ — that gap is what containment closes")
+  }
+
+  test("cluster stats histogram matches the fixture's cluster shape") {
+    // fixture: {0,1,2} one cluster of 3; docs 3 and 4 singletons
+    val r = rowsOf(Dedup.clusterStats(spark, dir))
+      .map(row => row.getLong(0) -> (row.getLong(1), row.getLong(2))).toMap
+    assert(r == Map(1L -> (2L, 2L), 3L -> (1L, 3L)), s"histogram: $r")
+  }
+
   test("shared cluster layer: one checkpointed assignment feeds all three consumers") {
     // the production contract from dedupClusters' scaladoc: materialize
     // the assignment ONCE, fan it out to split/inflation/keeper — and
