@@ -289,7 +289,22 @@ object Algorithms {
     var c = ids.join(deg, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("c"), lit(0L)).as("c"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // Early exit on the fixpoint: the iterate is monotone
+    // NON-INCREASING, so Σc is a convergence certificate — equal sums
+    // ⇒ identical values ⇒ every later round is a no-op, and the
+    // early-exited loop equals the full-budget unroll the oracle runs.
+    // The probe is a 1-row aggregate over the just-checkpointed
+    // (id, c) iterate — the kCore count() idiom, not a new job shape.
+    // DECIMAL(38,0): a wrapped long sum could collide two distinct
+    // iterates and exit early with a non-converged result
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def sumC(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("c").cast(dec0)), lit(0).cast(dec0)))
+        .head.getDecimal(0)
+    var prevSum = sumC(c)
+    var r = 0
+    var live = true
+    while (r < rounds && live) {
       val gathered = sym
         .join(c.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
         .select(col("u"), col("cv"))
@@ -302,8 +317,12 @@ object Algorithms {
         .join(h, Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("h"), lit(0L)).as("c"))
         .localCheckpoint(true)
+      val s = sumC(next)
+      live = s.compareTo(prevSum) != 0
+      prevSum = s
       releaseIterate(c)
       c = next
+      r += 1
     }
     c.select(col("id"), col("c").as("coreness"))
   }
@@ -425,24 +444,36 @@ object Algorithms {
     // total edge weight — invariant under coarsening, so every level
     // optimizes the SAME modularity. One 1-row driver action per level.
     val m = ce.agg(coalesce(sum(col("w")), lit(0L)).cast("long")).head.getLong(0)
-    var lbl = ids.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
-    for (r <- 1 to rounds) {
-      val sigma = lbl.join(ids, Seq("id"))
+    // the iterate carries k alongside the label: sigma becomes a plain
+    // aggregate (no per-round ids join) and the score chain reads
+    // (cur, k) in ONE iterate join instead of two
+    var lbl = ids.select(col("id"), col("k"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    // early exit needs TWO consecutive zero-move rounds: a round where
+    // the gated parity class stands pat says nothing about the OTHER
+    // class, whose argmax was computed but not applied — only
+    // back-to-back stands (both classes, same state) certify the
+    // fixpoint, after which every remaining round is a no-op and the
+    // early exit equals the oracle's full unroll
+    var stillRounds = 0
+    var r = 1
+    while (r <= rounds && stillRounds < 2) {
+      val sigma = lbl
         .groupBy(col("lbl").as("c"))
         .agg(sum(col("k")).as("st"), count(lit(1)).as("csz"))
       val gath = sym
         .join(lbl.select(col("id").as("v"), col("lbl").as("c")), Seq("v"))
         .repartition(col("u"))
         .groupBy(col("u").as("id"), col("c")).agg(sum(col("w")).cast(dec).as("kin"))
-      // the stay option rides as an explicit (id, own community, 0) row
-      // so isolated nodes and empty-neighbourhood communities compete
-      val cand = gath
-        .unionByName(lbl.select(col("id"), col("lbl").as("c"),
-          lit(0).cast(dec).as("kin")))
-        .groupBy(col("id"), col("c")).agg(sum(col("kin")).as("kin"))
+      // the stay option rides as an explicit (id, own community, 0)
+      // candidate row unioned BEFORE the score chain — no re-aggregate
+      // of the big gather: when the node has neighbours in its own
+      // community the gathered cur row (kin > 0) strictly dominates
+      // the zero stay row in the argmax, so the max is unchanged
+      val cand = gath.unionByName(
+        lbl.select(col("id"), col("lbl").as("c"), lit(0).cast(dec).as("kin")))
       val scored = cand
-        .join(ids, Seq("id"))
-        .join(lbl.withColumnRenamed("lbl", "cur"), Seq("id"))
+        .join(lbl.select(col("id"), col("k"), col("lbl").as("cur")), Seq("id"))
         .join(sigma, Seq("c"))
         // singleton-chase guard: stay is always a candidate; a
         // singleton target only from a larger-labeled community
@@ -458,17 +489,20 @@ object Algorithms {
         .select(col("id"), (-col("b.neg")).as("blbl"))
       // parity gate: only id % 2 == r % 2 adopts its argmax this round
       val next = lbl.join(best, Seq("id"))
-        .select(col("id"),
+        .select(col("id"), col("k"), col("lbl").as("old"),
           when(pmod(col("id"), lit(2)) === lit(r % 2), col("blbl"))
             .otherwise(col("lbl")).as("lbl"))
         .localCheckpoint(true)
+      val moved = next.filter(col("lbl") =!= col("old")).count()
+      stillRounds = if (moved == 0) stillRounds + 1 else 0
       releaseIterate(lbl)
-      lbl = next
+      lbl = next.select(col("id"), col("k"), col("lbl"))
+      r += 1
     }
     releaseIterate(sym)
     releaseIterate(ids)
     releaseIterate(ce)
-    lbl
+    lbl.select(col("id"), col("lbl"))
   }
 
   /** Louvain community detection (Blondel et al. 2008), deterministic
