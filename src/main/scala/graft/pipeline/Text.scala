@@ -518,6 +518,121 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Gopher-style rule filter --------------------------------------
+
+  /** Rule thresholds for [[gopherRules]] — the named per-document
+    * heuristics of Gopher's quality pipeline (Rae et al. 2021,
+    * "Scaling Language Models", table A1), with the word-count band
+    * rescaled to the synthetic corpus' 10–99-token documents (the
+    * paper's 50..100k band would pass everything; the RULES, not the
+    * constants, are the operator). */
+  val GopherMinTokens = 20L
+  val GopherMaxTokens = 80L
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaShare = 0.8
+  val GopherMinStopHits = 2L
+
+  /** Gopher-style rule-based quality filter — the industry-standard
+    * NAMED-RULE gate (vs [[quality]]'s scalar score): each document
+    * carries one boolean per rule — word-count band, mean-word-length
+    * band, symbol-to-word ratio cap ('#'/'…' words), minimum share of
+    * words containing an alphabetic character, and a ≥2-distinct-
+    * stopwords floor — plus the all-rules `keep` verdict, so a curation
+    * run can report WHICH rule rejected how much (the per-rule ablation
+    * every data paper publishes), not just how much was rejected.
+    *
+    * Exactness: every ratio is a single division of two exact integers,
+    * compared UNROUNDED (bit-identical cross-engine); the emitted copies
+    * are round-4 display values. Plan: one narrow scan-bound map over
+    * the token array, no shuffle, no UDFs — the final orderBy exists
+    * only for the oracle dump. `t_gopher_rules`. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val enWords = Stopwords.head._2
+    val mwl = col("sum_wlen").cast("double") / col("n_tokens")
+    val symR = col("n_symbol").cast("double") / col("n_tokens")
+    val alphaS = col("n_alpha").cast("double") / col("n_tokens")
+    toksOf(Docs.docs(spark, dir))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sum_wlen"),
+        size(filter(col("toks"),
+          t => t.contains("#") || t.contains("..."))).cast("long").as("n_symbol"),
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+        size(filter(array_distinct(col("toks")),
+          t => t.isin(enWords: _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(mwl, 4).as("mean_word_len"),
+        round(symR, 4).as("symbol_ratio"),
+        round(alphaS, 4).as("alpha_share"),
+        col("n_stop"),
+        (col("n_tokens") >= GopherMinTokens &&
+          col("n_tokens") <= GopherMaxTokens).cast("int").as("pass_len"),
+        (mwl >= GopherMinMeanWordLen &&
+          mwl <= GopherMaxMeanWordLen).cast("int").as("pass_word_len"),
+        (symR <= GopherMaxSymbolRatio).cast("int").as("pass_symbol"),
+        (alphaS >= GopherMinAlphaShare).cast("int").as("pass_alpha"),
+        (col("n_stop") >= GopherMinStopHits).cast("int").as("pass_stop"))
+      .withColumn("keep",
+        (col("pass_len") + col("pass_word_len") + col("pass_symbol") +
+          col("pass_alpha") + col("pass_stop") === 5).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Zipf fit ------------------------------------------------------
+
+  /** Vocabulary head size for [[zipfSlope]]'s least-squares fit. */
+  val ZipfTopK = 256
+
+  /** Zipf's-law fit over the corpus vocabulary — the one-row
+    * "does this corpus look like natural language" diagnostic (natural
+    * text shows log-frequency ≈ −1·log-rank; template-generated or
+    * boilerplate-flooded corpora bend the head of the curve): ordinary
+    * least squares of ln(freq) on ln(rank) over the [[ZipfTopK]] head.
+    *
+    * Scale shape: the vocabulary count is one map-side-combined
+    * aggregate; the head extraction is a global top-k on the
+    * (freq desc, token) total order — Spark's TakeOrdered partial
+    * top-k, NEVER a full sort — and everything after runs on ≤ k rows.
+    * Determinism: the four OLS sums fold over the head SORTED BY RANK
+    * (the [[entropy]] sorted-fold idiom), so both engines accumulate
+    * the same libm values in the same sequence; slope/intercept are
+    * round-4, far above ulp noise. `t_zipf_slope`. */
+  def zipfSlope(spark: SparkSession, dir: String, k: Int = ZipfTopK): DataFrame = {
+    val head = Docs.docs(spark, dir)
+      .select(explode(Docs.tokens).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+    val fold = head
+      .agg(count(lit(1)).as("k"),
+        // ascending struct sort on (−n, token) = the (n desc, token)
+        // rank order; the positional transform index is then the rank
+        sort_array(collect_list(struct((-col("n")).as("neg"), col("token"),
+          col("n")))).as("xs"))
+      .select(col("k"),
+        expr("transform(xs, (x, i) -> struct(CAST(i + 1 AS DOUBLE) AS r, CAST(x.n AS DOUBLE) AS f))").as("ps"))
+    fold.select(col("k").as("n_points"),
+      aggregate(transform(col("ps"), p => log(p.getField("r"))),
+        lit(0.0), (a, x) => a + x).as("sx"),
+      aggregate(transform(col("ps"), p => log(p.getField("f"))),
+        lit(0.0), (a, x) => a + x).as("sy"),
+      aggregate(transform(col("ps"),
+        p => log(p.getField("r")) * log(p.getField("f"))),
+        lit(0.0), (a, x) => a + x).as("sxy"),
+      aggregate(transform(col("ps"),
+        p => log(p.getField("r")) * log(p.getField("r"))),
+        lit(0.0), (a, x) => a + x).as("sxx"))
+      .select(col("n_points"),
+        round((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_points") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+        round((col("sy") - ((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_points") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n_points"), 4).as("intercept"))
+  }
+
   // ---- oracles -------------------------------------------------------
 
   private val ToksCte =
@@ -809,6 +924,71 @@ object Text {
            FROM t)
          SELECT doc_id, fingerprint, fingerprint % 1024 AS bucket
          FROM fp ORDER BY doc_id""",
+    "t_gopher_rules" -> {
+      val stopList = Stopwords.head._2.map(w => s"'$w'").mkString(",")
+      s"""$ToksCte,
+         r AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+               AS sum_wlen,
+             CAST(len(list_filter(toks,
+               w -> contains(w, '#') OR contains(w, '...'))) AS BIGINT)
+               AS n_symbol,
+             CAST(len(list_filter(toks,
+               w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(list_distinct(toks),
+               w -> w IN ($stopList))) AS BIGINT) AS n_stop
+           FROM t),
+         f AS (
+           SELECT doc_id, n_tokens,
+             ROUND(CAST(sum_wlen AS DOUBLE) / n_tokens, 4) AS mean_word_len,
+             ROUND(CAST(n_symbol AS DOUBLE) / n_tokens, 4) AS symbol_ratio,
+             ROUND(CAST(n_alpha AS DOUBLE) / n_tokens, 4) AS alpha_share,
+             n_stop,
+             CAST(n_tokens BETWEEN $GopherMinTokens AND $GopherMaxTokens
+                  AS INTEGER) AS pass_len,
+             CAST(CAST(sum_wlen AS DOUBLE) / n_tokens
+                  BETWEEN $GopherMinMeanWordLen AND $GopherMaxMeanWordLen
+                  AS INTEGER) AS pass_word_len,
+             CAST(CAST(n_symbol AS DOUBLE) / n_tokens <= $GopherMaxSymbolRatio
+                  AS INTEGER) AS pass_symbol,
+             CAST(CAST(n_alpha AS DOUBLE) / n_tokens >= $GopherMinAlphaShare
+                  AS INTEGER) AS pass_alpha,
+             CAST(n_stop >= $GopherMinStopHits AS INTEGER) AS pass_stop
+           FROM r)
+         SELECT *, CAST(pass_len + pass_word_len + pass_symbol + pass_alpha
+                        + pass_stop = 5 AS INTEGER) AS keep
+         FROM f ORDER BY doc_id"""
+    },
+    "t_zipf_slope" ->
+      s"""WITH tok AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+         top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT $ZipfTopK),
+         l AS (SELECT COUNT(*) AS k,
+                 list(struct_pack(r := CAST(rnk AS DOUBLE),
+                                  f := CAST(n AS DOUBLE)) ORDER BY rnk) AS ps
+               FROM (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token)
+                              AS rnk
+                     FROM top)),
+         s AS (SELECT k,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(ps, p -> ln(p.r))), (a, b) -> a + b) AS sx,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(ps, p -> ln(p.f))), (a, b) -> a + b) AS sy,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(ps, p -> ln(p.r) * ln(p.f))), (a, b) -> a + b)
+             AS sxy,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(ps, p -> ln(p.r) * ln(p.r))), (a, b) -> a + b)
+             AS sxx
+           FROM l)
+         SELECT CAST(k AS BIGINT) AS n_points,
+                ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 4) AS slope,
+                ROUND((sy - ((k * sxy - sx * sy) / (k * sxx - sx * sx)) * sx)
+                      / k, 4) AS intercept
+         FROM s""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -830,5 +1010,7 @@ object Text {
     "t_ttr"         -> (typeTokenRatio _),
     "t_pii_redact"  -> (piiRedact _),
     "t_bigram_lm"   -> (bigramLm _),
+    "t_gopher_rules" -> (gopherRules _),
+    "t_zipf_slope"  -> ((s: SparkSession, d: String) => zipfSlope(s, d)),
   )
 }

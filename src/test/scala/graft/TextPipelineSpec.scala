@@ -286,4 +286,43 @@ class TextPipelineSpec extends SparkSpec {
     assert(red(3L) == md5Of("nothing sensitive here at all"), "clean text is byte-identical")
     assert(r(2L).getLong(r(2L).fieldIndex("n_chars_redacted")) == "call <PHONE> now".length)
   }
+
+  test("gopher rules: per-rule flags and the all-rules keep verdict") {
+    // doc 0: 24 solid tokens + 'the' + 'a' → in the 20..80 band, 2
+    // distinct stopwords, no symbols, all-alpha → keep
+    val good = (Seq.fill(24)("word") ++ Seq("the", "a")).mkString(" ")
+    // doc 1: 3 tokens → fails the length band AND the stopword floor
+    val short = "word word word"
+    // doc 2: 26 tokens but 6 are '#' → symbol ratio 6/26 > 0.1 and
+    // alpha share 20/26 < 0.8 → fails both content rules
+    val symb = (Seq.fill(20)("word") ++ Seq.fill(6)("#")).mkString(" ")
+    val d = TestSession.docsFixture(Seq(
+      (0L, good, "en", "s", good.length.toLong),
+      (1L, short, "en", "s", short.length.toLong),
+      (2L, symb, "en", "s", symb.length.toLong)))
+    val r = rowsOf(Text.gopherRules(spark, d)).map(x => x.getLong(0) -> x).toMap
+    def flags(id: Long): (Int, Int, Int, Int, Int, Int) = {
+      val row = r(id)
+      def f(c: String) = row.getInt(row.fieldIndex(c))
+      (f("pass_len"), f("pass_word_len"), f("pass_symbol"), f("pass_alpha"),
+        f("pass_stop"), f("keep"))
+    }
+    assert(flags(0L) == ((1, 1, 1, 1, 1, 1)))
+    assert(flags(1L) == ((0, 1, 1, 1, 0, 0)))
+    assert(flags(2L) == ((1, 1, 0, 0, 0, 0)))
+    assert(r(0L).getLong(r(0L).fieldIndex("n_stop")) == 2L)
+    assert(r(2L).getDouble(r(2L).fieldIndex("symbol_ratio")) == 0.2308)
+  }
+
+  test("zipf slope: exact −1 fit on a perfect power-law vocabulary") {
+    // frequencies 12, 6, 4, 3 at ranks 1..4 satisfy f·r = 12 exactly,
+    // so ln f = ln 12 − 1·ln r and OLS recovers slope −1, intercept ln 12
+    val text = (Seq.fill(12)("t1") ++ Seq.fill(6)("t2") ++
+      Seq.fill(4)("t3") ++ Seq.fill(3)("t4")).mkString(" ")
+    val d = TestSession.docsFixture(Seq((0L, text, "en", "s", text.length.toLong)))
+    val row = rowsOf(Text.zipfSlope(spark, d)).head
+    assert(row.getLong(row.fieldIndex("n_points")) == 4L)
+    assert(row.getDouble(row.fieldIndex("slope")) == -1.0)
+    assert(row.getDouble(row.fieldIndex("intercept")) == 2.4849) // ln 12
+  }
 }
