@@ -90,6 +90,23 @@ object Algorithms {
   private def rebase(session: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
     session.createDataFrame(df.rdd, df.schema)
 
+  /** Re-root a CHECKPOINTED frame onto a fresh LogicalRDD with FLAT
+    * default stats — the guard that makes iterative kernels composable.
+    * `localCheckpoint` truncates the plan but CARRIES the origin plan's
+    * Catalyst statistics forward (Spark copies `originStats` so CBO
+    * still sees the pre-checkpoint estimate): a k-round loop whose
+    * rounds join the previous iterate multiplies those BigInt
+    * `sizeInBytes` every round, so the carried estimate's DIGIT COUNT
+    * grows geometrically with rounds. One kernel's worth is harmless;
+    * feeding one kernel's checkpointed output into ANOTHER kernel's
+    * loop compounds further until the stats visitor spends minutes in
+    * BigInteger multiplication (observed: Louvain(12 rounds) → CC hung
+    * the driver inside SizeInBytesOnlyStatsPlanVisitor). Cost: the
+    * fresh root deserializes the cached internal rows per downstream
+    * action — one narrow pass, no recompute of the upstream plan. */
+  private[graft] def freshStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   /** Release the executor blocks behind a SUPERSEDED loop iterate.
     * Eager `localCheckpoint(true)` pins each iterate's partitions in
     * executor storage; without explicit release a k-round loop holds k
@@ -555,6 +572,37 @@ object Algorithms {
     }
     releaseIterate(prevLbl) // mapping checkpoint was the last reader
     mapping
+  }
+
+  /** Leiden-style refinement kernel: split every community of `labels`
+    * (id, community) into its genuinely-CONNECTED parts — connected
+    * components restricted to the INTRA-community edges of `edges`
+    * (src, dst). Returns (node, community, refined_community, n_parts,
+    * was_split): refined label = min member id of the part (singletons
+    * included via the CC kernel's node-union contract), n_parts = how
+    * many parts the community fell into, was_split = the audit flag.
+    * The caller hands a CHECKPOINTED `labels` (see [[freshStats]] for
+    * why a loop output must be re-rooted before composing into another
+    * loop). Plan: two id-keyed joins filter the edge set, the CC
+    * kernel runs on a subset of its usual input, and the audit
+    * aggregate keys on |communities|. */
+  private[graft] def refinePartition(nodes: DataFrame, edges: DataFrame,
+                                     labels: DataFrame): DataFrame = {
+    val intra = edges
+      .join(labels.select(col("id").as("src"), col("community").as("ca")),
+        Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("community").as("cb")),
+        Seq("dst"))
+      .filter(col("ca") === col("cb"))
+      .select(col("src"), col("dst"))
+    val cc = connectedComponents(nodes, intra)
+    val joined = labels.join(cc, Seq("id"))
+    val parts = joined.groupBy(col("community"))
+      .agg(countDistinct(col("comp")).as("n_parts"))
+    joined.join(parts, Seq("community"))
+      .select(col("id").as("node"), col("community"),
+        col("comp").as("refined_community"), col("n_parts"),
+        (col("n_parts") > 1).cast("int").as("was_split"))
   }
 
   /** PageRank, fixed iteration count, damping d. The edge list is

@@ -432,6 +432,35 @@ object Clouds {
       .orderBy(col("node"))
   }
 
+  /** Leiden-style REFINEMENT of the Louvain partition — the
+    * well-known Louvain defect (Traag et al. 2019, "From Louvain to
+    * Leiden") is that a community can be INTERNALLY DISCONNECTED: the
+    * ΔQ argmax happily binds two dense sub-clouds through a node that
+    * later moves away, leaving a community whose induced subgraph has
+    * several components. The Leiden fix's core step re-expressed as a
+    * composition: run connected components on the INTRA-community edge
+    * set — each community splits into its genuinely-connected parts
+    * (refined label = min member id of the part, singletons included),
+    * plus the per-community part count and a was_split audit flag.
+    *
+    * Scale shape: one community-equality semi-filter over the
+    * thresholded edges (two id-keyed joins against the checkpointed
+    * Louvain assignment), then the standard CC kernel on a subset of
+    * the edges it would otherwise get — strictly cheaper than
+    * [[connectedComponents]] on the full graph; the audit aggregate
+    * keys on |communities|. `g_community_refine`. */
+  def communityRefine(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    // freshStats: the Louvain checkpoint carries 12 rounds of compounded
+    // join statistics; composed into CC's loop they grow until the stats
+    // visitor hangs the driver (see [[Algorithms.freshStats]])
+    val lbl = Algorithms.freshStats(
+      Algorithms.louvain(g.nodes, g.edges)).localCheckpoint(true)
+    Algorithms.refinePartition(g.nodes.select(col("id")),
+        g.edges.select(col("src"), col("dst")), lbl)
+      .orderBy(col("node"))
+  }
+
   /** Local clustering coefficient: how close each genome's neighbourhood
     * is to a clique — 2·triangles(v) / (deg(v)·(deg(v)−1)) over the
     * undirected thresholded graph. Within a phage cloud this separates
@@ -1226,7 +1255,10 @@ object Clouds {
     * weights — intra-community mass becomes self-loops) spliced
     * between them; the final projection composes level-1 labels
     * through level-2. */
-  private def louvainOracle(rounds: Int): String =
+  /** The full two-level Louvain chain as a reusable CTE block ending in
+    * `comm(node, community)` — shared by the g_louvain oracle and the
+    * g_community_refine composition. */
+  private def louvainCte(rounds: Int): String =
     s"""$OracleCte,
        lv1e AS MATERIALIZED (
          SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
@@ -1241,10 +1273,43 @@ object Clouds {
                      JOIN al$rounds y ON y.id = e.v
          GROUP BY 1, 2),
        lv2n AS (SELECT DISTINCT lbl AS id FROM al$rounds),
-       ${louvainLevelSql("b", "lv2n", "lv2e", rounds)}
-       SELECT a.id AS node, b.lbl AS community
-       FROM al$rounds a JOIN bl$rounds b ON b.id = a.lbl
-       ORDER BY node"""
+       ${louvainLevelSql("b", "lv2n", "lv2e", rounds)},
+       comm AS MATERIALIZED (
+         SELECT a.id AS node, b.lbl AS community
+         FROM al$rounds a JOIN bl$rounds b ON b.id = a.lbl)"""
+
+  private def louvainOracle(rounds: Int): String =
+    s"""${louvainCte(rounds)}
+       SELECT node, community FROM comm ORDER BY node"""
+
+  /** [[communityRefine]] replay: the Louvain chain's `comm`, an
+    * intra-community symmetrized edge set, the recursive-reach CC over
+    * it, and the per-community part audit. */
+  private def communityRefineOracle(rounds: Int): String =
+    s"""${louvainCte(rounds).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       intra AS MATERIALIZED (
+         SELECT e.src AS u, e.dst AS v
+         FROM edges e
+         JOIN comm x ON x.node = e.src
+         JOIN comm y ON y.node = e.dst
+         WHERE e.distance <= 0.10 AND x.community = y.community),
+       und AS (SELECT u, v FROM intra UNION ALL SELECT v, u FROM intra),
+       reach(u, v) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+       cc AS (SELECT u AS node, MIN(v) AS refined FROM reach GROUP BY u),
+       parts AS (
+         SELECT c.community, COUNT(DISTINCT cc.refined) AS n_parts
+         FROM comm c JOIN cc ON cc.node = c.node
+         GROUP BY c.community)
+       SELECT c.node, c.community, cc.refined AS refined_community,
+              CAST(p.n_parts AS BIGINT) AS n_parts,
+              CAST(p.n_parts > 1 AS INTEGER) AS was_split
+       FROM comm c
+       JOIN cc ON cc.node = c.node
+       JOIN parts p ON p.community = c.community
+       ORDER BY c.node"""
 
   private def labelPropOracle(rounds: Int): String =
     s"""${labelPropChain(rounds)}
@@ -1460,6 +1525,7 @@ object Clouds {
     "g_coreness" -> corenessOracle(Algorithms.CorenessRounds),
     "g_label_prop" -> labelPropOracle(Algorithms.LabelPropRounds),
     "g_louvain" -> louvainOracle(Algorithms.LouvainRounds),
+    "g_community_refine" -> communityRefineOracle(Algorithms.LouvainRounds),
     "g_modularity" -> modularityOracle(Algorithms.LabelPropRounds),
     "g_neighbor_jaccard" ->
       s"""$OracleCte,
@@ -1844,6 +1910,7 @@ object Clouds {
     "g_coreness"              -> corenessShells _,
     "g_label_prop"            -> labelProp _,
     "g_louvain"               -> louvain _,
+    "g_community_refine"      -> communityRefine _,
     "g_neighbor_jaccard"      -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),
     "g_neighbor_jaccard_capped" -> ((s: SparkSession, d: String) =>
                                     neighborJaccardCapped(s, d)),

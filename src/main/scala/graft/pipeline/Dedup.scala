@@ -752,6 +752,52 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** Sampling temperature for [[temperatureMix]] (the mC4 / XLM-R
+    * multilingual value; Conneau et al. 2020 §3.1). */
+  val MixTemperature = 0.3
+
+  /** Temperature-scaled language sampling weights — the OTHER standard
+    * mixing rule ([[mixWeights]] clips to a uniform target; this one
+    * SMOOTHS): sampling share qₗ ∝ pₗ^α with α=[[MixTemperature]], the
+    * mC4/XLM-R recipe that upsamples scarce languages and downsamples
+    * dominant ones without flattening to uniform. Emits per language
+    * the natural share p, the temperature share q, and the boost q/p a
+    * sampler multiplies into its keep rate.
+    *
+    * Exactness: the normalizer Z = Σ pₗ^α is a fold over the languages
+    * SORTED BY LANG (the [[Text.entropy]] sorted-fold idiom) so both
+    * engines accumulate identical libm pow values in identical order;
+    * emitted shares are round-6, far above pow's ±1-ulp freedom.
+    * Plan: one bounded per-language aggregate, one 1-row
+    * (total, lang-sorted share list) scalar broadcast back — the
+    * [[mixWeights]] shape; nothing grows with the corpus. Bounded-key
+    * caveat at 100 TB: |langs| is O(100), so the collect_list is a
+    * few-hundred-element array on one row. `d_temperature_mix`. */
+  def temperatureMix(spark: SparkSession, dir: String,
+                     alpha: Double = MixTemperature): DataFrame = {
+    val perLang = Docs.docs(spark, dir)
+      .select(col("lang"), size(Docs.tokens).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val z = perLang
+      .agg(sum(col("n_tokens")).as("total_tokens"),
+        sort_array(collect_list(struct(col("lang"), col("n_tokens")))).as("ls"))
+      .select(col("total_tokens"),
+        aggregate(
+          transform(col("ls"), x =>
+            pow(x.getField("n_tokens").cast("double") /
+              col("total_tokens").cast("double"), alpha)),
+          lit(0.0), (acc, x) => acc + x).as("z"))
+    val p = col("n_tokens").cast("double") / col("total_tokens").cast("double")
+    val q = pow(p, alpha) / col("z")
+    perLang.join(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(p, 6).as("token_share"),
+        round(q, 6).as("temp_share"),
+        round(q / p, 6).as("boost"))
+      .orderBy(col("lang"))
+  }
+
   // ---- deterministic stratified sampling ----------------------------
 
   /** Per-language keep rates in percent — the "data mixing" knob of a
@@ -1037,6 +1083,40 @@ object Dedup {
         (-col("best.negid")).as("keep_doc_id"),
         col("best.quality_score").as("best_quality"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** Cross-source near-dup OVERLAP matrix — "which pairs of sources
+    * copy each other": the near-dup pair list joined to each endpoint's
+    * source, canonicalized so (src1, src2) and (src2, src1) are ONE
+    * cell, with pair count, mean and max Jaccard per cell. The
+    * off-diagonal cells are the interesting ones (mirror sites,
+    * cross-crawl duplication); the diagonal is within-source
+    * redundancy. The curation use: choose ONE source of a
+    * highly-overlapping pair before spending dedup compute.
+    *
+    * Exactness: mean = DECIMAL(18,6) sum of the round-6 jaccards (an
+    * order-independent exact sum — the [[corpusReport]] idiom) divided
+    * once, unrounded. Plan: the pair list is near-dup-bounded (NOT
+    * corpus-bounded); two id-keyed hash joins against a narrow
+    * (doc_id, source) projection; the final aggregate's key space is
+    * |sources|² — tiny at any corpus size. `d_source_overlap`. */
+  def sourceOverlap(spark: SparkSession, dir: String,
+                    minSim: Double = 0.5): DataFrame = {
+    val src = Docs.docs(spark, dir).select(col("doc_id"), col("source"))
+    ngramJaccard(spark, dir, minSim)
+      .join(src.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("source", "src_a"), Seq("a"))
+      .join(src.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("source", "src_b"), Seq("b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("jaccard"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("jaccard").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 
   /** Per-language token budget for [[tokenBudget]] — sized so the
@@ -1625,6 +1705,59 @@ object Dedup {
       s"""WITH RECURSIVE $ClusterReachCte
           SELECT u AS doc_id, MIN(v) AS cluster_id, u = MIN(v) AS keep
           FROM reach GROUP BY u ORDER BY doc_id""",
+    "d_source_overlap" ->
+      s"""WITH $KeptGramCte,
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+          inter AS (
+            SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+            FROM kept g1 JOIN kept g2
+              ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+            GROUP BY g1.doc_id, g2.doc_id),
+          pairs AS (
+            SELECT a, b,
+              ROUND(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6)
+                AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+          sp AS (
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b, jaccard
+            FROM pairs
+            JOIN documents da ON da.doc_id = pairs.a
+            JOIN documents db ON db.doc_id = pairs.b)
+          SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CAST(jaccard AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mean_jaccard,
+                 MAX(jaccard) AS max_jaccard
+          FROM sp GROUP BY source_a, source_b
+          ORDER BY source_a, source_b""",
+    "d_temperature_mix" ->
+      s"""WITH perl AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                     AS n_tokens
+            FROM documents GROUP BY lang),
+          tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   list(n_tokens ORDER BY lang) AS ls
+            FROM perl),
+          zc AS (
+            SELECT total_tokens,
+              list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(ls, x ->
+                  pow(CAST(x AS DOUBLE) / total_tokens, $MixTemperature))),
+                (a, b) -> a + b) AS z
+            FROM tot)
+          SELECT lang, n_docs, n_tokens,
+            ROUND(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS token_share,
+            ROUND(pow(CAST(n_tokens AS DOUBLE) / total_tokens,
+                      $MixTemperature) / z, 6) AS temp_share,
+            ROUND(pow(CAST(n_tokens AS DOUBLE) / total_tokens,
+                      $MixTemperature) / z /
+                  (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS boost
+          FROM perl, zc ORDER BY lang""",
     "d_dup_inflation" ->
       s"""WITH RECURSIVE $ClusterReachCte,
           clus AS (SELECT u AS doc_id, u = MIN(v) AS keep
@@ -1742,5 +1875,7 @@ object Dedup {
     "d_curation_e2e"  -> ((s: SparkSession, d: String) => curationE2e(s, d)),
     "d_corpus_report" -> (corpusReport _),
     "d_mix_weights"   -> (mixWeights _),
+    "d_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
+    "d_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
   )
 }

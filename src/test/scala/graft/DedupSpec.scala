@@ -589,4 +589,40 @@ class DedupSpec extends SparkSpec {
       assert(span >= 1)
     }
   }
+
+  test("temperature mix: shares normalize, scarce languages boosted, dominant cut") {
+    // en dominates 4:1 over each of de/fr — α=0.3 smoothing must pull
+    // shares toward (not onto) uniform
+    val d = TestSession.docsFixture(Seq(
+      (0L, Seq.fill(80)("w").mkString(" "), "en", "s", 160L),
+      (1L, Seq.fill(20)("w").mkString(" "), "de", "s", 40L),
+      (2L, Seq.fill(20)("w").mkString(" "), "fr", "s", 40L)))
+    val r = rowsOf(Dedup.temperatureMix(spark, d))
+      .map(row => row.getString(0) -> row).toMap
+    def f(l: String, c: String) = r(l).getDouble(r(l).fieldIndex(c))
+    assert(math.abs(r.values.map(row =>
+      row.getDouble(row.fieldIndex("temp_share"))).sum - 1.0) < 1e-4,
+      "temperature shares form a distribution")
+    assert(f("en", "boost") < 1.0, "dominant language downsampled")
+    assert(f("de", "boost") > 1.0, "scarce language upsampled")
+    assert(f("de", "temp_share") < f("en", "temp_share"),
+      "smoothing must not invert the ordering")
+    // α=0.3 exact check: p_en=2/3, p_de=p_fr=1/6
+    val z = math.pow(2.0 / 3, 0.3) + 2 * math.pow(1.0 / 6, 0.3)
+    assert(math.abs(f("en", "temp_share") - math.pow(2.0 / 3, 0.3) / z) < 1e-6)
+  }
+
+  test("source overlap: planted cross-source near-dups land in the right cell") {
+    val r = rowsOf(Dedup.sourceOverlap(spark, dir))
+      .map(row => ((row.getString(0), row.getString(1)),
+        (row.getLong(2), row.getDouble(3), row.getDouble(4)))).toMap
+    // fixture pairs: (0,1) src0-src0, (0,2) src0-src1, (1,2) src0-src1
+    val (diagN, diagMean, _) = r(("src0", "src0"))
+    assert(diagN == 1L, "one within-src0 pair (0,1)")
+    val (crossN, crossMean, crossMax) = r(("src0", "src1"))
+    assert(crossN == 2L, "pairs (0,2) and (1,2) cross the sources")
+    assert(crossMax == 1.0, "the exact duplicate (0,2) dominates the cell max")
+    assert(crossMean > diagMean * 0.5 && crossMean <= 1.0)
+    assert(!r.contains(("src1", "src1")), "no within-src1 pair exists")
+  }
 }

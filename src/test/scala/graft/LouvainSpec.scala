@@ -107,4 +107,35 @@ class LouvainSpec extends SparkSpec {
     assert(qLouvain >= qLp - 1e-9,
       s"driver graph: Q(louvain)=$qLouvain < Q(label_prop)=$qLp")
   }
+
+  test("refinePartition splits a planted internally-disconnected community") {
+    // community 100 = {1,2,3} ∪ {10,11,12} with NO edge between the two
+    // triangles — the Louvain defect Leiden repairs; community 200 is a
+    // connected path; node 99 is a singleton community
+    val labels = Seq((1L, 100L), (2L, 100L), (3L, 100L),
+      (10L, 100L), (11L, 100L), (12L, 100L),
+      (20L, 200L), (21L, 200L), (22L, 200L), (99L, 99L))
+      .toDF("id", "community").localCheckpoint(true)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 22L),
+      // inter-community edge: must NOT link parts of different communities
+      (3L, 20L)).toDF("src", "dst")
+    val nodes = labels.select(col("id"))
+    val got = Algorithms.refinePartition(nodes, edges, labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // split community: two refined parts, min-id labels, flagged
+    assert(got(1L) == ((100L, 1L, 2L, 1)))
+    assert(got(2L) == ((100L, 1L, 2L, 1)))
+    assert(got(3L) == ((100L, 1L, 2L, 1)),
+      "the 3–20 inter-community edge must not leak into the refinement")
+    assert(got(10L) == ((100L, 10L, 2L, 1)))
+    assert(got(12L) == ((100L, 10L, 2L, 1)))
+    // connected community: untouched, unflagged
+    assert(got(20L) == ((200L, 20L, 1L, 0)))
+    assert(got(22L) == ((200L, 20L, 1L, 0)))
+    // singleton community: its own part
+    assert(got(99L) == ((99L, 99L, 1L, 0)))
+  }
 }
