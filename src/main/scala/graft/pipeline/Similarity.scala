@@ -657,7 +657,16 @@ object Similarity {
     * addition — divided by the member count in double at the end.
     * Clusters that lose all members drop out in both engines alike. */
   def kmeans(spark: SparkSession, dir: String,
-             k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+             k: Int = KmeansK, iters: Int = KmeansIters): DataFrame =
+    kmeansWithCentroids(spark, dir, k, iters)._2.orderBy(col("vec_id"))
+
+  /** [[kmeans]] exposing its working state — (checkpointed vectors,
+    * final assignment, final centroids) — so downstream evaluations
+    * ([[silhouette]]) reuse the SAME converged state instead of
+    * re-running Lloyd passes. */
+  private def kmeansWithCentroids(spark: SparkSession, dir: String,
+                                  k: Int = KmeansK, iters: Int = KmeansIters)
+      : (DataFrame, DataFrame, DataFrame) = {
     val v = vectors(spark, dir).localCheckpoint(true)
     var cent = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
@@ -688,7 +697,52 @@ object Similarity {
       cent = newCent
       assign = assignTo(cent)
     }
-    assign.orderBy(col("vec_id"))
+    (v, assign, cent)
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the scalable
+    * clustering-quality report (Rousseeuw 1987's silhouette needs the
+    * O(n²) pairwise matrix; the standard large-scale variant measures
+    * each point against CENTROIDS instead, O(n·k)): a(i) = cosine
+    * distance to the own-cluster centroid, b(i) = min distance to any
+    * other centroid, s(i) = (b−a)/max(a,b). Emits per-cluster member
+    * count and mean a / b / silhouette — near-zero or negative means
+    * the cluster is not separated (its points sit as close to a rival
+    * centroid as to their own).
+    *
+    * Exactness: the k sims per point are round-4 (the [[kmeans]]
+    * contract), so a and b are exact IEEE `1 − sim` doubles and s is
+    * one deterministic division rounded to 6; means are DECIMAL-exact
+    * sums divided once. Plan: one broadcast(k rows) cross join over
+    * the checkpointed vectors + two keyed aggregates — the same shape
+    * as a Lloyd assignment pass, nothing is O(n²). `s_silhouette`. */
+  def silhouette(spark: SparkSession, dir: String,
+                 k: Int = KmeansK, iters: Int = KmeansIters): DataFrame = {
+    val (v, assign, cent) = kmeansWithCentroids(spark, dir, k, iters)
+    val sims = v.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        round(arrayDot(col("v"), col("cv")) / (col("norm") * col("cn")), 4)
+          .as("sim"))
+    val ab = sims
+      .join(assign.select(col("vec_id"), col("cluster_id")), Seq("vec_id"))
+      .groupBy(col("vec_id"), col("cluster_id"))
+      .agg(max(when(col("cid") === col("cluster_id"), lit(1.0) - col("sim")))
+        .as("da"),
+        min(when(col("cid") =!= col("cluster_id"), lit(1.0) - col("sim")))
+          .as("db"))
+    val s = when(greatest(col("da"), col("db")) > 0,
+      round((col("db") - col("da")) / greatest(col("da"), col("db")), 6))
+      .otherwise(lit(0.0))
+    ab.select(col("cluster_id"), col("da"), col("db"), s.as("s"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("da").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean_a"),
+        (sum(col("db").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean_b"),
+        (sum(col("s").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean_silhouette"))
+      .orderBy(col("cluster_id"))
   }
 
   /** Clustering-quality evaluation against the corpus' gold `label`
@@ -1079,6 +1133,37 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
+    "s_silhouette" -> {
+      val last = KmeansIters
+      val cent = s"c${KmeansIters - 1}"
+      s"""${kmeansCtePrelude(KmeansK.toString, KmeansIters)},
+         sims AS (
+           SELECT e.vec_id, c.cid,
+                  ROUND(list_cosine_similarity(e.v, c.cv), 4) AS sim
+           FROM e CROSS JOIN $cent c),
+         ab AS (
+           SELECT s.vec_id, a.cluster_id,
+                  MAX(CASE WHEN s.cid = a.cluster_id
+                           THEN 1.0 - s.sim END) AS da,
+                  MIN(CASE WHEN s.cid <> a.cluster_id
+                           THEN 1.0 - s.sim END) AS db
+           FROM sims s JOIN a$last a USING (vec_id)
+           GROUP BY s.vec_id, a.cluster_id),
+         sil AS (
+           SELECT cluster_id, da, db,
+                  CASE WHEN GREATEST(da, db) > 0
+                       THEN ROUND((db - da) / GREATEST(da, db), 6)
+                       ELSE 0.0 END AS s
+           FROM ab)
+         SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+                CAST(SUM(CAST(da AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                  AS mean_a,
+                CAST(SUM(CAST(db AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                  AS mean_b,
+                CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                  AS mean_silhouette
+         FROM sil GROUP BY cluster_id ORDER BY cluster_id"""
+    },
     // the trained assignment CTE is shared with the kmeans oracle; the
     // argmax replays max(struct(cnt, -label)) as (cnt DESC, label) rank
     "s_cluster_purity" ->
@@ -1270,6 +1355,7 @@ object Similarity {
     "s_range_search"      -> ((s: SparkSession, d: String) => rangeSearch(s, d)),
     "s_ivf_ann"           -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "s_kmeans"            -> ((s: SparkSession, d: String) => kmeans(s, d)),
+    "s_silhouette"        -> ((s: SparkSession, d: String) => silhouette(s, d)),
     "s_cluster_purity"    -> ((s: SparkSession, d: String) => clusterPurity(s, d)),
     "s_ann_recall"        -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "s_pq_ann"            -> ((s: SparkSession, d: String) => pqAnn(s, d)),

@@ -412,4 +412,28 @@ class SimilaritySpec extends SparkSpec {
     got.filter(_.getString(0) == "lsh").foreach(r => assert(r.getLong(3) >= 1L,
       s"lsh query ${r.getLong(1)}: the recovered twin alone guarantees a hit"))
   }
+
+  test("silhouette: covers every member, bounded in [-1,1], a>=0, b above a on average") {
+    val rows = rowsOf(Similarity.silhouette(spark, dir))
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_members"))).sum == 30L,
+      "every vector contributes to exactly one cluster row")
+    rows.foreach { r =>
+      val (a, b, s) = (r.getDouble(r.fieldIndex("mean_a")),
+        r.getDouble(r.fieldIndex("mean_b")),
+        r.getDouble(r.fieldIndex("mean_silhouette")))
+      assert(a >= 0.0 && a <= 2.0, s"own-centroid cosine distance in range: $a")
+      assert(b >= 0.0 && b <= 2.0, s"rival-centroid distance in range: $b")
+      assert(s >= -1.0 && s <= 1.0, s"silhouette bounded: $s")
+      // Lloyd assigns each point to its NEAREST centroid at round end,
+      // so per-point a <= b always — the cluster means inherit it
+      assert(a <= b + 1e-9, s"assignment optimality violated: a=$a b=$b")
+      assert(s >= 0.0, "centroid-silhouette of a Lloyd assignment is non-negative")
+    }
+    // the planted twin clusters are tight: overall mean silhouette is
+    // decisively positive, not boundary noise
+    val n = rows.map(_.getLong(rows.head.fieldIndex("n_members"))).sum.toDouble
+    val overall = rows.map(r => r.getDouble(r.fieldIndex("mean_silhouette")) *
+      r.getLong(r.fieldIndex("n_members"))).sum / n
+    assert(overall > 0.1, s"overall silhouette $overall should be decisively positive")
+  }
 }
