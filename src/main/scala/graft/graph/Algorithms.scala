@@ -574,6 +574,85 @@ object Algorithms {
     mapping
   }
 
+  /** Borůvka round cap for [[boruvkaMst]]: components at least HALVE
+    * every round, so 16 covers components of 2^16 nodes; the loop
+    * early-exits the round after no component has an outgoing edge. */
+  val MstMaxRounds = 16
+
+  /** Minimum spanning FOREST via distributed Borůvka — the classic
+    * O(E log V) parallel MST (Borůvka 1926; the algorithm of choice on
+    * shared-nothing engines because every round is two keyed
+    * aggregates, never a global sort): each round, every component
+    * picks its lightest outgoing edge under the TOTAL order
+    * (w, u, v) — unique since canonical (u, v) is unique — the picked
+    * edges join the forest, and touching components contract via the
+    * CC kernel on the (component, partner) merge graph, which shrinks
+    * by ≥2× per round. Deterministic by construction: min over a total
+    * order, min-label contraction — no randomness, so a SQL oracle
+    * replays it round for round.
+    *
+    * Input: `nodes` (id), `edges` (u, v, w) with u < v canonical and
+    * (u, v) distinct. Returns (forest (u, v, w), final components
+    * (id, c)) — the component table doubles as the graph's connected
+    * components (Borůvka has converged exactly when every component is
+    * edge-saturated), which the weight report reuses for free.
+    *
+    * Scale shape per round: the full edge set re-labels through two
+    * id-keyed hash joins against the (shrinking, checkpointed)
+    * component table — the unavoidable Borůvka cost; the pick is one
+    * map-side-combined struct-min per component; the contraction CC
+    * runs on a merge graph whose size is |components|, not |V|.
+    * [[freshStats]] between rounds keeps the nested-kernel composition
+    * from compounding Catalyst stats ([[refinePartition]]'s lesson). */
+  private[graft] def boruvkaMst(nodesIn: DataFrame, edgesIn: DataFrame,
+                                maxRounds: Int = MstMaxRounds)
+      : (DataFrame, DataFrame) = {
+    val edges = edgesIn.select(col("u"), col("v"), col("w"))
+      .localCheckpoint(true)
+    var comp = nodesIn.select(col("id"), col("id").as("c"))
+      .localCheckpoint(true)
+    val empty = edges.limit(0).localCheckpoint(true)
+    var forest = empty
+    var r = 0
+    var live = true
+    while (r < maxRounds && live) {
+      val ce = edges
+        .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
+        .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+      val e = struct(col("w"), col("u"), col("v"), col("o"))
+      val out = ce.select(col("cu").as("cc"), col("w"), col("u"), col("v"),
+          col("cv").as("o")).select(col("cc"), e.as("e"))
+        .union(ce.select(col("cv").as("cc"), col("w"), col("u"), col("v"),
+          col("cu").as("o")).select(col("cc"), e.as("e")))
+      // ONE action per round: the pick checkpoint materializes the
+      // aggregate; the emptiness probe reads the cached result
+      val pick = out.groupBy(col("cc")).agg(min(col("e")).as("e"))
+        .select(col("cc"), col("e.w").as("w"), col("e.u").as("u"),
+          col("e.v").as("v"), col("e.o").as("o"))
+        .localCheckpoint(true)
+      if (pick.isEmpty) live = false
+      else {
+        forest = forest.union(
+          pick.select(col("u"), col("v"), col("w")).distinct())
+        val mp = pick.select(least(col("cc"), col("o")).as("src"),
+          greatest(col("cc"), col("o")).as("dst")).distinct()
+        val cmap = connectedComponents(
+          comp.select(col("c").as("id")).distinct(), mp)
+        val next = freshStats(
+          comp.join(cmap.withColumnRenamed("id", "c"), Seq("c"))
+            .select(col("id"), col("comp").as("c"))).localCheckpoint(true)
+        releaseIterate(comp)
+        comp = next
+      }
+      r += 1
+    }
+    // rounds' picks are disjoint (a chosen edge becomes intra-component
+    // immediately), so the union needs no cross-round dedup; checkpoint
+    // so both consumers (edge list + weight report) materialize once
+    (forest.localCheckpoint(true), comp)
+  }
+
   /** Leiden-style refinement kernel: split every community of `labels`
     * (id, community) into its genuinely-CONNECTED parts — connected
     * components restricted to the INTRA-community edges of `edges`

@@ -523,6 +523,50 @@ object Clouds {
       .orderBy(col("component"))
   }
 
+  /** Minimum spanning forest of the thresholded similarity graph — the
+    * "cloud backbone": the cheapest edge set that keeps every cloud
+    * connected, the standard skeleton for dendrogram-style cloud
+    * browsing (cutting the forest's heaviest edges = single-linkage
+    * clustering at any finer threshold, for free). Distributed Borůvka
+    * via [[Algorithms.boruvkaMst]]; emits the forest edge list
+    * (u, v, distance). `g_mst`. */
+  def mst(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val (forest, _) = Algorithms.boruvkaMst(g.nodes.select(col("id")),
+      g.edges.select(col("src").as("u"), col("dst").as("v"),
+        col("distance").as("w")))
+    forest.select(col("u"), col("v"), col("w").as("distance"))
+      .orderBy(col("u"), col("v"))
+  }
+
+  /** Per-cloud spanning-tree cost report over [[mst]]'s forest: node
+    * count, forest edge count (= n_nodes − 1, the tree invariant the
+    * spec asserts) and decimal-exact total backbone weight per
+    * component. Borůvka's final component table IS the graph's
+    * connected components (convergence = edge saturation), so the
+    * report rides the kernel's own state — no second CC run.
+    * `g_mst_weight`. */
+  def mstWeight(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val (forest, comp) = Algorithms.boruvkaMst(g.nodes.select(col("id")),
+      g.edges.select(col("src").as("u"), col("dst").as("v"),
+        col("distance").as("w")))
+    val nodeStats = comp.groupBy(col("c").as("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val forestStats = forest
+      .join(comp.select(col("id").as("u"), col("c")), Seq("u"))
+      .groupBy(col("c").as("component"))
+      .agg(count(lit(1)).as("n_mst_edges"),
+        sum(col("w").cast(DecimalType(18, 12))).as("ws"))
+    nodeStats.join(forestStats, Seq("component"), "left_outer")
+      .select(col("component"), col("n_nodes"),
+        coalesce(col("n_mst_edges"), lit(0L)).as("n_mst_edges"),
+        when(col("n_mst_edges").isNotNull,
+          round(col("ws").cast("double"), 6)).otherwise(lit(0.0))
+          .as("total_weight"))
+      .orderBy(col("component"))
+  }
+
   /** Degree assortativity of the similarity graph — the Pearson
     * correlation between the total degrees at the two endpoints of
     * every edge (Newman 2002, "Assortative mixing in networks"):
@@ -1311,6 +1355,80 @@ object Clouds {
        JOIN parts p ON p.community = c.community
        ORDER BY c.node"""
 
+  /** Unrolled Borůvka rounds for the [[mst]] oracle. Components at
+    * least halve per round, and edges never cross nations in the
+    * driver graph, so 8 rounds cover clouds of 2^8 nodes — far above
+    * the per-nation cloud sizes at the oracle SFs (≤60 at sf0.01);
+    * converged rounds are no-ops on both engines. */
+  private val MstOracleRounds = 8
+
+  /** One unrolled Borůvka round: inter-component edges → per-component
+    * lightest pick under the (w, u, v) total order → recursive-reach
+    * contraction of the (component, partner) merge graph (the exact
+    * mirror of [[Algorithms.boruvkaMst]]'s CC-kernel contraction). */
+  private def mstRoundSql(r: Int): String =
+    s"""ce$r AS (
+         SELECT e.u, e.v, e.w, x.c AS cu, y.c AS cv
+         FROM ew e
+         JOIN comp${r - 1} x ON x.id = e.u
+         JOIN comp${r - 1} y ON y.id = e.v
+         WHERE x.c <> y.c),
+       out$r AS (
+         SELECT cu AS cc, w, u, v, cv AS o FROM ce$r
+         UNION ALL SELECT cv, w, u, v, cu FROM ce$r),
+       pick$r AS MATERIALIZED (
+         SELECT cc, w, u, v, o FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY cc
+                       ORDER BY w, u, v) AS rn
+           FROM out$r) WHERE rn = 1),
+       mp$r AS (SELECT DISTINCT LEAST(cc, o) AS a, GREATEST(cc, o) AS b
+                FROM pick$r),
+       mund$r AS (SELECT a AS x, b AS y FROM mp$r
+                  UNION ALL SELECT b, a FROM mp$r),
+       reach$r(x, y) AS (
+         SELECT c, c FROM (SELECT DISTINCT c FROM comp${r - 1})
+         UNION
+         SELECT rr.x, m.y FROM reach$r rr JOIN mund$r m ON rr.y = m.x),
+       cm$r AS (SELECT x AS c, MIN(y) AS nc FROM reach$r GROUP BY x),
+       comp$r AS MATERIALIZED (
+         SELECT t.id, m.nc AS c FROM comp${r - 1} t JOIN cm$r m ON m.c = t.c)"""
+
+  /** Shared Borůvka chain ending in `fo(u, v, w)` (the deduped forest)
+    * and `comp$rounds(id, c)` (the converged components). */
+  private def mstCte(rounds: Int): String = {
+    val blocks = (1 to rounds).map(mstRoundSql).mkString(",\n")
+    val union = (1 to rounds).map(i => s"SELECT u, v, w FROM pick$i")
+      .mkString(" UNION ALL ")
+    s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       ew AS MATERIALIZED (
+         SELECT src AS u, dst AS v, distance AS w
+         FROM edges WHERE distance <= 0.10),
+       comp0 AS MATERIALIZED (SELECT id, id AS c FROM nodes),
+       $blocks,
+       fo AS MATERIALIZED (SELECT DISTINCT u, v, w FROM ($union))"""
+  }
+
+  private def mstOracle(rounds: Int): String =
+    s"""${mstCte(rounds)}
+       SELECT u, v, w AS distance FROM fo ORDER BY u, v"""
+
+  private def mstWeightOracle(rounds: Int): String =
+    s"""${mstCte(rounds)},
+       cstat AS (SELECT c AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+                 FROM comp$rounds GROUP BY c),
+       fstat AS (SELECT x.c AS component,
+                        CAST(COUNT(*) AS BIGINT) AS n_mst_edges,
+                        SUM(CAST(f.w AS DECIMAL(18,12))) AS ws
+                 FROM fo f JOIN comp$rounds x ON x.id = f.u
+                 GROUP BY x.c)
+       SELECT c.component, c.n_nodes,
+              COALESCE(f.n_mst_edges, CAST(0 AS BIGINT)) AS n_mst_edges,
+              CASE WHEN f.n_mst_edges IS NOT NULL
+                   THEN ROUND(CAST(f.ws AS DOUBLE), 6) ELSE 0.0 END
+                AS total_weight
+       FROM cstat c LEFT JOIN fstat f ON f.component = c.component
+       ORDER BY c.component"""
+
   private def labelPropOracle(rounds: Int): String =
     s"""${labelPropChain(rounds)}
        SELECT id AS node, lbl AS community FROM l$rounds ORDER BY node"""
@@ -1526,6 +1644,8 @@ object Clouds {
     "g_label_prop" -> labelPropOracle(Algorithms.LabelPropRounds),
     "g_louvain" -> louvainOracle(Algorithms.LouvainRounds),
     "g_community_refine" -> communityRefineOracle(Algorithms.LouvainRounds),
+    "g_mst" -> mstOracle(MstOracleRounds),
+    "g_mst_weight" -> mstWeightOracle(MstOracleRounds),
     "g_modularity" -> modularityOracle(Algorithms.LabelPropRounds),
     "g_neighbor_jaccard" ->
       s"""$OracleCte,
@@ -1911,6 +2031,8 @@ object Clouds {
     "g_label_prop"            -> labelProp _,
     "g_louvain"               -> louvain _,
     "g_community_refine"      -> communityRefine _,
+    "g_mst"                   -> mst _,
+    "g_mst_weight"            -> mstWeight _,
     "g_neighbor_jaccard"      -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),
     "g_neighbor_jaccard_capped" -> ((s: SparkSession, d: String) =>
                                     neighborJaccardCapped(s, d)),

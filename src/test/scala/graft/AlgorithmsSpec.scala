@@ -159,4 +159,53 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got(4L).contains(4.0), "1→2→3→4 beats 1→2→4")
     assert(got(5L).isEmpty && got(6L).isEmpty, "unreachable stays null")
   }
+
+  test("boruvka MST matches a hand-checked tree and keeps the forest invariant") {
+    // square 1-2-3-4 with a heavy diagonal and a separate edge 5-6:
+    // MST of the square = the three cheapest sides; diagonal excluded
+    val edges = Seq(
+      (1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 4L, 1.5), (1L, 4L, 4.0),
+      (1L, 3L, 9.0), (5L, 6L, 7.0)).toDF("u", "v", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val (forest, comp) = Algorithms.boruvkaMst(nodes, edges)
+    val f = forest.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(f == Set((1L, 2L, 1.0), (2L, 3L, 2.0), (3L, 4L, 1.5), (5L, 6L, 7.0)))
+    val c = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(c).size == 1, "square contracts to one component")
+    assert(c(5L) == c(6L) && c(5L) != c(1L))
+    assert(c(7L) == 7L, "isolated node is its own component")
+  }
+
+  test("boruvka MST equals Kruskal's weight on the driver graph") {
+    val g = graft.graph.TestGraph.graph(spark, SF)
+      .filterEdges(col("distance") <= graft.graph.TestGraph.QueryThreshold)
+    val edges = g.edges.select(col("src").as("u"), col("dst").as("v"),
+      col("distance").as("w"))
+    val nodes = g.nodes.select(col("id"))
+    val (forest, comp) = Algorithms.boruvkaMst(nodes, edges)
+    val fRows = forest.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nComp = comp.select(col("c")).distinct().count()
+    val nNodes = nodes.count()
+    assert(fRows.length == nNodes - nComp, "forest invariant |F| = |V| - #components")
+    // independent yardstick: driver-side Kruskal with union-find on the
+    // collected edge list (sf0.001 is small enough to collect in a spec)
+    val all = edges.collect().map(r => (r.getDouble(2), r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    var kruskalWeight = BigDecimal(0)
+    var kruskalEdges = 0
+    all.foreach { case (w, u, v) =>
+      if (find(u) != find(v)) {
+        parent(find(u)) = find(v); kruskalWeight += BigDecimal(w); kruskalEdges += 1
+      }
+    }
+    assert(fRows.length == kruskalEdges, "same forest size as Kruskal")
+    val boruvkaWeight = fRows.map(e => BigDecimal(e._3)).sum
+    assert((boruvkaWeight - kruskalWeight).abs < BigDecimal("1e-9"),
+      s"same total weight: boruvka=$boruvkaWeight kruskal=$kruskalWeight")
+  }
 }
