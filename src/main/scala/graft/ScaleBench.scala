@@ -113,6 +113,11 @@ object ScaleBench {
         edges.select(col("src"), col("dst"))
           .unionByName(edges.select(col("dst").as("src"), col("src").as("dst"))))
     }
+    timed("boruvka_mst") {
+      Algorithms.boruvkaMst(nodes,
+        edges.select(col("src").as("u"), col("dst").as("v"),
+          col("distance").as("w")))._1
+    }
     timed("sssp") {
       Algorithms.shortestPaths(nodes,
         edges.withColumnRenamed("distance", "weight")

@@ -592,10 +592,17 @@ object Algorithms {
     * replays it round for round.
     *
     * Input: `nodes` (id), `edges` (u, v, w) with u < v canonical and
-    * (u, v) distinct. Returns (forest (u, v, w), final components
-    * (id, c)) — the component table doubles as the graph's connected
-    * components (Borůvka has converged exactly when every component is
-    * edge-saturated), which the weight report reuses for free.
+    * (u, v) distinct. The edge frame is referenced EVERY round, so the
+    * caller passes it MATERIALIZED (checkpointed or scan-cheap) — the
+    * kernel deliberately does NOT checkpoint it: a second pinned copy
+    * of the biggest table in the job is exactly the duplicated-edge-
+    * checkpoint OOM the betweenness kernel hit at the 150k/85M scale
+    * point (and this kernel re-hit, measured — 8g heap died in the
+    * round-1 pick until the copy was removed). Returns (forest
+    * (u, v, w), final components (id, c)) — the component table
+    * doubles as the graph's connected components (Borůvka has
+    * converged exactly when every component is edge-saturated), which
+    * the weight report reuses for free.
     *
     * Scale shape per round: the full edge set re-labels through two
     * id-keyed hash joins against the (shrinking, checkpointed)
@@ -607,9 +614,23 @@ object Algorithms {
   private[graft] def boruvkaMst(nodesIn: DataFrame, edgesIn: DataFrame,
                                 maxRounds: Int = MstMaxRounds)
       : (DataFrame, DataFrame) = {
-    val edges = edgesIn.select(col("u"), col("v"), col("w"))
-      .localCheckpoint(true)
-    var comp = nodesIn.select(col("id"), col("id").as("c"))
+    // The per-component argmin is a min over a STRUCT — not a mutable
+    // primitive, so it plans as ObjectHashAggregate, whose default
+    // fallback (spark.sql.objectHashAggregate.sortBased.fallbackThreshold
+    // = 128 groups) degrades the round-1 pick into an EXTERNAL SORT of
+    // the full 2|E| candidate stream. Measured at the 150k/85M scale
+    // point: 32 concurrent sorters under the pinned edge checkpoint
+    // exhaust an 8g heap. A component-count hash map is what we want —
+    // ~100 B per live group, so even 10^6 components is ~100 MB spread
+    // over the executors — hence the raised threshold, scoped to a
+    // CHILD session (the [[loopSession]] idiom: never mutate the
+    // caller's conf).
+    val s = nodesIn.sparkSession.newSession()
+    s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      (1 << 26).toString)
+    val edges = rebase(s, edgesIn.select(col("u"), col("v"), col("w")))
+    var comp = rebase(s, nodesIn.select(col("id")))
+      .select(col("id"), col("id").as("c"))
       .localCheckpoint(true)
     val empty = edges.limit(0).localCheckpoint(true)
     var forest = empty
@@ -620,11 +641,17 @@ object Algorithms {
         .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
         .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
         .filter(col("cu") =!= col("cv"))
-      val e = struct(col("w"), col("u"), col("v"), col("o"))
-      val out = ce.select(col("cu").as("cc"), col("w"), col("u"), col("v"),
-          col("cv").as("o")).select(col("cc"), e.as("e"))
-        .union(ce.select(col("cv").as("cc"), col("w"), col("u"), col("v"),
-          col("cu").as("o")).select(col("cc"), e.as("e")))
+      // ONE pass: explode each inter-component edge into its two
+      // (component, candidate) records — a union of two projections of
+      // `ce` would re-execute the 2-join subtree per branch (measured:
+      // the doubled scan at the 150k/85M point drove concurrent
+      // block-promotion past an 8g heap)
+      val out = ce.select(explode(array(
+        struct(col("cu").as("cc"),
+          struct(col("w"), col("u"), col("v"), col("cv").as("o")).as("e")),
+        struct(col("cv").as("cc"),
+          struct(col("w"), col("u"), col("v"), col("cu").as("o")).as("e"))))
+        .as("x")).select(col("x.cc").as("cc"), col("x.e").as("e"))
       // ONE action per round: the pick checkpoint materializes the
       // aggregate; the emptiness probe reads the cached result
       val pick = out.groupBy(col("cc")).agg(min(col("e")).as("e"))

@@ -523,6 +523,51 @@ object Clouds {
       .orderBy(col("component"))
   }
 
+  /** Overlap audit between the reference's three cloud definitions —
+    * the cross-query analysis the reference's one-cloud-at-a-time CLI
+    * cannot do: how much of the taxon cloud (gdb.py seed rule) is also
+    * in the host cloud (host.py seed rule), and what the `--harsh`
+    * source exclusion actually removes. One row per cloud pair with
+    * both sizes, the intersection, and its Jaccard. The id sets are
+    * the same seed-expand plans the g_*_cloud keys run; the pair list
+    * is a 3-row literal, so nothing here is quadratic in anything.
+    * `g_cloud_overlap`. */
+  def cloudOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tagged =
+      taxonCloudIds(spark, dir, Taxon, QueryThreshold)
+        .withColumn("tag", lit("taxon"))
+      .union(hostCloudIds(spark, dir, harsh = false, HostGenus, QueryThreshold)
+        .withColumn("tag", lit("host")))
+      .union(hostCloudIds(spark, dir, harsh = true, HostGenus, QueryThreshold)
+        .withColumn("tag", lit("host_harsh")))
+      .localCheckpoint(true) // three consumers: sizes + both join sides
+    val sizes = tagged.groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    val common = tagged.select(col("id"), col("tag").as("cloud_a"))
+      .join(tagged.select(col("id"), col("tag").as("cloud_b")), Seq("id"))
+      .filter(col("cloud_a") < col("cloud_b"))
+      .groupBy(col("cloud_a"), col("cloud_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairNames = spark.range(1).select(explode(array(
+      struct(lit("host").as("cloud_a"), lit("host_harsh").as("cloud_b")),
+      struct(lit("host").as("cloud_a"), lit("taxon").as("cloud_b")),
+      struct(lit("host_harsh").as("cloud_a"), lit("taxon").as("cloud_b"))))
+      .as("p")).select(col("p.cloud_a"), col("p.cloud_b"))
+    pairNames
+      .join(broadcast(sizes.withColumnRenamed("tag", "cloud_a")
+        .withColumnRenamed("n", "n_a")), Seq("cloud_a"))
+      .join(broadcast(sizes.withColumnRenamed("tag", "cloud_b")
+        .withColumnRenamed("n", "n_b")), Seq("cloud_b"))
+      .join(common, Seq("cloud_a", "cloud_b"), "left_outer")
+      .select(col("cloud_a"), col("cloud_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard",
+        when(col("n_a") + col("n_b") - col("n_common") > 0,
+          round(col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("cloud_a"), col("cloud_b"))
+  }
+
   /** Minimum spanning forest of the thresholded similarity graph — the
     * "cloud backbone": the cheapest edge set that keeps every cloud
     * connected, the standard skeleton for dendrogram-style cloud
@@ -532,9 +577,11 @@ object Clouds {
     * (u, v, distance). `g_mst`. */
   def mst(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
-    val (forest, _) = Algorithms.boruvkaMst(g.nodes.select(col("id")),
-      g.edges.select(col("src").as("u"), col("dst").as("v"),
-        col("distance").as("w")))
+    // materialized ONCE here — the kernel's contract is a caller-owned
+    // edge frame (it reads it every round, and must not pin a 2nd copy)
+    val ew = g.edges.select(col("src").as("u"), col("dst").as("v"),
+      col("distance").as("w")).localCheckpoint(true)
+    val (forest, _) = Algorithms.boruvkaMst(g.nodes.select(col("id")), ew)
     forest.select(col("u"), col("v"), col("w").as("distance"))
       .orderBy(col("u"), col("v"))
   }
@@ -548,9 +595,9 @@ object Clouds {
     * `g_mst_weight`. */
   def mstWeight(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
-    val (forest, comp) = Algorithms.boruvkaMst(g.nodes.select(col("id")),
-      g.edges.select(col("src").as("u"), col("dst").as("v"),
-        col("distance").as("w")))
+    val ew = g.edges.select(col("src").as("u"), col("dst").as("v"),
+      col("distance").as("w")).localCheckpoint(true)
+    val (forest, comp) = Algorithms.boruvkaMst(g.nodes.select(col("id")), ew)
     val nodeStats = comp.groupBy(col("c").as("component"))
       .agg(count(lit(1)).as("n_nodes"))
     val forestStats = forest
@@ -1644,6 +1691,48 @@ object Clouds {
     "g_label_prop" -> labelPropOracle(Algorithms.LabelPropRounds),
     "g_louvain" -> louvainOracle(Algorithms.LouvainRounds),
     "g_community_refine" -> communityRefineOracle(Algorithms.LouvainRounds),
+    "g_cloud_overlap" -> {
+      def hostSetSql(name: String, harshPred: String) =
+        s"""$name AS (
+           SELECT e.src AS id FROM edges e
+             JOIN nodes a ON a.id = e.src
+             JOIN nation h ON a.hostkey = h.n_nationkey
+           WHERE h.n_name = 'NATION_7' AND e.distance <= 0.10$harshPred
+           UNION
+           SELECT e.dst FROM edges e
+             JOIN nodes a ON a.id = e.src
+             JOIN nation h ON a.hostkey = h.n_nationkey
+           WHERE h.n_name = 'NATION_7' AND e.distance <= 0.10$harshPred)"""
+      s"""$OracleCte,
+         ${hostSetSql("hs", "")},
+         ${hostSetSql("hsh", " AND a.source <> 'FURNITURE'")},
+         tagged AS (
+           SELECT 'taxon' AS tag, id FROM cloud_ids
+           UNION ALL SELECT 'host', id FROM hs
+           UNION ALL SELECT 'host_harsh', id FROM hsh),
+         sizes AS (SELECT tag, COUNT(*) AS n FROM tagged GROUP BY tag),
+         common AS (
+           SELECT a.tag AS cloud_a, b.tag AS cloud_b, COUNT(*) AS n_common
+           FROM tagged a JOIN tagged b ON a.id = b.id AND a.tag < b.tag
+           GROUP BY a.tag, b.tag),
+         pairs AS (
+           SELECT * FROM (VALUES ('host', 'host_harsh'),
+             ('host', 'taxon'), ('host_harsh', 'taxon'))
+             t(cloud_a, cloud_b))
+         SELECT p.cloud_a, p.cloud_b,
+                CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+                CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+                CASE WHEN sa.n + sb.n - COALESCE(c.n_common, 0) > 0
+                     THEN ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE) /
+                                (sa.n + sb.n - COALESCE(c.n_common, 0)), 6)
+                     ELSE 0.0 END AS jaccard
+         FROM pairs p
+         JOIN sizes sa ON sa.tag = p.cloud_a
+         JOIN sizes sb ON sb.tag = p.cloud_b
+         LEFT JOIN common c ON c.cloud_a = p.cloud_a
+                           AND c.cloud_b = p.cloud_b
+         ORDER BY p.cloud_a, p.cloud_b"""
+    },
     "g_mst" -> mstOracle(MstOracleRounds),
     "g_mst_weight" -> mstWeightOracle(MstOracleRounds),
     "g_modularity" -> modularityOracle(Algorithms.LabelPropRounds),
@@ -2031,6 +2120,7 @@ object Clouds {
     "g_label_prop"            -> labelProp _,
     "g_louvain"               -> louvain _,
     "g_community_refine"      -> communityRefine _,
+    "g_cloud_overlap"         -> cloudOverlap _,
     "g_mst"                   -> mst _,
     "g_mst_weight"            -> mstWeight _,
     "g_neighbor_jaccard"      -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),

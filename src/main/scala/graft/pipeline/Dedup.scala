@@ -1119,6 +1119,42 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Per-source n-gram NOVELTY — "how much genuinely new content does
+    * each source add": every distinct corpus n-gram is attributed to
+    * the source of its FIRST occurrence (min doc_id — the ingestion-
+    * order proxy, the same ownership rule as [[substringDedup]]); per
+    * source, the distinct grams it contains, the grams it introduced,
+    * and the novelty ratio introduced/seen. A mirror-heavy source shows
+    * a near-zero ratio — it re-serves grams some earlier source already
+    * contributed — which is the "is this crawl worth ingesting" number.
+    *
+    * Plan: one narrow gram explode joined to a (doc_id, source)
+    * projection, checkpointed once for its two consumers; `seen` is a
+    * distinct + count per (source, gram) prefix, `introduced` is ONE
+    * map-side-combined struct-min per gram (doc_id is unique, so the
+    * argmin is total) re-agged by source — no pair products, nothing
+    * beyond the gram stream itself. `d_novelty`. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val g = Docs.gramTable(spark, dir)
+      .join(Docs.docs(spark, dir).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .localCheckpoint(true) // shared by the seen and ownership aggregates
+    val seen = g.select(col("source"), col("gram")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_grams_seen"))
+    val introduced = g
+      .groupBy(col("gram"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("o"))
+      .groupBy(col("o.source").as("source"))
+      .agg(count(lit(1)).as("n_grams_introduced"))
+    seen.join(introduced, Seq("source"), "left_outer")
+      .select(col("source"), col("n_grams_seen"),
+        coalesce(col("n_grams_introduced"), lit(0L)).as("n_grams_introduced"))
+      .withColumn("novelty_ratio",
+        round(col("n_grams_introduced").cast("double") /
+          col("n_grams_seen"), 6))
+      .orderBy(col("source"))
+  }
+
   /** Per-language token budget for [[tokenBudget]] — sized so the
     * biggest language (en, ~12k tokens at sf0.01) truncates while the
     * small ones keep everything: BOTH branches of the cut are exercised
@@ -1758,6 +1794,25 @@ object Dedup {
                       $MixTemperature) / z /
                   (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS boost
           FROM perl, zc ORDER BY lang""",
+    "d_novelty" ->
+      s"""WITH $GramCte,
+          g AS (SELECT gr.gram, gr.doc_id, d.source
+                FROM grams gr JOIN documents d USING (doc_id)),
+          seen AS (
+            SELECT source, COUNT(*) AS n_grams_seen
+            FROM (SELECT DISTINCT source, gram FROM g) GROUP BY source),
+          own AS (SELECT gram, MIN(doc_id) AS od FROM g GROUP BY gram),
+          intro AS (
+            SELECT d.source, COUNT(*) AS n_grams_introduced
+            FROM own JOIN documents d ON d.doc_id = own.od
+            GROUP BY d.source)
+          SELECT s.source, CAST(s.n_grams_seen AS BIGINT) AS n_grams_seen,
+                 CAST(COALESCE(i.n_grams_introduced, 0) AS BIGINT)
+                   AS n_grams_introduced,
+                 ROUND(CAST(COALESCE(i.n_grams_introduced, 0) AS DOUBLE)
+                       / s.n_grams_seen, 6) AS novelty_ratio
+          FROM seen s LEFT JOIN intro i ON i.source = s.source
+          ORDER BY s.source""",
     "d_dup_inflation" ->
       s"""WITH RECURSIVE $ClusterReachCte,
           clus AS (SELECT u AS doc_id, u = MIN(v) AS keep
@@ -1877,5 +1932,6 @@ object Dedup {
     "d_mix_weights"   -> (mixWeights _),
     "d_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "d_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
+    "d_novelty"       -> (novelty _),
   )
 }

@@ -612,6 +612,27 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(f("en", "temp_share") - math.pow(2.0 / 3, 0.3) / z) < 1e-6)
   }
 
+  test("novelty: first-occurrence attribution by doc id, mirror source scores zero") {
+    // doc 0 (src0) introduces every gram of `base`; doc 2 (src1) is an
+    // exact mirror — it re-serves doc 0's grams and introduces nothing
+    val r = rowsOf(Dedup.novelty(spark, dir))
+      .map(row => row.getString(0) ->
+        ((row.getLong(1), row.getLong(2), row.getDouble(3)))).toMap
+    val (seen0, intro0, ratio0) = r("src0")
+    val (seen1, intro1, ratio1) = r("src1")
+    assert(intro0 == seen0, "the first source introduces everything it contains")
+    assert(ratio0 == 1.0)
+    assert(intro1 < seen1, "the mirror re-serves src0's grams")
+    assert(ratio1 < 1.0)
+    // doc 2 mirrors doc 0 exactly (owns nothing), so src1's introduced
+    // grams can only come from doc 4 — bounded by doc 4's gram count,
+    // minus whatever doc 4 shares with the earlier src0 salads
+    val gramsOfDoc4 = rowsOf(graft.pipeline.Docs.gramTable(spark, dir)
+      .filter(col("doc_id") === 4L)).length
+    assert(intro1 > 0 && intro1 <= gramsOfDoc4.toLong,
+      s"src1's novelty is doc 4's alone: $intro1 vs $gramsOfDoc4")
+  }
+
   test("source overlap: planted cross-source near-dups land in the right cell") {
     val r = rowsOf(Dedup.sourceOverlap(spark, dir))
       .map(row => ((row.getString(0), row.getString(1)),

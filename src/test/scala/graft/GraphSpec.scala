@@ -555,4 +555,24 @@ class GraphSpec extends SparkSpec {
     assert(joined.count() == 0, "JSON attrs must match cloudNodes")
     assert(parsed.filter(col("a").isNull).count() == 0, "all attrs parse")
   }
+
+  test("cloud overlap: harsh host cloud nests inside host cloud, jaccard consistent") {
+    val rows = SparkEntry.queries("g_cloud_overlap")(spark, SF).collect()
+    assert(rows.length == 3, "three cloud pairs, zero-overlap pairs included")
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    rows.foreach { r =>
+      val (na, nb, c) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(c <= math.min(na, nb), "intersection bounded by both sizes")
+      val expected = if (na + nb - c > 0)
+        BigDecimal(c.toDouble / (na + nb - c))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(r.getDouble(5) == expected, s"jaccard formula replays: $r")
+    }
+    // the --harsh variant only SHRINKS the seed set, and seed-expand is
+    // monotone, so the harsh cloud is a subset of the host cloud
+    val hh = byPair(("host", "host_harsh"))
+    assert(hh.getLong(4) == hh.getLong(3),
+      "host_harsh ⊆ host: the intersection is the harsh cloud itself")
+  }
 }
