@@ -1119,6 +1119,42 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** MinHash-LSH quality audit — recall AND precision of the banded
+    * sketch pipeline against the exact df-capped n-gram Jaccard truth
+    * at the same threshold (the dedup-side mirror of [[Similarity]]'s
+    * `s_ann_recall`): one row with the true pair count, the LSH pair
+    * count, their intersection, and recall/precision. This is the
+    * number that justifies (or indicts) the banding parameters before
+    * a full-corpus run — published recall for every sketch config is
+    * standard curation practice.
+    *
+    * Plan: both pair sets are near-dup-bounded; a FULL OUTER join on
+    * the canonical (a, b) key + one global aggregate — integer sums,
+    * two guarded divisions. The truth side's gram self-join and the
+    * sketch side's band join are the two registered plans themselves
+    * ([[ngramJaccard]], [[minhashLsh]]), unchanged. `d_lsh_recall`. */
+  def lshRecall(spark: SparkSession, dir: String,
+                minSim: Double = 0.5): DataFrame = {
+    val truth = ngramJaccard(spark, dir, minSim)
+      .select(col("a"), col("b"), lit(1L).as("t"))
+    val got = minhashLsh(spark, dir, minSim)
+      .select(col("a"), col("b"), lit(1L).as("g"))
+    truth.join(got, Seq("a", "b"), "full_outer")
+      .agg(sum(col("t")).as("n_true"),
+        sum(col("g")).as("n_lsh"),
+        sum(col("t") * col("g")).as("n_common"))
+      .select(
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_lsh"), lit(0L)).as("n_lsh"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        when(col("n_true") > 0,
+          round(coalesce(col("n_common"), lit(0L)).cast("double") /
+            col("n_true"), 6)).as("recall"),
+        when(col("n_lsh") > 0,
+          round(coalesce(col("n_common"), lit(0L)).cast("double") /
+            col("n_lsh"), 6)).as("precision"))
+  }
+
   /** Per-source n-gram NOVELTY — "how much genuinely new content does
     * each source add": every distinct corpus n-gram is attributed to
     * the source of its FIRST occurrence (min doc_id — the ingestion-
@@ -1794,6 +1830,37 @@ object Dedup {
                       $MixTemperature) / z /
                   (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS boost
           FROM perl, zc ORDER BY lang""",
+    "d_lsh_recall" ->
+      s"""WITH $minhashEstCtePrelude,
+          lshp AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+          inter AS (
+            SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+            FROM kept g1 JOIN kept g2
+              ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+            GROUP BY g1.doc_id, g2.doc_id),
+          truth AS (
+            SELECT a, b FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5),
+          j AS (
+            SELECT COALESCE(t.one, 0) AS t, COALESCE(g.one, 0) AS g
+            FROM (SELECT a, b, 1 AS one FROM truth) t
+            FULL OUTER JOIN (SELECT a, b, 1 AS one FROM lshp) g
+              USING (a, b)),
+          agg AS (SELECT CAST(SUM(t) AS BIGINT) AS n_true,
+                         CAST(SUM(g) AS BIGINT) AS n_lsh,
+                         CAST(SUM(t * g) AS BIGINT) AS n_common
+                  FROM j)
+          SELECT n_true, n_lsh, n_common,
+                 CASE WHEN n_true > 0
+                      THEN ROUND(CAST(n_common AS DOUBLE) / n_true, 6) END
+                   AS recall,
+                 CASE WHEN n_lsh > 0
+                      THEN ROUND(CAST(n_common AS DOUBLE) / n_lsh, 6) END
+                   AS precision
+          FROM agg""",
     "d_novelty" ->
       s"""WITH $GramCte,
           g AS (SELECT gr.gram, gr.doc_id, d.source
@@ -1933,5 +2000,6 @@ object Dedup {
     "d_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "d_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "d_novelty"       -> (novelty _),
+    "d_lsh_recall"    -> ((s: SparkSession, d: String) => lshRecall(s, d)),
   )
 }

@@ -612,6 +612,18 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(f("en", "temp_share") - math.pow(2.0 / 3, 0.3) / z) < 1e-6)
   }
 
+  test("lsh recall audit: perfect on the planted fixture, counts consistent") {
+    val row = rowsOf(Dedup.lshRecall(spark, dir)).head
+    val (nTrue, nLsh, nCommon) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nCommon <= math.min(nTrue, nLsh), "intersection bounded")
+    // fixture truth: (0,1) near-dup + (0,2) exact + (1,2) — MinHash
+    // recovers exact dups always and the planted near-dup by design
+    assert(nTrue == 3, s"three true pairs in the fixture, got $nTrue")
+    assert(row.getDouble(row.fieldIndex("recall")) == 1.0,
+      "the banded sketch recovers every planted pair")
+    assert(row.getDouble(row.fieldIndex("precision")) > 0.0)
+  }
+
   test("novelty: first-occurrence attribution by doc id, mirror source scores zero") {
     // doc 0 (src0) introduces every gram of `base`; doc 2 (src1) is an
     // exact mirror — it re-serves doc 0's grams and introduces nothing
