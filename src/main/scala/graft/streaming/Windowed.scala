@@ -253,7 +253,65 @@ object Windowed {
       }
   }
 
+  /** Stream-health GAP DETECTION — the outage monitor: contiguous runs
+    * of minutes with NO events, as (gap_start_sec, gap_end_sec,
+    * n_minutes) intervals. The batch path is the oracle-checked
+    * `st_gap_detect` entry; [[minuteCountsStreaming]] is the live
+    * counterpart (per-minute counts under a watermark — a minute
+    * ABSENT from the monitoring stream is a gap the alerting layer
+    * flags).
+    *
+    * Scale note: the minute grid and the missing-minute set are
+    * CALENDAR-bounded, not corpus-bounded — a full year is 525,600
+    * rows — so the run-grouping window (the sessionize
+    * bucket-minus-row-number trick on a global order) and the one-row
+    * `sequence` explode are bounded regardless of event volume; the
+    * event scan itself reduces map-side to distinct minutes. */
+  def gaps(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = events
+      .select(floor(unix_timestamp(col("ts")) / 60).cast("long").as("b"))
+      .distinct()
+    val rng = b.agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+    val missing = rng.select(explode(sequence(col("lo"), col("hi"))).as("b"))
+      .join(b, Seq("b"), "left_anti")
+    missing
+      .withColumn("g", col("b") - row_number().over(Window.orderBy(col("b"))))
+      .groupBy(col("g"))
+      .agg((min(col("b")) * 60).as("gap_start_sec"),
+        ((max(col("b")) + 1) * 60).as("gap_end_sec"),
+        count(lit(1)).as("n_minutes"))
+      .select(col("gap_start_sec"), col("gap_end_sec"), col("n_minutes"))
+      .orderBy(col("gap_start_sec"))
+  }
+
+  def gapDetectBatch(spark: SparkSession, dir: String): DataFrame =
+    gaps(Tables.events(spark, dir))
+
+  /** Streaming per-minute event counts under a watermark — the
+    * monitoring stream [[gaps]] post-processes: a minute that never
+    * arrives in the sink is a gap. Append-mode compatible. */
+  def minuteCountsStreaming(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 minute").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("w.start")).as("minute_start_sec"),
+        col("n_events"))
+
   val oracle: Map[String, String] = Map(
+    "st_gap_detect" ->
+      """WITH b AS (
+           SELECT DISTINCT CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS b
+           FROM events),
+         r AS (SELECT MIN(b) AS lo, MAX(b) AS hi FROM b),
+         miss AS (
+           SELECT m.b FROM (SELECT unnest(range(lo, hi + 1)) AS b FROM r) m
+           WHERE m.b NOT IN (SELECT b FROM b)),
+         g AS (SELECT b, b - ROW_NUMBER() OVER (ORDER BY b) AS grp FROM miss)
+         SELECT MIN(b) * 60 AS gap_start_sec,
+                (MAX(b) + 1) * 60 AS gap_end_sec,
+                CAST(COUNT(*) AS BIGINT) AS n_minutes
+         FROM g GROUP BY grp ORDER BY gap_start_sec""",
     "st_windowed_topk" ->
       s"""WITH e AS (
            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, user_id, value
@@ -329,5 +387,6 @@ object Windowed {
     "st_canonical_dedup" -> (canonicalDedupBatch _),
     "st_sliding_window" -> (slidingBatch _),
     "st_windowed_topk"  -> (topkBatch _),
+    "st_gap_detect"     -> (gapDetectBatch _),
   )
 }

@@ -410,4 +410,41 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(melted == direct, "melt(pivot(x)) == groupBy long form")
   }
+
+  test("gap detect finds exactly the planted empty-minute runs, inclusive bounds") {
+    import spark.implicits._
+    // events at minutes 0, 1, 5, 6, 10 → gaps [2,5) (3 min) and [7,10) (3 min)
+    val events = Seq(ts(0, 0), ts(0, 1), ts(0, 5), ts(0, 6), ts(0, 10))
+      .map(t => (t, "click")).toDF("ts", "event_type")
+    val got = Windowed.gaps(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val base = ts(0, 0).getTime / 1000
+    assert(got.toSeq == Seq(
+      (base + 2 * 60, base + 5 * 60, 3L),
+      (base + 7 * 60, base + 10 * 60, 3L)))
+  }
+
+  test("streaming minute counts: emitted minutes exclude the planted hole") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val events = stream.toDF.toDF("ts", "event_type")
+    val query = Windowed.minuteCountsStreaming(events).writeStream
+      .format("memory").queryName("minutes_sink").outputMode("append").start()
+    try {
+      stream.addData((ts(0, 0), "a"), (ts(0, 0), "b"), (ts(0, 3), "c"))
+      query.processAllAvailable()
+      stream.addData((ts(9, 0), "wm")) // advance watermark past hour 0
+      query.processAllAvailable()
+      stream.addData((ts(23, 0), "wm2"))
+      query.processAllAvailable()
+      val base = ts(0, 0).getTime / 1000
+      val got = spark.table("minutes_sink").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(base) == 2L, "minute 0 counted both events")
+      assert(got(base + 180) == 1L)
+      assert(!got.contains(base + 60) && !got.contains(base + 120),
+        "the empty minutes never appear in the monitoring stream")
+    } finally query.stop()
+  }
 }
