@@ -187,9 +187,128 @@ object Multimodal {
       .orderBy(col("lang"), col("modality"))
   }
 
+  /** Bits in the perceptual-hash stub (matches [[Dedup.SimhashBits]]'
+    * 60-bit convention — 15 md5-hex digits stay under 2^60). */
+  val PhashBits = 60
+
+  /** Hamming budget + band count for [[phashDedup]]'s pigeonhole
+    * banding (3+1 bands of 15 bits tile the 60-bit hash). */
+  val PhashHammingMax = 3
+
+  /** Perceptual-hash stub of one decoded payload: 60-bit simhash over
+    * the decoder output's overlapping 4-char windows (a real pHash
+    * DCTs a downscaled image; the stub keeps the ESSENTIAL property —
+    * similar payloads land within a small Hamming distance — while
+    * staying oracle-replayable). Runs inside the partition-batched
+    * decode stage. */
+  private def phashOf(text: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sums = new Array[Int](PhashBits)
+    var i = 0
+    while (i + 4 <= text.length) {
+      val hex = md.digest(text.substring(i, i + 4)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(8).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      var j = 0
+      while (j < PhashBits) {
+        sums(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      md.reset()
+      i += 1
+    }
+    (0 until PhashBits).foldLeft(0L)((acc, j) =>
+      if (sums(j) > 0) acc | (1L << j) else acc)
+  }
+
+  /** Per-payload perceptual hash — the decode+fingerprint stage:
+    * binary in, (doc_id, phash) out, one decoder per partition. */
+  def phashTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    withPayload(spark, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // STUB DECODER (see multimodalMeta) — decode then fingerprint
+        rows.map { case (id, bytes) =>
+          (id, phashOf(new String(bytes,
+            java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
+  /** Perceptual-hash near-duplicate pairs over the media payloads —
+    * the image-dedup step of a multimodal ingest (pHash + Hamming
+    * threshold is the standard screen for re-encoded/resized copies):
+    * banded by the [[Dedup.simhashPairs]] pigeonhole rule
+    * (hamming ≤ [[PhashHammingMax]] ⇒ the pair agrees on ≥1 of the
+    * HammingMax+1 bands), bucket equi-join, exact Hamming verify —
+    * never an all-pairs product. The decode/hash stage is the
+    * mapPartitions batch path; everything after is plain banded
+    * DataFrame land. `m_phash_dedup`. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nBands = PhashHammingMax + 1
+    require(PhashBits % nBands == 0, "bands must tile the hash")
+    val bandBits = PhashBits / nBands
+    val fp = phashTable(spark, dir).localCheckpoint(true)
+    val banded = fp.select(col("doc_id"), col("phash"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("phash"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= PhashHammingMax)
+      .distinct()
+      .orderBy(col("a"), col("b"))
+  }
+
   /** The payload is ASCII text, so the oracle can recompute byte length,
     * magic and the rolling checksum from character codes. */
   val oracle: Map[String, String] = Map(
+    "m_phash_dedup" -> {
+      val nBands = PhashHammingMax + 1
+      val bandBits = PhashBits / nBands
+      val mask = (1L << bandBits) - 1
+      val sums = (0 until PhashBits)
+        .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val assembled = (0 until PhashBits)
+        .map(j =>
+          s"(CASE WHEN s$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH pg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(text) - 2),
+                                        i -> substr(text, i, 4))) AS gram
+           FROM documents WHERE len(text) >= 4),
+         gh AS (SELECT doc_id, ${graft.Hashing.hexFoldSql("gram")} AS h
+                FROM pg),
+         ps AS (SELECT doc_id, $sums FROM gh GROUP BY doc_id),
+         fp AS (
+           SELECT doc_id, $assembled AS phash FROM ps
+           UNION ALL
+           SELECT doc_id, CAST(0 AS BIGINT) FROM documents
+           WHERE len(text) < 4),
+         banded AS (
+           SELECT doc_id, phash, bb.b AS band,
+                  (phash >> (bb.b * $bandBits)) & $mask AS bits
+           FROM fp, (SELECT unnest(range($nBands)) AS b) bb)
+         SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
+         FROM banded x JOIN banded y
+           ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.phash, y.phash)) <= $PhashHammingMax
+         ORDER BY a, b"""
+    },
     "m_modality_join" ->
       """WITH j AS (
            SELECT d.lang, e.label
@@ -281,5 +400,6 @@ object Multimodal {
     "m_resize"          -> ((s: SparkSession, d: String) => resizePlan(s, d)),
     "m_shard_pack"      -> (shardPack _),
     "m_modality_join"   -> (modalityJoin _),
+    "m_phash_dedup"     -> (phashDedup _),
   )
 }

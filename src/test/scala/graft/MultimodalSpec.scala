@@ -109,4 +109,22 @@ class MultimodalSpec extends SparkSpec {
     r.filter(_.getString(1) == "embedding_only")
       .foreach(row => assert(row.getString(0) == "--"))
   }
+
+  test("phash dedup: exact copy at hamming 0, near copy close, stranger absent") {
+    val base = Seq.tabulate(60)(i => s"w${i % 17}tok").mkString(" ")
+    val near = base.replace("w3tok", "w3toq") // small payload edit
+    val other = Seq.tabulate(60)(i => s"z${(i * 7) % 23}q").mkString(" ")
+    val d = TestSession.docsFixture(Seq(
+      (0L, base, "en", "s", base.length.toLong),
+      (1L, base, "en", "s", base.length.toLong),   // exact payload copy
+      (2L, near, "en", "s", near.length.toLong),   // near-dup payload
+      (3L, other, "en", "s", other.length.toLong)))
+    val pairs = rowsOf(graft.pipeline.Multimodal.phashDedup(spark, d))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) == 0L, "identical payloads at hamming 0")
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) <= 3L,
+      s"the re-encoded copy stays within the hamming budget: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L },
+      "the unrelated payload pairs with nothing")
+  }
 }
