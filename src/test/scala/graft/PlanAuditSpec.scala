@@ -20,6 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     "s_cluster_purity",    // embeds s_kmeans' centroid-assignment cross
     "s_ann_recall",        // embeds s_cosine_topk's fixed-query broadcast
     "d_mix_weights",       // ONE-row (total, n_langs) scalar × per-lang aggregate
+    "d_temperature_mix",   // ONE-row (total, Z) scalar × per-lang aggregate
+    "s_silhouette",        // embeds s_kmeans' centroid-assignment cross (k rows)
     "d_importance_weights", // ONE-row (N_target, N_raw) corpus-mass scalar × per-doc aggregate
     "g_modularity"         // two ONE-row aggregates (m, E_in) × the community stats row
   )
