@@ -107,6 +107,18 @@ object Algorithms {
   private[graft] def freshStats(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Eager local checkpoint for a LOOP ITERATE, with the carried origin
+    * statistics scrubbed ([[org.apache.spark.sql.graft.bridge
+    * .scrubOriginStats]]). A kernel whose round plan references the
+    * previous iterate more than once (CC's pointer-jump self-join)
+    * multiplies the carried BigInt sizeInBytes every round — digits
+    * ~×4/round — so any run needing ~10+ rounds hangs the driver inside
+    * stats estimation DURING the next checkpoint call (measured: the
+    * threshold sweep's CC over path-shaped forests). Scrubbing per
+    * round pins the digit count; zero data movement. */
+  private[graft] def loopCheckpoint(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.bridge.scrubOriginStats(df.localCheckpoint(true))
+
   /** Release the executor blocks behind a SUPERSEDED loop iterate.
     * Eager `localCheckpoint(true)` pins each iterate's partitions in
     * executor storage; without explicit release a k-round loop holds k
@@ -159,7 +171,7 @@ object Algorithms {
     * count saves, the same result as SSSP's RelaxPerRound=4 A/B. */
   val CcCyclesPerRound = 1
 
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 64,
                           cyclesPerRound: Int = CcCyclesPerRound): DataFrame = {
     // deliberately NOT on a pinned-width loopSession: measured at sf0.1
     // median-of-5, the pinned session is 14.2 s vs 6.5 s under the
@@ -198,22 +210,34 @@ object Algorithms {
           (col("ccomp") < col("l.prev")).as("changed"))
     }
 
-    var labels = nodes.select(col("id"), col("id").as("comp"), lit(true).as("changed"))
-      .localCheckpoint(true)
+    var labels = loopCheckpoint(
+      nodes.select(col("id"), col("id").as("comp"), lit(true).as("changed")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
       // a node changed in an inner cycle propagates in the NEXT inner
       // cycle (its delta is cycle-local), so only the final cycle's
       // changes need to carry into the next round's frontier — the same
-      // argument as the SSSP round batching
-      val jumped = (1 to cyclesPerRound).foldLeft(labels)((d, _) => cycle(d))
-        .localCheckpoint(true)
+      // argument as the SSSP round batching. loopCheckpoint (not plain
+      // localCheckpoint): the cycle references `labels` three times, so
+      // carried stats would compound ~×4 per round and hang long runs.
+      val jumped = loopCheckpoint(
+        (1 to cyclesPerRound).foldLeft(labels)((d, _) => cycle(d)))
       done = jumped.filter(col("changed")).limit(1).count() == 0
       releaseIterate(labels) // superseded: jumped is materialized, labels is dead
       labels = jumped
       iter += 1
     }
+    // A capped exit is a CORRECTNESS failure, not a tuning choice: the
+    // CC oracle is an exact transitive closure, and an unconverged label
+    // table silently under-merges (caught at sf0.01 — the r12 threshold
+    // sweep returned 38 clouds where the graph has 30, because the MST
+    // forest's SCRAMBLED-id chains propagate min labels far slower than
+    // the ordered paths the convergence spec used). Fail loudly; callers
+    // with adversarial chain inputs raise maxIter / cyclesPerRound.
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents: frontier still live after $maxIter rounds — " +
+        "raise maxIter (chain-shaped inputs propagate labels slowly)")
     labels.select(col("id"), col("comp"))
   }
 
@@ -574,6 +598,83 @@ object Algorithms {
     mapping
   }
 
+  /** Round cap for [[connectedComponentsStar]] — the alternation is
+    * O(log² n) worst case on ANY edge shape, so 64 covers graphs far
+    * beyond any tested scale; the loop exits the round after the edge
+    * set reaches the star fixpoint, and a capped exit fails loudly
+    * like [[connectedComponents]]'s. */
+  val StarMaxRounds = 64
+
+  /** Connected components via ALTERNATING STAR CONTRACTION (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond":
+    * two-phase large-star/small-star) — the kernel to use when the
+    * input's component shape is ADVERSARIAL for label propagation.
+    * [[connectedComponents]]'s delta-frontier hash-to-min creeps ~1–2
+    * hops per round on long chains whose ids DESCEND along the chain
+    * (measured: the single-linkage sweep's MST chains at sf0.1 took
+    * 365 s there); the star alternation restructures the EDGE LIST
+    * itself — large-star hangs every larger neighbor under the local
+    * minimum, small-star compresses the rest — with a proven
+    * O(log² n) round bound independent of id placement (measured on
+    * the same sf0.1 input: 11 rounds, 23 s for all four sweep cuts).
+    *
+    * Same contract as [[connectedComponents]]: (id, comp = min member
+    * id), every node covered, singletons keep themselves. Per round:
+    * two keyed min-aggregates + two joins over the CURRENT edge list —
+    * which only SHRINKS toward one star edge per non-root node — and
+    * one fixpoint probe action; iterates go through [[loopCheckpoint]]
+    * so carried stats stay flat. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxRounds: Int = StarMaxRounds): DataFrame = {
+    var e = loopCheckpoint(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .select(col("b").as("u"), col("a").as("v"))) // u > v: child→smaller
+    var r = 0
+    var live = true
+    while (r < maxRounds && live) {
+      // large-star: per node u (over the SYMMETRIC view), every
+      // neighbor STRICTLY LARGER than u re-attaches to u's local
+      // minimum m = min(N(u) ∪ {u})
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u").cast("long")).as("m"))
+      val large = sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // small-star: per node u (over the large-star output, already
+      // child→smaller oriented), neighbors ≤ u and u itself attach to m
+      val m2 = large.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u").cast("long")).as("m"))
+      val small = large.join(m2, Seq("u"))
+        .select(explode(array(
+          struct(col("v").as("x"), col("m").as("y")),
+          struct(col("u").as("x"), col("m").as("y")))).as("p"))
+        .select(greatest(col("p.x"), col("p.y")).as("u"),
+          least(col("p.x"), col("p.y")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val next = loopCheckpoint(small)
+      // fixpoint: the edge list is a stable star forest when the round
+      // leaves it unchanged (same canonical pair set)
+      live = next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
+        e.join(next, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      releaseIterate(e)
+      e = next
+      r += 1
+    }
+    if (live) throw new IllegalStateException(
+      s"connectedComponentsStar: no fixpoint after $maxRounds rounds")
+    // converged star edges are (child u, root v); roots/isolated keep self
+    nodes.select(col("id"))
+      .join(e.select(col("u").as("id"), col("v").as("root")), Seq("id"),
+        "left_outer")
+      .select(col("id"), coalesce(col("root"), col("id")).as("comp"))
+  }
+
   /** Borůvka round cap for [[boruvkaMst]]: components at least HALVE
     * every round, so 16 covers components of 2^16 nodes; the loop
     * early-exits the round after no component has an outgoing edge. */
@@ -676,8 +777,12 @@ object Algorithms {
     }
     // rounds' picks are disjoint (a chosen edge becomes intra-component
     // immediately), so the union needs no cross-round dedup; checkpoint
-    // so both consumers (edge list + weight report) materialize once
-    (forest.localCheckpoint(true), comp)
+    // so both consumers (edge list + weight report) materialize once.
+    // Both outputs leave through [[freshStats]]: the loop's checkpoints
+    // carry ~maxRounds of compounded join statistics, and feeding them
+    // into ANOTHER kernel's loop (the threshold sweep runs CC over the
+    // forest) re-creates the BigInt stats hang refinePartition hit.
+    (freshStats(forest.localCheckpoint(true)), freshStats(comp))
   }
 
   /** Leiden-style refinement kernel: split every community of `labels`

@@ -614,6 +614,48 @@ object Clouds {
       .orderBy(col("component"))
   }
 
+  /** Thresholds for [[thresholdSweep]], all ≤ [[QueryThreshold]] (the
+    * forest is built at 0.10, so the single-linkage identity holds for
+    * every cut at or below it). */
+  val SweepThresholds: Seq[Double] = Seq(0.02, 0.05, 0.08, 0.10)
+
+  /** Cloud census across distance thresholds — "how do the clouds
+    * merge as the cut loosens", the dendrogram summary behind the
+    * reference's `-d` flag: per threshold, the number of clouds, the
+    * largest cloud, and the singleton count. The trick that makes a
+    * k-threshold sweep almost free is SINGLE-LINKAGE EQUIVALENCE:
+    * connected components over {graph edges ≤ t} equal components over
+    * {MST edges ≤ t} for any t below the forest's build threshold — so
+    * ONE Borůvka run replaces k full-graph CC runs, and each cut runs
+    * the CC kernel on a FOREST (|V|−c edges, not |E|). At 100 TB that
+    * is the difference between k passes over the edge corpus and one.
+    * `g_threshold_sweep`. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val ew = g.edges.select(col("src").as("u"), col("dst").as("v"),
+      col("distance").as("w")).localCheckpoint(true)
+    val nodes = g.nodes.select(col("id")).localCheckpoint(true)
+    val (forest, fullComp) = Algorithms.boruvkaMst(nodes, ew)
+    val perT = SweepThresholds.map { t =>
+      // forest cuts are CHAINS with adversarial id order — the slow
+      // case for label propagation (measured 365 s at sf0.1) — so the
+      // cuts run the O(log²)-guaranteed star-contraction kernel; the
+      // build-threshold cut IS the full forest, whose components
+      // Borůvka already converged — that census is free
+      val cc =
+        if (t == QueryThreshold) fullComp.withColumnRenamed("c", "comp")
+        else Algorithms.connectedComponentsStar(nodes,
+          forest.filter(col("w") <= t)
+            .select(col("u").as("src"), col("v").as("dst")))
+      cc.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .agg(lit(t).as("threshold"),
+          count(lit(1)).as("n_clouds"),
+          max(col("sz")).as("max_cloud"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
+    }
+    perT.reduce(_ unionByName _).orderBy(col("threshold"))
+  }
+
   /** Degree assortativity of the similarity graph — the Pearson
     * correlation between the total degrees at the two endpoints of
     * every edge (Newman 2002, "Assortative mixing in networks"):
@@ -1459,6 +1501,35 @@ object Clouds {
     s"""${mstCte(rounds)}
        SELECT u, v, w AS distance FROM fo ORDER BY u, v"""
 
+  /** [[thresholdSweep]] replay: the Borůvka chain's forest, then one
+    * recursive-reach CC per threshold over the CUT forest (the same
+    * single-linkage identity the Spark plan uses). */
+  private def thresholdSweepOracle(rounds: Int): String = {
+    val perT = SweepThresholds.zipWithIndex.map { case (t, i) =>
+      s"""und_t$i AS (
+           SELECT u, v FROM fo WHERE w <= $t
+           UNION ALL SELECT v, u FROM fo WHERE w <= $t),
+         reach_t$i(x, y) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT r.x, e.v FROM reach_t$i r JOIN und_t$i e ON r.y = e.u),
+         comp_t$i AS (SELECT x, MIN(y) AS c FROM reach_t$i GROUP BY x),
+         sz_t$i AS (SELECT c, COUNT(*) AS sz FROM comp_t$i GROUP BY c),
+         row_t$i AS (
+           SELECT CAST($t AS DOUBLE) AS threshold,
+                  CAST(COUNT(*) AS BIGINT) AS n_clouds,
+                  CAST(MAX(sz) AS BIGINT) AS max_cloud,
+                  CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_singletons
+           FROM sz_t$i)"""
+    }.mkString(",\n")
+    val union = SweepThresholds.indices
+      .map(i => s"SELECT * FROM row_t$i").mkString(" UNION ALL ")
+    s"""${mstCte(rounds)},
+       $perT
+       $union ORDER BY threshold"""
+  }
+
   private def mstWeightOracle(rounds: Int): String =
     s"""${mstCte(rounds)},
        cstat AS (SELECT c AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes
@@ -1735,6 +1806,7 @@ object Clouds {
     },
     "g_mst" -> mstOracle(MstOracleRounds),
     "g_mst_weight" -> mstWeightOracle(MstOracleRounds),
+    "g_threshold_sweep" -> thresholdSweepOracle(MstOracleRounds),
     "g_modularity" -> modularityOracle(Algorithms.LabelPropRounds),
     "g_neighbor_jaccard" ->
       s"""$OracleCte,
@@ -2123,6 +2195,7 @@ object Clouds {
     "g_cloud_overlap"         -> cloudOverlap _,
     "g_mst"                   -> mst _,
     "g_mst_weight"            -> mstWeight _,
+    "g_threshold_sweep"       -> thresholdSweep _,
     "g_neighbor_jaccard"      -> ((s: SparkSession, d: String) => neighborJaccard(s, d)),
     "g_neighbor_jaccard_capped" -> ((s: SparkSession, d: String) =>
                                     neighborJaccardCapped(s, d)),

@@ -29,6 +29,30 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Re-root a CHECKPOINTED frame on the same cached InternalRow RDD
+    * with its carried origin statistics CLEARED. `localCheckpoint`
+    * truncates the plan but eagerly copies the origin plan's Catalyst
+    * `Statistics` into the new LogicalRDD (SPARK-39902); an iterative
+    * kernel whose rounds self-join the previous iterate therefore
+    * compounds the BigInt `sizeInBytes` digit count geometrically —
+    * by round ~10 the stats visitor spends minutes inside BigInteger
+    * multiplication, and the NEXT `localCheckpoint` call itself hangs
+    * (it computes those stats eagerly via rewriteStatsAndConstraints).
+    * Clearing `originStats` resets the leaf to `defaultSizeInBytes`
+    * with ZERO data movement — same RDD, same partitioning, same
+    * ordering — unlike a `createDataFrame(df.rdd, schema)` re-root,
+    * which pays a Row deserialize/re-encode pass per downstream
+    * action. Non-LogicalRDD roots pass through unchanged. */
+  def scrubOriginStats(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        ofRows(df.sparkSession, lr.copy()(
+          df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          None, None))
+      case _ => df
+    }
+
   /** Is the given planner strategy registered in this session? Lets
     * operators with a custom physical plan degrade gracefully to a
     * built-in formulation in sessions built without GraftExtensions. */

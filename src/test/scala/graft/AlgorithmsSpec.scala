@@ -160,6 +160,26 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got(5L).isEmpty && got(6L).isEmpty, "unreachable stays null")
   }
 
+  test("star-contraction CC agrees with hash-to-min on adversarial chains") {
+    // a chain whose ids DESCEND along the path is label propagation's
+    // worst case (the min creeps one hop per round); the star kernel's
+    // round bound is shape-independent. 200 nodes: ids 200→1 chained,
+    // plus a clique, plus isolated nodes.
+    val chain = (200L to 2L by -1).map(i => (i, i - 1))
+    val clique = Seq((300L, 301L), (300L, 302L), (301L, 302L))
+    val nodes = ((1L to 200L) ++ Seq(300L, 301L, 302L, 400L)).toDF("id")
+    val edges = (chain ++ clique).toDF("src", "dst")
+    val star = Algorithms.connectedComponentsStar(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 200L).forall(star(_) == 1L), "chain collapses to min id 1")
+    assert(Seq(300L, 301L, 302L).forall(star(_) == 300L))
+    assert(star(400L) == 400L, "isolated node keeps itself")
+    // contract parity with the main kernel on the same input
+    val htm = Algorithms.connectedComponents(nodes, edges, maxIter = 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == htm, "both kernels share the (id, min-member) contract")
+  }
+
   test("boruvka MST matches a hand-checked tree and keeps the forest invariant") {
     // square 1-2-3-4 with a heavy diagonal and a separate edge 5-6:
     // MST of the square = the three cheapest sides; diagonal excluded

@@ -575,4 +575,26 @@ class GraphSpec extends SparkSpec {
     assert(hh.getLong(4) == hh.getLong(3),
       "host_harsh ⊆ host: the intersection is the harsh cloud itself")
   }
+
+  test("threshold sweep: single-linkage identity against direct CC per cut") {
+    import graft.graph.{Algorithms, Clouds, TestGraph}
+    val rows = SparkEntry.queries("g_threshold_sweep")(spark, SF).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet == Clouds.SweepThresholds.toSet)
+    val g = TestGraph.graph(spark, SF)
+    Clouds.SweepThresholds.foreach { t =>
+      // independent yardstick: CC over the FULL thresholded edge set
+      val cc = Algorithms.connectedComponents(
+        g.nodes.select(col("id")),
+        g.edges.filter(col("distance") <= t).select(col("src"), col("dst")))
+      val szs = cc.groupBy(col("comp")).count().collect().map(_.getLong(1))
+      assert(rows(t) == ((szs.length.toLong, szs.max, szs.count(_ == 1L).toLong)),
+        s"forest-cut census must equal full-graph CC census at t=$t")
+    }
+    // monotonicity: loosening the cut only merges clouds
+    val sorted = Clouds.SweepThresholds.map(rows)
+    assert(sorted.map(_._1).sliding(2).forall(p => p.head >= p.last),
+      "cloud count is non-increasing in the threshold")
+  }
 }
