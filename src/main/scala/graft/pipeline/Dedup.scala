@@ -1119,6 +1119,67 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** End-to-end curation FUNNEL report — the one-page number every
+    * data-curation run publishes: how many documents and tokens
+    * survive each sequential stage of the pipeline. Stages: raw →
+    * exact dedup (md5 keeper) → near-dup dedup (cluster keeper; a
+    * superset-stage by construction, since a cluster keeper is also
+    * its exact group's min) → Gopher rule gate → deterministic mix
+    * sampling. Each row is (stage_id, stage, n_docs, n_tokens) so the
+    * drop per stage — the cost of each policy — is one subtraction.
+    *
+    * Plan: ONE pass assembles per-doc cumulative survival flags (two
+    * keyed joins against the cluster assignment + exact-keeper
+    * aggregate, the gopher and mix gates are narrow column
+    * expressions), then an explode over the 5 stage structs and one
+    * map-side-combined aggregate. Nothing here exceeds the cluster
+    * chain it already rides. `d_funnel_report`. */
+  def funnelReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Docs.docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(Docs.tokens).cast("long").as("n_toks"),
+        md5(col("text")).as("ch"),
+        pmod(md5Hash60(col("text")), lit(100L)).as("mix_bucket"))
+    val exKeep = docs.groupBy(col("ch")).agg(min(col("doc_id")).as("ek"))
+    val clus = dedupClusters(spark, dir)
+      .select(col("doc_id"), col("keep").as("ckeep"))
+    val gop = Text.gopherRules(spark, dir)
+      .select(col("doc_id"), (col("keep") === 1).as("gkeep"))
+    val rate = MixRates.foldLeft(lit(0L)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r.toLong)).otherwise(acc)
+    }
+    val flags = docs
+      .join(exKeep, Seq("ch"))
+      .join(clus, Seq("doc_id"))
+      .join(gop, Seq("doc_id"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("doc_id") === col("ek")).as("k2"),
+        col("ckeep").as("k3r"), col("gkeep").as("k4r"),
+        (col("mix_bucket") < rate).as("k5r"))
+      .select(col("n_toks"), col("k2"),
+        (col("k2") && col("k3r")).as("k3"), col("k4r"), col("k5r"))
+      .withColumn("k4", col("k3") && col("k4r"))
+      .withColumn("k5", col("k4") && col("k5r"))
+    flags
+      .select(col("n_toks"), explode(array(
+        struct(lit(1L).as("stage_id"), lit("raw").as("stage"),
+          lit(true).as("in")),
+        struct(lit(2L).as("stage_id"), lit("exact_dedup").as("stage"),
+          col("k2").as("in")),
+        struct(lit(3L).as("stage_id"), lit("near_dedup").as("stage"),
+          col("k3").as("in")),
+        struct(lit(4L).as("stage_id"), lit("quality_gate").as("stage"),
+          col("k4").as("in")),
+        struct(lit(5L).as("stage_id"), lit("mix_sample").as("stage"),
+          col("k5").as("in")))).as("s"))
+      .groupBy(col("s.stage_id").as("stage_id"), col("s.stage").as("stage"))
+      // conditional sums, NOT filter-then-count: a stage that rejects
+      // everything still reports its zero row (the fixture case)
+      .agg(sum(when(col("s.in"), 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("s.in"), col("n_toks")).otherwise(0L)).as("n_tokens"))
+      .orderBy(col("stage_id"))
+  }
+
   /** MinHash-LSH quality audit — recall AND precision of the banded
     * sketch pipeline against the exact df-capped n-gram Jaccard truth
     * at the same threshold (the dedup-side mirror of [[Similarity]]'s
@@ -1830,6 +1891,72 @@ object Dedup {
                       $MixTemperature) / z /
                   (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS boost
           FROM perl, zc ORDER BY lang""",
+    "d_funnel_report" -> {
+      val rateCase = MixRates
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+      val stopList = Text.Stopwords.head._2.map(w => s"'$w'").mkString(",")
+      s"""WITH RECURSIVE $ClusterReachCte,
+          clus AS (SELECT u AS doc_id, u = MIN(v) AS ckeep
+                   FROM reach GROUP BY u),
+          base AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS tk,
+                   md5(text) AS ch, ${hexFoldSql("text")} % 100 AS mixb
+            FROM documents),
+          ex AS (SELECT ch, MIN(doc_id) AS ek FROM base GROUP BY ch),
+          gop AS (
+            SELECT doc_id,
+              (len(tk) BETWEEN ${Text.GopherMinTokens}
+                           AND ${Text.GopherMaxTokens})
+              AND (CAST(list_sum(list_transform(tk, w -> len(w))) AS DOUBLE)
+                     / len(tk)
+                   BETWEEN ${Text.GopherMinMeanWordLen}
+                       AND ${Text.GopherMaxMeanWordLen})
+              AND (CAST(len(list_filter(tk,
+                     w -> contains(w, '#') OR contains(w, '...'))) AS DOUBLE)
+                     / len(tk) <= ${Text.GopherMaxSymbolRatio})
+              AND (CAST(len(list_filter(tk,
+                     w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+                     / len(tk) >= ${Text.GopherMinAlphaShare})
+              AND (len(list_filter(list_distinct(tk),
+                     w -> w IN ($stopList))) >= ${Text.GopherMinStopHits})
+              AS gkeep
+            FROM base),
+          fl AS (
+            SELECT b.doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+                   (b.doc_id = e.ek) AS k2,
+                   ((b.doc_id = e.ek) AND c.ckeep) AS k3,
+                   ((b.doc_id = e.ek) AND c.ckeep AND g.gkeep) AS k4,
+                   ((b.doc_id = e.ek) AND c.ckeep AND g.gkeep AND
+                    (b.mixb < CASE $rateCase ELSE 0 END)) AS k5
+            FROM base b
+            JOIN ex e USING (ch)
+            JOIN clus c ON c.doc_id = b.doc_id
+            JOIN gop g ON g.doc_id = b.doc_id)
+          SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM fl
+          UNION ALL
+          SELECT 2, 'exact_dedup',
+                 CAST(SUM(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN k2 THEN n_toks ELSE 0 END) AS BIGINT)
+          FROM fl
+          UNION ALL
+          SELECT 3, 'near_dedup',
+                 CAST(SUM(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN k3 THEN n_toks ELSE 0 END) AS BIGINT)
+          FROM fl
+          UNION ALL
+          SELECT 4, 'quality_gate',
+                 CAST(SUM(CASE WHEN k4 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN k4 THEN n_toks ELSE 0 END) AS BIGINT)
+          FROM fl
+          UNION ALL
+          SELECT 5, 'mix_sample',
+                 CAST(SUM(CASE WHEN k5 THEN 1 ELSE 0 END) AS BIGINT),
+                 CAST(SUM(CASE WHEN k5 THEN n_toks ELSE 0 END) AS BIGINT)
+          FROM fl
+          ORDER BY stage_id"""
+    },
     "d_lsh_recall" ->
       s"""WITH $minhashEstCtePrelude,
           lshp AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
@@ -2001,5 +2128,6 @@ object Dedup {
     "d_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "d_novelty"       -> (novelty _),
     "d_lsh_recall"    -> ((s: SparkSession, d: String) => lshRecall(s, d)),
+    "d_funnel_report" -> (funnelReport _),
   )
 }

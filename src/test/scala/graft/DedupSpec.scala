@@ -612,6 +612,21 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(f("en", "temp_share") - math.pow(2.0 / 3, 0.3) / z) < 1e-6)
   }
 
+  test("funnel report: sequential stages shrink monotonically with exact counts") {
+    val rows = rowsOf(Dedup.funnelReport(spark, dir))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet == (1L to 5L).toSet)
+    assert(rows(1L)._2 == 5L, "raw counts every doc")
+    assert(rows(2L)._2 == 4L, "doc 2 is the exact copy of doc 0")
+    assert(rows(3L)._2 == 3L, "cluster {0,1,2} keeps only doc 0; 3,4 singleton")
+    // each stage is a subset of the previous — docs AND token mass
+    (2L to 5L).foreach { s =>
+      assert(rows(s)._2 <= rows(s - 1)._2 && rows(s)._3 <= rows(s - 1)._3,
+        s"stage $s must not grow: $rows")
+    }
+  }
+
   test("lsh recall audit: perfect on the planted fixture, counts consistent") {
     val row = rowsOf(Dedup.lshRecall(spark, dir)).head
     val (nTrue, nLsh, nCommon) = (row.getLong(0), row.getLong(1), row.getLong(2))
