@@ -783,6 +783,46 @@ object Similarity {
     * family's approximate top-k on (query, neighbor), hits counted per
     * query; the truth is checkpointed once and shared by all four
     * joins. n_true is always k; recall = n_hit / k. `s_ann_recall`. */
+  /** Cut points for [[recallCurve]] — prefixes of the shared top-5
+    * ranking, so ONE run per index family yields the whole curve. */
+  val RecallKs: Seq[Int] = Seq(1, 3, 5)
+
+  /** Recall@k CURVE per ANN index family — [[annRecall]] fixed at one
+    * k answers "is the index sane"; the curve answers the TUNING
+    * question ("how much k must I over-fetch for recall X"), which is
+    * what an index rollout actually decides on. Because every family's
+    * top-5 is RANKED on a total order, recall@k for each k ≤ 5 falls
+    * out of the SAME single run per family: a truth pair at rank ≤ k
+    * is hit iff its approx rank is also ≤ k — prefix logic, zero extra
+    * index probes. One aggregated row per (family, k).
+    * `s_recall_curve`. */
+  def recallCurve(spark: SparkSession, dir: String,
+                  nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val truth = cosineTopK(spark, dir, nQueries, k)
+      .select(col("query_id"), col("neighbor"), col("rnk").as("trank"))
+      .localCheckpoint(true) // one brute-force pass shared by 4 families
+    def fam(name: String, approx: DataFrame): DataFrame =
+      truth.join(
+          approx.select(col("query_id"), col("neighbor"),
+            col("rnk").as("arank")),
+          Seq("query_id", "neighbor"), "left_outer")
+        .select(col("trank"), col("arank"),
+          explode(array(RecallKs.map(x => lit(x)): _*)).as("k"))
+        .groupBy(col("k"))
+        .agg(sum(when(col("trank") <= col("k"), 1L).otherwise(0L))
+          .as("n_true"),
+          // a NULL arank (never retrieved) falls to the otherwise-0 arm
+          sum(when(col("trank") <= col("k") && col("arank") <= col("k"), 1L)
+            .otherwise(0L)).as("n_hit"))
+        .select(lit(name).as("family"), col("k"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
+    fam("lsh", lshAnn(spark, dir, nQueries, k))
+      .unionByName(fam("ivf", ivfAnn(spark, dir, nQueries, k)))
+      .unionByName(fam("pq", pqAnn(spark, dir, nQueries, k)))
+      .unionByName(fam("ivfpq", ivfPqAnn(spark, dir, nQueries, k)))
+      .orderBy(col("family"), col("k"))
+  }
+
   def annRecall(spark: SparkSession, dir: String,
                 nQueries: Int = 10, k: Int = 5): DataFrame = {
     val truth = cosineTopK(spark, dir, nQueries, k)
@@ -1189,6 +1229,55 @@ object Similarity {
     // family from the SAME shared CTE chains the family oracles read —
     // the recall audit cannot drift from what the green family keys
     // certify
+    "s_recall_curve" -> {
+      val ks = RecallKs.mkString(", ")
+      s"""$VecCte,
+         $LshBucketsCte,
+         $IvfCtes,
+         $PqRankedCtes,
+         $LshRankedCtes,
+         bp AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor,
+                  ROUND(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
+           FROM e q JOIN e c ON c.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         bt AS (
+           SELECT query_id, neighbor, rn AS trank FROM (
+             SELECT query_id, neighbor,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor) AS rn
+             FROM bp) WHERE rn <= 5),
+         ap AS (
+           SELECT 'lsh' AS family, query_id, neighbor, rnk AS arank
+           FROM lshranked WHERE rnk <= 5
+           UNION ALL SELECT 'ivf', query_id, neighbor, rnk
+           FROM ivfranked WHERE rnk <= 5
+           UNION ALL SELECT 'pq', query_id, neighbor, rnk
+           FROM pqranked WHERE rnk <= 5
+           UNION ALL SELECT 'ivfpq', query_id, neighbor, rnk
+           FROM ivfpqranked WHERE rnk <= 5),
+         fams AS (SELECT unnest(['lsh', 'ivf', 'pq', 'ivfpq']) AS family),
+         j AS (
+           SELECT f.family, bt.trank, ap.arank
+           FROM fams f CROSS JOIN bt
+           LEFT JOIN ap ON ap.family = f.family
+                       AND ap.query_id = bt.query_id
+                       AND ap.neighbor = bt.neighbor),
+         ks AS (SELECT unnest([$ks]) AS k)
+         SELECT j.family, ks.k,
+                CAST(SUM(CASE WHEN trank <= k THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_true,
+                CAST(SUM(CASE WHEN trank <= k AND arank IS NOT NULL
+                               AND arank <= k THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_hit,
+                ROUND(CAST(SUM(CASE WHEN trank <= k AND arank IS NOT NULL
+                                     AND arank <= k THEN 1 ELSE 0 END)
+                             AS DOUBLE) /
+                      SUM(CASE WHEN trank <= k THEN 1 ELSE 0 END), 4)
+                  AS recall
+         FROM j CROSS JOIN ks
+         GROUP BY j.family, ks.k ORDER BY j.family, ks.k"""
+    },
     "s_ann_recall" ->
       s"""$VecCte,
          $LshBucketsCte,
@@ -1356,6 +1445,7 @@ object Similarity {
     "s_ivf_ann"           -> ((s: SparkSession, d: String) => ivfAnn(s, d)),
     "s_kmeans"            -> ((s: SparkSession, d: String) => kmeans(s, d)),
     "s_silhouette"        -> ((s: SparkSession, d: String) => silhouette(s, d)),
+    "s_recall_curve"      -> ((s: SparkSession, d: String) => recallCurve(s, d)),
     "s_cluster_purity"    -> ((s: SparkSession, d: String) => clusterPurity(s, d)),
     "s_ann_recall"        -> ((s: SparkSession, d: String) => annRecall(s, d)),
     "s_pq_ann"            -> ((s: SparkSession, d: String) => pqAnn(s, d)),

@@ -413,6 +413,27 @@ class SimilaritySpec extends SparkSpec {
       s"lsh query ${r.getLong(1)}: the recovered twin alone guarantees a hit"))
   }
 
+  test("recall curve: full axis, prefix-consistent counts, twins dominate @1") {
+    val rows = rowsOf(Similarity.recallCurve(spark, dir))
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val fams = Seq("ivf", "ivfpq", "lsh", "pq")
+    assert(rows.keySet == (for (f <- fams; k <- Similarity.RecallKs)
+      yield (f, k)).toSet, "every (family, k) cell present")
+    rows.foreach { case ((f, k), (nTrue, nHit, rec)) =>
+      assert(nTrue == 10L * k, s"$f@$k: truth is the 10-query top-$k prefix")
+      assert(nHit <= nTrue && rec >= 0.0 && rec <= 1.0, s"$f@$k bounded")
+    }
+    fams.foreach { f =>
+      val hits = Similarity.RecallKs.map(k => rows((f, k))._2)
+      assert(hits.sliding(2).forall(p => p.head <= p.last),
+        s"$f: hits grow with k (prefix logic): $hits")
+    }
+    // rank 1 of every query's truth is its planted twin, which LSH
+    // recovers by construction on the fixture — recall@1 is perfect
+    assert(rows(("lsh", 1))._3 == 1.0, "planted twins dominate @1")
+  }
+
   test("silhouette: covers every member, bounded in [-1,1], a>=0, b above a on average") {
     val rows = rowsOf(Similarity.silhouette(spark, dir))
     assert(rows.map(_.getLong(rows.head.fieldIndex("n_members"))).sum == 30L,
