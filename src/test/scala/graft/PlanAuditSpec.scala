@@ -19,6 +19,7 @@ class PlanAuditSpec extends SparkSpec {
     "q11_important_stock", // ONE-row (total, n_parts) scalar × per-part aggregate
     "s_cluster_purity",    // embeds s_kmeans' centroid-assignment cross
     "s_ann_recall",        // embeds s_cosine_topk's fixed-query broadcast
+    "s_recall_curve",      // same embedded fixed-query/centroid crosses as s_ann_recall
     "d_mix_weights",       // ONE-row (total, n_langs) scalar × per-lang aggregate
     "d_temperature_mix",   // ONE-row (total, Z) scalar × per-lang aggregate
     "s_silhouette",        // embeds s_kmeans' centroid-assignment cross (k rows)
