@@ -238,6 +238,11 @@ object Algorithms {
     if (!done) throw new IllegalStateException(
       s"connectedComponents: frontier still live after $maxIter rounds — " +
         "raise maxIter (chain-shaped inputs propagate labels slowly)")
+    // the returned labels are a materialized checkpoint that no longer
+    // references the symmetrized edge list — release it, or every
+    // nested CC call (Borůvka contracts per round) pins one more
+    // edge-sized block set for the life of the session
+    releaseIterate(sym)
     labels.select(col("id"), col("comp"))
   }
 
@@ -658,6 +663,11 @@ object Algorithms {
           least(col("p.x"), col("p.y")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
       val next = loopCheckpoint(small)
+      // `next` is materialized, so the round's intermediate `large`
+      // checkpoint is superseded too — release it here or a k-round run
+      // pins k edge-list-sized block sets (the eviction-thrash shape
+      // releaseIterate exists to prevent)
+      releaseIterate(large)
       // fixpoint: the edge list is a stable star forest when the round
       // leaves it unchanged (same canonical pair set)
       live = next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
@@ -765,11 +775,23 @@ object Algorithms {
           pick.select(col("u"), col("v"), col("w")).distinct())
         val mp = pick.select(least(col("cc"), col("o")).as("src"),
           greatest(col("cc"), col("o")).as("dst")).distinct()
-        val cmap = connectedComponents(
+        // contract with the STAR kernel, not hash-to-min: a round-1
+        // merge graph on a path-shaped input with monotone weights is a
+        // ~n-component chain in adversarial id order — exactly label
+        // propagation's worst case (it would creep 1–2 hops/round and
+        // trip the capped-exit exception on inputs barely larger than
+        // the tested scale), while the star alternation is O(log² n)
+        // on ANY shape
+        val cmap = connectedComponentsStar(
           comp.select(col("c").as("id")).distinct(), mp)
         val next = freshStats(
           comp.join(cmap.withColumnRenamed("id", "c"), Seq("c"))
             .select(col("id"), col("comp").as("c"))).localCheckpoint(true)
+        // `next` is materialized: the round's contraction-CC output
+        // (cmap's final star-edge checkpoint) and the superseded
+        // component iterate are both dead — release them, or a k-round
+        // run pins k merge-graph-sized block sets
+        releaseIterate(cmap)
         releaseIterate(comp)
         comp = next
       }
@@ -782,7 +804,12 @@ object Algorithms {
     // carry ~maxRounds of compounded join statistics, and feeding them
     // into ANOTHER kernel's loop (the threshold sweep runs CC over the
     // forest) re-creates the BigInt stats hang refinePartition hit.
-    (freshStats(forest.localCheckpoint(true)), freshStats(comp))
+    val fmat = forest.localCheckpoint(true)
+    // fmat is materialized, so the accumulated per-round pick
+    // checkpoints (the union's leaves) are dead — one release walks the
+    // whole union plan and frees them all
+    releaseIterate(forest)
+    (freshStats(fmat), freshStats(comp))
   }
 
   /** Leiden-style refinement kernel: split every community of `labels`
