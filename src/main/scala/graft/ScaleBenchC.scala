@@ -113,6 +113,8 @@ object ScaleBenchC {
     }
 
     timed("d_minhash_lsh") { pipeline.Dedup.minhashLsh(spark, dir) }
+    timed("d_simhash_pairs") { pipeline.Dedup.simhashPairs(spark, dir) }
+    timed("m_phash_dedup") { pipeline.Multimodal.phashDedup(spark, dir) }
     timed("d_dedup_clusters") { pipeline.Dedup.dedupClusters(spark, dir) }
     timed("s_knn_graph") { pipeline.Similarity.knnGraph(spark, dir) }
     timed("d_semantic_dedup") { pipeline.Similarity.semanticDedup(spark, dir) }

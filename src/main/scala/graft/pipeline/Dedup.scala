@@ -167,14 +167,73 @@ object Dedup {
     * hamming distance [[HammingMax]] must agree on at least one whole
     * band, so the equi-join on (band index, band bits) finds every such
     * pair without an all-pairs product (same bucket-join shape as LSH).
+    * The x-side of the bucket join is capped at [[BandBucketCap]]
+    * LOWEST-id members per (band, bits) bucket ([[cappedBandPairs]]) —
+    * without the cap a mega-group of identical fingerprints (exactly
+    * the dedup workload: boilerplate pages hash to ONE bucket in ALL
+    * bands) forms ~4·C(n, 2) candidate rows from a single key.
     * Survivors are verified with the exact popcount distance
     * (`bit_count(a XOR b)`, codegen'd built-in). The DuckDB oracle
-    * replays banding + popcount; the spec additionally plants
-    * hamming-close fingerprints and checks recall + the no-product
-    * plan. `d_simhash_pairs`. */
+    * replays banding + the witness cap + popcount; the spec
+    * additionally plants hamming-close fingerprints, a collapsed
+    * mega-bucket (pair bound + exact-witness property), and checks
+    * recall + the no-product plan. `d_simhash_pairs`. */
   val HammingMax = 3
 
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Witness cap for the SimHash-family (band, bits) bucket joins
+    * ([[simhashPairs]], [[graft.pipeline.Multimodal.phashDedup]], and
+    * the incremental probe's corpus side): the x-side of the pair join
+    * is each bucket's ≤cap LOWEST-id members, so the per-bucket pair
+    * product is ≤ n·cap instead of C(n, 2) even when a mega-group of
+    * identical fingerprints collapses every band into one bucket.
+    * Lowest-id — not a hash sample — for the [[graft.pipeline
+    * .Similarity.SemClusterCap]] argument: the keep-first survivor of
+    * any duplicate group is its lowest id, and with lowest-id
+    * witnesses EVERY bucket member still pairs with the bucket minimum
+    * (witness #1), so downstream keep-first / CC-closure semantics are
+    * preserved exactly; the capped recall loss concentrates on rare
+    * pairs close ONLY to mid-id bucket-mates in every shared band.
+    * Precision stays 1 (every emitted pair is exact-popcount
+    * verified). */
+  val BandBucketCap = 64
+
+  /** The capped band-bucket pair join shared by the SimHash and pHash
+    * near-dup screens: x-side = ≤`cap` lowest-id members per
+    * (band, bits) bucket through the native
+    * [[graft.plans.TopKPerGroup]] heap (map-side partial bounds the
+    * shuffle at cap rows per bucket per input partition), y-side = the
+    * whole banded table. Emits exact-popcount (a, b, hamming) with
+    * a < b, NOT yet thresholded/deduped — callers filter and
+    * distinct. Factored out so the spec can plant a collapsed
+    * mega-bucket and assert the pair bound + exact-witness property
+    * structurally. `banded` columns: (doc_id, fp, band, bits). */
+  private[graft] def cappedBandPairs(banded: DataFrame, cap: Int): DataFrame = {
+    val witnesses = graft.plans.TopKPerGroup.rankTopK(
+        banded, Seq("band", "bits"), Seq("doc_id" -> false), cap)
+      .select(col("doc_id"), col("fp"), col("band"), col("bits"))
+    witnesses.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+  }
+
+  /** The banded (doc_id, fp, band, bits) view of a fingerprint table —
+    * each `bits`-wide stripe of the fingerprint keyed by its band
+    * index. Shared by the batch pair join and the incremental probe. */
+  private[graft] def bandedFingerprints(fp: DataFrame, fpCol: String,
+                                        nBands: Int, bandBits: Int): DataFrame =
+    fp.select(col("doc_id"), col(fpCol).as("fp"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col(fpCol), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("fp"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+
+  def simhashPairs(spark: SparkSession, dir: String,
+                   cap: Int = BandBucketCap): DataFrame = {
     val nBands = HammingMax + 1
     // the pigeonhole recall guarantee needs the bands to tile the WHOLE
     // fingerprint: a leftover stripe of uncovered bits would silently
@@ -184,18 +243,7 @@ object Dedup {
     val bandBits = SimhashBits / nBands // 15
     val fp = simhash(spark, dir).select(col("doc_id"), col("simhash"))
       .localCheckpoint(true) // the 64 bit-sum aggregates run ONCE, not per band
-    val banded = fp.select(col("doc_id"), col("simhash"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+    cappedBandPairs(bandedFingerprints(fp, "simhash", nBands, bandBits), cap)
       .filter(col("hamming") <= HammingMax)
       .distinct() // a close pair can collide in several bands
       .orderBy(col("a"), col("b"))
@@ -448,6 +496,56 @@ object Dedup {
       .filter(col("i").cast("double") /
         (col("na") + col("nb") - col("i")).cast("double") >= minSim)
       .groupBy(col("b_id")).agg(min(col("c_id")).as("dup_of"))
+    batch
+      .join(ver, col("doc_id") === col("b_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental SIMHASH ingest screen — the fingerprint-family member
+    * of the ingest trio ([[incrementalDedup]] exact md5,
+    * [[incrementalNeardup]] MinHash/Jaccard, this one Hamming): a new
+    * shard probes the EXISTING corpus's (band, bits) buckets with its
+    * own banded SimHash fingerprints. This is the media-path screen —
+    * the same probe runs unchanged over pHash fingerprints
+    * ([[graft.pipeline.Multimodal.phashDedup]] shares the banding and
+    * the cap), where "re-encoded copy of an already-ingested image"
+    * is a Hamming-ball membership test, not a token-overlap one.
+    *
+    * Scale shape: the corpus side of the probe is capped at
+    * [[BandBucketCap]] LOWEST-id members per bucket (the
+    * [[cappedBandPairs]] witness argument: a boilerplate mega-group
+    * collapses every band into one bucket, but its keep-first survivor
+    * — the bucket minimum — is always a witness, so a batch copy of
+    * corpus boilerplate still matches at hamming 0), the join is band
+    * equi-keyed — never batch × corpus — and survivors are verified
+    * with the exact popcount distance. Output: every batch doc with
+    * `dup_of` = the smallest corpus doc within [[HammingMax]] (NULL ⇒
+    * fresh) and the `kept` verdict. `d_incremental_simhash`. */
+  def incrementalSimhash(spark: SparkSession, dir: String,
+                         existingSource: String = "src0",
+                         cap: Int = BandBucketCap): DataFrame = {
+    val nBands = HammingMax + 1
+    val bandBits = SimhashBits / nBands
+    val docs = Docs.docs(spark, dir).select(col("doc_id"), col("source"))
+    val fp = simhash(spark, dir).select(col("doc_id"), col("simhash"))
+      .localCheckpoint(true) // banded twice (corpus + batch sides)
+    val banded = bandedFingerprints(fp, "simhash", nBands, bandBits)
+    val corpusIds = docs.filter(col("source") === existingSource)
+      .select(col("doc_id"))
+    val batch = docs.filter(col("source") =!= existingSource)
+    val corpusBands = graft.plans.TopKPerGroup.rankTopK(
+        banded.join(corpusIds, Seq("doc_id"), "left_semi"),
+        Seq("band", "bits"), Seq("doc_id" -> false), cap)
+      .select(col("doc_id"), col("fp"), col("band"), col("bits"))
+    val batchBands = banded.join(batch.select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val ver = batchBands.as("x").join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits"))
+      .filter(bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= HammingMax)
+      .groupBy(col("x.doc_id").as("b_id"))
+      .agg(min(col("y.doc_id")).as("dup_of"))
     batch
       .join(ver, col("doc_id") === col("b_id"), "left_outer")
       .select(col("doc_id"), col("source"), col("dup_of"),
@@ -1596,6 +1694,37 @@ object Dedup {
          SELECT b.doc_id, b.source, v.dup_of, v.dup_of IS NULL AS kept
          FROM batch b LEFT JOIN ver v ON v.b_id = b.doc_id
          ORDER BY b.doc_id""",
+    "d_incremental_simhash" -> {
+      val nBands = HammingMax + 1
+      val bandBits = SimhashBits / nBands
+      val mask = (1L << bandBits) - 1
+      s"""WITH $simhashFpCte,
+         banded AS (
+           SELECT doc_id, simhash, bb.b AS band,
+                  (simhash >> (bb.b * $bandBits)) & $mask AS bits
+           FROM fp, (SELECT unnest(range($nBands)) AS b) bb),
+         corpus AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+         batch AS (SELECT doc_id, source FROM documents
+                   WHERE source <> 'src0'),
+         cb AS (
+           SELECT doc_id, simhash, band, bits FROM (
+             SELECT b.doc_id, b.simhash, b.band, b.bits,
+                    ROW_NUMBER() OVER (PARTITION BY b.band, b.bits
+                      ORDER BY b.doc_id) AS rn
+             FROM banded b JOIN corpus c ON c.doc_id = b.doc_id)
+           WHERE rn <= $BandBucketCap),
+         bb2 AS (
+           SELECT b.doc_id, b.simhash, b.band, b.bits
+           FROM banded b JOIN batch t ON t.doc_id = b.doc_id),
+         ver AS (
+           SELECT x.doc_id AS b_id, MIN(y.doc_id) AS dup_of
+           FROM bb2 x JOIN cb y ON x.band = y.band AND x.bits = y.bits
+           WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax
+           GROUP BY x.doc_id)
+         SELECT b.doc_id, b.source, v.dup_of, v.dup_of IS NULL AS kept
+         FROM batch b LEFT JOIN ver v ON v.b_id = b.doc_id
+         ORDER BY b.doc_id"""
+    },
     "d_sample_mix" -> {
       val rateCase = MixRates
         .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
@@ -1805,10 +1934,16 @@ object Dedup {
          banded AS (
            SELECT doc_id, simhash, bb.b AS band,
                   (simhash >> (bb.b * $bandBits)) & $mask AS bits
-           FROM fp, (SELECT unnest(range($nBands)) AS b) bb)
+           FROM fp, (SELECT unnest(range($nBands)) AS b) bb),
+         wit AS (
+           SELECT doc_id, simhash, band, bits FROM (
+             SELECT doc_id, simhash, band, bits,
+                    ROW_NUMBER() OVER (PARTITION BY band, bits
+                      ORDER BY doc_id) AS rn
+             FROM banded) WHERE rn <= $BandBucketCap)
          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                 CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-         FROM banded x JOIN banded y
+         FROM wit x JOIN banded y
            ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
          WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax
          ORDER BY a, b"""
@@ -2102,7 +2237,7 @@ object Dedup {
     "d_exact_dedup"   -> (exactDedup _),
     "d_minhash_lsh"   -> ((s: SparkSession, d: String) => minhashLsh(s, d)),
     "d_simhash"       -> (simhash _),
-    "d_simhash_pairs" -> (simhashPairs _),
+    "d_simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "d_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccard(s, d)),
     "d_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "d_split_assign"  -> (splitAssign _),
@@ -2112,6 +2247,7 @@ object Dedup {
     "d_sample_mix"    -> (sampleMix _),
     "d_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "d_incremental_neardup" -> ((s: SparkSession, d: String) => incrementalNeardup(s, d)),
+    "d_incremental_simhash" -> ((s: SparkSession, d: String) => incrementalSimhash(s, d)),
     "d_containment" -> ((s: SparkSession, d: String) => containment(s, d)),
     "d_cluster_stats" -> (clusterStats _),
     "d_bloom_dedup" -> ((s: SparkSession, d: String) => bloomDedup(s, d)),

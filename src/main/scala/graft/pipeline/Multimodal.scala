@@ -243,29 +243,23 @@ object Multimodal {
     * threshold is the standard screen for re-encoded/resized copies):
     * banded by the [[Dedup.simhashPairs]] pigeonhole rule
     * (hamming ≤ [[PhashHammingMax]] ⇒ the pair agrees on ≥1 of the
-    * HammingMax+1 bands), bucket equi-join, exact Hamming verify —
-    * never an all-pairs product. The decode/hash stage is the
-    * mapPartitions batch path; everything after is plain banded
-    * DataFrame land. `m_phash_dedup`. */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    * HammingMax+1 bands), bucket equi-join with the x-side capped at
+    * [[Dedup.BandBucketCap]] lowest-id members per bucket
+    * ([[Dedup.cappedBandPairs]] — a spacer-image mega-group collapses
+    * every band into ONE bucket, so the uncapped join is ~4·C(n, 2)
+    * pairs from a single key; capped it is ≤ n·cap with the bucket
+    * minimum always a witness, preserving keep-first semantics), exact
+    * Hamming verify — never an all-pairs product. The decode/hash
+    * stage is the mapPartitions batch path; everything after is plain
+    * banded DataFrame land. `m_phash_dedup`. */
+  def phashDedup(spark: SparkSession, dir: String,
+                 cap: Int = Dedup.BandBucketCap): DataFrame = {
     val nBands = PhashHammingMax + 1
     require(PhashBits % nBands == 0, "bands must tile the hash")
     val bandBits = PhashBits / nBands
     val fp = phashTable(spark, dir).localCheckpoint(true)
-    val banded = fp.select(col("doc_id"), col("phash"),
-      explode(array((0 until nBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("phash"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)).as("bits"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("phash"),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
-          .cast("long").as("hamming"))
+    Dedup.cappedBandPairs(
+        Dedup.bandedFingerprints(fp, "phash", nBands, bandBits), cap)
       .filter(col("hamming") <= PhashHammingMax)
       .distinct()
       .orderBy(col("a"), col("b"))
@@ -301,10 +295,16 @@ object Multimodal {
          banded AS (
            SELECT doc_id, phash, bb.b AS band,
                   (phash >> (bb.b * $bandBits)) & $mask AS bits
-           FROM fp, (SELECT unnest(range($nBands)) AS b) bb)
+           FROM fp, (SELECT unnest(range($nBands)) AS b) bb),
+         wit AS (
+           SELECT doc_id, phash, band, bits FROM (
+             SELECT doc_id, phash, band, bits,
+                    ROW_NUMBER() OVER (PARTITION BY band, bits
+                      ORDER BY doc_id) AS rn
+             FROM banded) WHERE rn <= ${Dedup.BandBucketCap})
          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                 CAST(bit_count(xor(x.phash, y.phash)) AS BIGINT) AS hamming
-         FROM banded x JOIN banded y
+         FROM wit x JOIN banded y
            ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
          WHERE bit_count(xor(x.phash, y.phash)) <= $PhashHammingMax
          ORDER BY a, b"""
@@ -400,6 +400,6 @@ object Multimodal {
     "m_resize"          -> ((s: SparkSession, d: String) => resizePlan(s, d)),
     "m_shard_pack"      -> (shardPack _),
     "m_modality_join"   -> (modalityJoin _),
-    "m_phash_dedup"     -> (phashDedup _),
+    "m_phash_dedup"     -> ((s, d) => phashDedup(s, d)),
   )
 }

@@ -206,6 +206,54 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).distinct.size == pairs.size, "no duplicate pairs")
   }
 
+  test("capped band pairs bound a collapsed fingerprint mega-bucket at n·cap") {
+    import spark.implicits._
+    // the dedup stress shape: n docs with IDENTICAL fingerprints (one
+    // boilerplate page replicated) — every band collapses into ONE
+    // bucket, so the uncapped join is (HammingMax+1)·C(n,2) rows
+    val n = 300
+    val cap = 8
+    val fp = (0L until n.toLong).map(i => (i, 0x0F0F0F0FL)).toDF("doc_id", "simhash")
+    val banded = Dedup.bandedFingerprints(fp, "simhash", Dedup.HammingMax + 1,
+      Dedup.SimhashBits / (Dedup.HammingMax + 1))
+    val capped = rowsOf(Dedup.cappedBandPairs(banded, cap).distinct())
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // lowest-id witnesses: C(cap,2) witness–witness + cap·(n−cap)
+    // witness–member pairs, and never more than n·cap
+    assert(capped.size == cap * (cap - 1) / 2 + cap * (n - cap),
+      s"mega-bucket must yield the witness bound, got ${capped.size}")
+    assert(capped.size <= n * cap, "per-bucket pair product ≤ n·cap")
+    // exact-witness property: every non-witness member pairs with the
+    // bucket MINIMUM, so keep-first survivorship / CC closure see the
+    // whole group
+    (cap.toLong until n.toLong).foreach(y =>
+      assert(capped((0L, y)), s"member $y must pair with witness #1"))
+    // containment: capped pairs ⊆ the uncapped product
+    val full = rowsOf(Dedup.cappedBandPairs(banded, n).distinct())
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.size == n * (n - 1) / 2, "uncapped control is the full product")
+    assert(capped.subsetOf(full), "capped pairs ⊆ uncapped")
+  }
+
+  test("simhash pairs: cap is a no-op when no band bucket exceeds it") {
+    val dflt = rowsOf(Dedup.simhashPairs(spark, dir))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val unc = rowsOf(Dedup.simhashPairs(spark, dir, cap = 10000))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dflt == unc, "fixture buckets are far below the cap")
+  }
+
+  test("incremental simhash screen: exact batch copy matches its corpus twin, fresh doc survives") {
+    // corpus = src0 (docs 0, 1, 3); batch = {2 (copy of 0), 4 (fresh)}
+    val r = rowsOf(Dedup.incrementalSimhash(spark, dir))
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(2L, 4L), "screen reports exactly the batch docs")
+    assert(!r(2L).isNullAt(2) && r(2L).getLong(2) == 0L && !r(2L).getBoolean(3),
+      "the byte-identical batch doc matches corpus doc 0 at hamming 0")
+    r.values.foreach(row =>
+      assert(row.getBoolean(3) == row.isNullAt(2), "kept ⇔ no corpus match"))
+  }
+
   test("incremental dedup drops only incoming docs whose hash exists in the store") {
     val d = TestSession.docsFixture(Seq(
       (0L, "stored document one", "en", "src0", 19L),
