@@ -118,6 +118,60 @@ object ScaleBench {
         edges.select(col("src").as("u"), col("dst").as("v"),
           col("distance").as("w")))._1
     }
+    timed("louvain") {
+      Algorithms.louvain(nodes, edges)
+    }
+    timed("community_refine") {
+      // the g_community_refine composition: Louvain labels re-rooted
+      // (freshStats) and fed to CC restricted to intra-community edges
+      val lbl = Algorithms.freshStats(
+        Algorithms.louvain(nodes, edges)).localCheckpoint(true)
+      Algorithms.refinePartition(nodes,
+        edges.select(col("src"), col("dst")), lbl)
+    }
+    timed("coreness") {
+      Algorithms.coreness(nodes, edges)
+    }
+    timed("threshold_sweep") {
+      // the g_threshold_sweep composition: one Borůvka forest, then
+      // nested star-CC cuts contracted by the previous cut's components
+      val (forest, fullComp) = Algorithms.boruvkaMst(nodes,
+        edges.select(col("src").as("u"), col("dst").as("v"),
+          col("distance").as("w")))
+      var prev: DataFrame = null
+      var prevT = 0.0
+      // sub-threshold cuts at 25/50/75% of the edge-build threshold
+      // (the synthetic distances all sit below QueryThreshold)
+      val cuts = Seq(0.25, 0.5, 0.75)
+          .map(_ * TestGraph.QueryThreshold).map { t =>
+        val cc =
+          if (prev == null)
+            Algorithms.connectedComponentsStar(nodes,
+              forest.filter(col("w") <= t)
+                .select(col("u").as("src"), col("v").as("dst")))
+          else {
+            val band = forest
+              .filter(col("w") > prevT && col("w") <= t)
+              .join(prev.select(col("id").as("u"), col("comp").as("cu")), Seq("u"))
+              .join(prev.select(col("id").as("v"), col("comp").as("cv")), Seq("v"))
+              .select(col("cu").as("src"), col("cv").as("dst"))
+              .filter(col("src") =!= col("dst"))
+            val superCc = Algorithms.connectedComponentsStar(
+              prev.select(col("comp").as("id")).distinct(), band)
+            prev.select(col("id"), col("comp").as("pcomp"))
+              .join(superCc.select(col("id").as("pcomp"), col("comp").as("ncomp")),
+                Seq("pcomp"))
+              .select(col("id"), col("ncomp").as("comp"))
+          }
+        prev = Algorithms.freshStats(cc).localCheckpoint(true)
+        prevT = t
+        prev.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .agg(lit(t).as("threshold"), count(lit(1)).as("n_clouds"))
+      }
+      cuts.reduce(_ unionByName _)
+        .unionByName(fullComp.groupBy(col("c")).agg(count(lit(1)).as("sz"))
+          .agg(lit(1.0).as("threshold"), count(lit(1)).as("n_clouds")))
+    }
     timed("sssp") {
       Algorithms.shortestPaths(nodes,
         edges.withColumnRenamed("distance", "weight")

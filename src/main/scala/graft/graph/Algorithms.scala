@@ -565,11 +565,33 @@ object Algorithms {
     * against community degree. */
   def louvain(nodes: DataFrame, edges: DataFrame,
               rounds: Int = LouvainRounds,
-              levels: Int = LouvainLevels): DataFrame = {
-    var canon = edges
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+              levels: Int = LouvainLevels): DataFrame =
+    louvainOn(nodes,
+      edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w")),
+      rounds, levels)
+
+  /** WEIGHTED Louvain: identical machinery, but the level-1 edge
+    * weight is the caller's integer `w` column (summed over parallel
+    * edges) instead of the edge multiplicity — so the ΔQ argmax trades
+    * INTEGER EDGE STRENGTH, not just adjacency. The weights must be
+    * integers (quantize upstream): the whole score chain, the m total
+    * and the SQL oracle replay run in exact decimal/HUGEINT arithmetic
+    * precisely because w never carries a float. `edges`:
+    * (src, dst, w). */
+  def louvainWeighted(nodes: DataFrame, edges: DataFrame,
+                      rounds: Int = LouvainRounds,
+                      levels: Int = LouvainLevels): DataFrame =
+    louvainOn(nodes,
+      edges.select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"), col("w"))
+        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w")),
+      rounds, levels)
+
+  private def louvainOn(nodes: DataFrame, canon0: DataFrame,
+                        rounds: Int, levels: Int): DataFrame = {
+    var canon = canon0
     var curNodes = nodes.select(col("id"))
     var mapping: DataFrame = null
     var prevLbl: DataFrame = null
@@ -952,7 +974,16 @@ object Algorithms {
     * (frontier-delta), seeds ride as a key column so K sources cost ONE
     * loop, and iterates are checkpointed + released like every loop
     * here. Kernel for [[graft.graph.Clouds.eccentricity]] /
-    * [[graft.graph.Clouds.harmonic]] and the ScaleBench harness. */
+    * [[graft.graph.Clouds.harmonic]] and the ScaleBench harness.
+    *
+    * MEMORY CONTRACT (maxRounds exit): the returned frame is the final
+    * round's LAZY union checkpoint, and the previous iterate's blocks
+    * feed it — so until the CALLER's first action materializes the
+    * result, TWO reached-set iterates stay resident (the converged
+    * exit holds one, already materialized). Callers chaining kernels
+    * back-to-back, or looping over seed batches, should run their
+    * first action on (or checkpoint) the result before building the
+    * next kernel's state — details at the loop's release comment. */
   def hopDistances(seeds: DataFrame, edges: DataFrame,
                    maxRounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)

@@ -432,6 +432,28 @@ object Clouds {
       .orderBy(col("node"))
   }
 
+  /** Distance-WEIGHTED Louvain over the thresholded graph —
+    * [[louvain]] coarsens with w = edge multiplicity, which on the
+    * canonical similarity graph makes every edge weight 1 and the ΔQ
+    * argmax blind to the DISTANCES the reference's clouds are defined
+    * by (phageclouds_gdb.py:114 draws edge strength as
+    * `thres − distance + 0.1`, the same signal [[mst]] minimizes).
+    * Here each edge carries that strength QUANTIZED to an exact
+    * integer — distances are acctbal differences over 11000, so
+    * (0.2 − distance)·1100000 is integral up to float noise and one
+    * round() recovers it exactly in both engines — keeping the whole
+    * ΔQ chain and its SQL replay in exact integer arithmetic. Closer
+    * genomes pull harder; a community bound by marginal-threshold
+    * links dissolves. `g_louvain_weighted`. */
+  def louvainWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val we = g.edges.select(col("src"), col("dst"),
+      round((lit(0.2) - col("distance")) * 1100000).cast("long").as("w"))
+    Algorithms.louvainWeighted(g.nodes, we)
+      .select(col("id").as("node"), col("community"))
+      .orderBy(col("node"))
+  }
+
   /** Leiden-style REFINEMENT of the Louvain partition — the
     * well-known Louvain defect (Traag et al. 2019, "From Louvain to
     * Leiden") is that a community can be INTERNALLY DISCONNECTED: the
@@ -575,16 +597,37 @@ object Clouds {
     * clustering at any finer threshold, for free). Distributed Borůvka
     * via [[Algorithms.boruvkaMst]]; emits the forest edge list
     * (u, v, distance). `g_mst`. */
-  def mst(spark: SparkSession, dir: String): DataFrame = {
+  def mst(spark: SparkSession, dir: String): DataFrame =
+    mstOn(forestLayer(spark, dir))
+
+  /** Materialized Borůvka LAYER — the shared substrate of the forest
+    * family. [[mst]], [[mstWeight]] and [[thresholdSweep]] are all
+    * reports over ONE spanning forest + component table; as
+    * independent registry keys each rebuilds the kernel (each plan is
+    * individually scale-safe), but a production pipeline materializes
+    * this layer ONCE and fans it out — the [[graft.pipeline.Dedup
+    * .dedupClusters]] shared-layer contract. The `*On(layer)` variants
+    * are that contract, and `GraphSpec`'s composition test certifies
+    * the three consumers agree bit-for-bit whether they run on a
+    * shared layer or rebuild it. Returns (nodes, forest (u, v, w),
+    * components (id, c)) — forest and components leave [[Algorithms
+    * .boruvkaMst]] materialized and stats-re-rooted. */
+  def forestLayer(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
     // materialized ONCE here — the kernel's contract is a caller-owned
     // edge frame (it reads it every round, and must not pin a 2nd copy)
     val ew = g.edges.select(col("src").as("u"), col("dst").as("v"),
       col("distance").as("w")).localCheckpoint(true)
-    val (forest, _) = Algorithms.boruvkaMst(g.nodes.select(col("id")), ew)
-    forest.select(col("u"), col("v"), col("w").as("distance"))
-      .orderBy(col("u"), col("v"))
+    val nodes = g.nodes.select(col("id")).localCheckpoint(true)
+    val (forest, comp) = Algorithms.boruvkaMst(nodes, ew)
+    (nodes, forest, comp)
   }
+
+  /** [[mst]] over a caller-materialized [[forestLayer]]. */
+  def mstOn(layer: (DataFrame, DataFrame, DataFrame)): DataFrame =
+    layer._2.select(col("u"), col("v"), col("w").as("distance"))
+      .orderBy(col("u"), col("v"))
 
   /** Per-cloud spanning-tree cost report over [[mst]]'s forest: node
     * count, forest edge count (= n_nodes − 1, the tree invariant the
@@ -593,11 +636,12 @@ object Clouds {
     * connected components (convergence = edge saturation), so the
     * report rides the kernel's own state — no second CC run.
     * `g_mst_weight`. */
-  def mstWeight(spark: SparkSession, dir: String): DataFrame = {
-    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
-    val ew = g.edges.select(col("src").as("u"), col("dst").as("v"),
-      col("distance").as("w")).localCheckpoint(true)
-    val (forest, comp) = Algorithms.boruvkaMst(g.nodes.select(col("id")), ew)
+  def mstWeight(spark: SparkSession, dir: String): DataFrame =
+    mstWeightOn(forestLayer(spark, dir))
+
+  /** [[mstWeight]] over a caller-materialized [[forestLayer]]. */
+  def mstWeightOn(layer: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (_, forest, comp) = layer
     val nodeStats = comp.groupBy(col("c").as("component"))
       .agg(count(lit(1)).as("n_nodes"))
     val forestStats = forest
@@ -630,30 +674,75 @@ object Clouds {
     * the CC kernel on a FOREST (|V|−c edges, not |E|). At 100 TB that
     * is the difference between k passes over the edge corpus and one.
     * `g_threshold_sweep`. */
-  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
-    val ew = g.edges.select(col("src").as("u"), col("dst").as("v"),
-      col("distance").as("w")).localCheckpoint(true)
-    val nodes = g.nodes.select(col("id")).localCheckpoint(true)
-    val (forest, fullComp) = Algorithms.boruvkaMst(nodes, ew)
-    val perT = SweepThresholds.map { t =>
-      // forest cuts are CHAINS with adversarial id order — the slow
-      // case for label propagation (measured 365 s at sf0.1) — so the
-      // cuts run the O(log²)-guaranteed star-contraction kernel; the
-      // build-threshold cut IS the full forest, whose components
-      // Borůvka already converged — that census is free
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    thresholdSweepOn(forestLayer(spark, dir))
+
+  /** [[thresholdSweep]] over a caller-materialized [[forestLayer]].
+    *
+    * The cuts are NESTED (single-linkage dendrogram property: a
+    * component at cut tᵢ is wholly inside one component at tᵢ₊₁), so
+    * the sweep is INCREMENTAL, ascending: the first cut runs the
+    * star kernel on {forest edges ≤ t₁}; every later cut CONTRACTS by
+    * the previous cut's components — supernodes = previous component
+    * labels, edges = only the NEW band (tᵢ₋₁, tᵢ] forest edges with
+    * endpoints relabeled — and recovers node-level labels with one
+    * hash join. Labels stay identical to a from-scratch run (min of
+    * component-min labels = global min member id — the direct-CC
+    * identity spec proves it), but each later cut's kernel input is
+    * the band's edge count over the (shrinking) supernode set instead
+    * of the whole ≤ tᵢ forest. The build-threshold census is free:
+    * Borůvka's own component table IS that cut. */
+  def thresholdSweepOn(layer: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (nodes, forest, fullComp) = layer
+    // forest cuts are CHAINS with adversarial id order — the slow
+    // case for label propagation (measured 365 s at sf0.1) — so the
+    // cuts run the O(log²)-guaranteed star-contraction kernel
+    var prev: DataFrame = null
+    var prevT = 0.0
+    val perT = SweepThresholds.sorted.map { t =>
       val cc =
         if (t == QueryThreshold) fullComp.withColumnRenamed("c", "comp")
-        else Algorithms.connectedComponentsStar(nodes,
-          forest.filter(col("w") <= t)
-            .select(col("u").as("src"), col("v").as("dst")))
-      cc.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        else if (prev == null)
+          Algorithms.connectedComponentsStar(nodes,
+            forest.filter(col("w") <= t)
+              .select(col("u").as("src"), col("v").as("dst")))
+        else {
+          // nested-cut contraction: only the band's forest edges enter
+          // the kernel, on the previous cut's (far smaller) supernode set
+          val band = forest
+            .filter(col("w") > prevT && col("w") <= t)
+            .join(prev.select(col("id").as("u"), col("comp").as("cu")), Seq("u"))
+            .join(prev.select(col("id").as("v"), col("comp").as("cv")), Seq("v"))
+            .select(col("cu").as("src"), col("cv").as("dst"))
+            .filter(col("src") =!= col("dst"))
+          val superCc = Algorithms.connectedComponentsStar(
+            prev.select(col("comp").as("id")).distinct(), band)
+          prev.select(col("id"), col("comp").as("pcomp"))
+            .join(superCc.select(col("id").as("pcomp"), col("comp").as("ncomp")),
+              Seq("pcomp"))
+            .select(col("id"), col("ncomp").as("comp"))
+        }
+      if (t < QueryThreshold) {
+        // the next band contracts against this cut: materialize it once
+        // (it fans out into the band join's two sides, the supernode
+        // set, the relabel join AND this cut's census) and re-root its
+        // stats — a star-CC output composed into another star-CC loop
+        // is exactly the compounding shape freshStats exists for.
+        // MEMORY CONTRACT: the returned census plan reads every cut's
+        // checkpoint, so the k−1 |V|-row label tables stay pinned until
+        // the caller's action completes — k·|V| rows, not edge-sized.
+        prev = Algorithms.freshStats(cc).localCheckpoint(true)
+        prevT = t
+      }
+      val censusSrc = if (t < QueryThreshold) prev else cc
+      censusSrc.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
         .agg(lit(t).as("threshold"),
           count(lit(1)).as("n_clouds"),
           max(col("sz")).as("max_cloud"),
           sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
     }
-    perT.reduce(_ unionByName _).orderBy(col("threshold"))
+    val out = perT.reduce(_ unionByName _).orderBy(col("threshold"))
+    out
   }
 
   /** Degree assortativity of the similarity graph — the Pearson
@@ -1391,11 +1480,12 @@ object Clouds {
   /** The full two-level Louvain chain as a reusable CTE block ending in
     * `comm(node, community)` — shared by the g_louvain oracle and the
     * g_community_refine composition. */
-  private def louvainCte(rounds: Int): String =
+  private def louvainCte(rounds: Int,
+      w1Sql: String = "CAST(COUNT(*) AS BIGINT)"): String =
     s"""$OracleCte,
        lv1e AS MATERIALIZED (
          SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v,
-                CAST(COUNT(*) AS BIGINT) AS w
+                $w1Sql AS w
          FROM edges WHERE distance <= 0.10 GROUP BY 1, 2),
        lv1n AS (SELECT id FROM nodes),
        ${louvainLevelSql("a", "lv1n", "lv1e", rounds)},
@@ -1413,6 +1503,13 @@ object Clouds {
 
   private def louvainOracle(rounds: Int): String =
     s"""${louvainCte(rounds)}
+       SELECT node, community FROM comm ORDER BY node"""
+
+  /** [[louvainWeighted]] replay — the same two-level chain with the
+    * quantized edge-strength weight in lv1e. */
+  private def louvainWeightedOracle(rounds: Int): String =
+    s"""${louvainCte(rounds,
+        "CAST(SUM(CAST(ROUND((0.2 - distance) * 1100000) AS BIGINT)) AS BIGINT)")}
        SELECT node, community FROM comm ORDER BY node"""
 
   /** [[communityRefine]] replay: the Louvain chain's `comm`, an
@@ -1761,6 +1858,7 @@ object Clouds {
     "g_coreness" -> corenessOracle(Algorithms.CorenessRounds),
     "g_label_prop" -> labelPropOracle(Algorithms.LabelPropRounds),
     "g_louvain" -> louvainOracle(Algorithms.LouvainRounds),
+    "g_louvain_weighted" -> louvainWeightedOracle(Algorithms.LouvainRounds),
     "g_community_refine" -> communityRefineOracle(Algorithms.LouvainRounds),
     "g_cloud_overlap" -> {
       def hostSetSql(name: String, harshPred: String) =
@@ -2191,6 +2289,7 @@ object Clouds {
     "g_coreness"              -> corenessShells _,
     "g_label_prop"            -> labelProp _,
     "g_louvain"               -> louvain _,
+    "g_louvain_weighted"      -> louvainWeighted _,
     "g_community_refine"      -> communityRefine _,
     "g_cloud_overlap"         -> cloudOverlap _,
     "g_mst"                   -> mst _,

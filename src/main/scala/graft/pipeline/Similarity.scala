@@ -796,11 +796,35 @@ object Similarity {
     * is hit iff its approx rank is also ≤ k — prefix logic, zero extra
     * index probes. One aggregated row per (family, k).
     * `s_recall_curve`. */
+  /** Materialized ANN-AUDIT layer — the shared substrate of the ladder
+    * audits: the ranked brute-force truth plus all four index
+    * families' ranked top-k, each computed and checkpointed ONCE.
+    * [[annRecall]] and [[recallCurve]] are both joins over exactly
+    * these five ranked lists; as independent registry keys each
+    * materializes the layer itself (so registry semantics are
+    * unchanged), but a production index rollout materializes it once
+    * and fans it out to every audit — the [[graft.pipeline.Dedup
+    * .dedupClusters]] / [[graft.graph.Clouds.forestLayer]]
+    * shared-layer contract. `SimilaritySpec`'s composition test
+    * certifies both audits agree bit-for-bit whether they run on a
+    * shared layer or rebuild it. Entry 0 is the truth; entries 1..4
+    * the families in report order. */
+  def ladderLayer(spark: SparkSession, dir: String,
+                  nQueries: Int = 10, k: Int = 5): Seq[(String, DataFrame)] = Seq(
+    "truth" -> cosineTopK(spark, dir, nQueries, k).localCheckpoint(true),
+    "lsh"   -> lshAnn(spark, dir, nQueries, k).localCheckpoint(true),
+    "ivf"   -> ivfAnn(spark, dir, nQueries, k).localCheckpoint(true),
+    "pq"    -> pqAnn(spark, dir, nQueries, k).localCheckpoint(true),
+    "ivfpq" -> ivfPqAnn(spark, dir, nQueries, k).localCheckpoint(true))
+
   def recallCurve(spark: SparkSession, dir: String,
-                  nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val truth = cosineTopK(spark, dir, nQueries, k)
+                  nQueries: Int = 10, k: Int = 5): DataFrame =
+    recallCurveOn(ladderLayer(spark, dir, nQueries, k))
+
+  /** [[recallCurve]] over a caller-materialized [[ladderLayer]]. */
+  def recallCurveOn(layer: Seq[(String, DataFrame)]): DataFrame = {
+    val truth = layer.head._2
       .select(col("query_id"), col("neighbor"), col("rnk").as("trank"))
-      .localCheckpoint(true) // one brute-force pass shared by 4 families
     def fam(name: String, approx: DataFrame): DataFrame =
       truth.join(
           approx.select(col("query_id"), col("neighbor"),
@@ -816,18 +840,18 @@ object Similarity {
             .otherwise(0L)).as("n_hit"))
         .select(lit(name).as("family"), col("k"), col("n_true"), col("n_hit"),
           round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
-    fam("lsh", lshAnn(spark, dir, nQueries, k))
-      .unionByName(fam("ivf", ivfAnn(spark, dir, nQueries, k)))
-      .unionByName(fam("pq", pqAnn(spark, dir, nQueries, k)))
-      .unionByName(fam("ivfpq", ivfPqAnn(spark, dir, nQueries, k)))
+    layer.tail.map { case (name, approx) => fam(name, approx) }
+      .reduce(_ unionByName _)
       .orderBy(col("family"), col("k"))
   }
 
   def annRecall(spark: SparkSession, dir: String,
-                nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val truth = cosineTopK(spark, dir, nQueries, k)
-      .select(col("query_id"), col("neighbor"))
-      .localCheckpoint(true)
+                nQueries: Int = 10, k: Int = 5): DataFrame =
+    annRecallOn(ladderLayer(spark, dir, nQueries, k))
+
+  /** [[annRecall]] over a caller-materialized [[ladderLayer]]. */
+  def annRecallOn(layer: Seq[(String, DataFrame)]): DataFrame = {
+    val truth = layer.head._2.select(col("query_id"), col("neighbor"))
     def fam(name: String, approx: DataFrame): DataFrame =
       truth.join(
           approx.select(col("query_id"), col("neighbor"), lit(1L).as("hit")),
@@ -838,10 +862,8 @@ object Similarity {
         .select(lit(name).as("family"), col("query_id"), col("n_true"),
           col("n_hit"),
           round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"))
-    fam("lsh", lshAnn(spark, dir, nQueries, k))
-      .unionByName(fam("ivf", ivfAnn(spark, dir, nQueries, k)))
-      .unionByName(fam("pq", pqAnn(spark, dir, nQueries, k)))
-      .unionByName(fam("ivfpq", ivfPqAnn(spark, dir, nQueries, k)))
+    layer.tail.map { case (name, approx) => fam(name, approx) }
+      .reduce(_ unionByName _)
       .orderBy(col("family"), col("query_id"))
   }
 

@@ -576,6 +576,23 @@ class GraphSpec extends SparkSpec {
       "host_harsh ⊆ host: the intersection is the harsh cloud itself")
   }
 
+  test("shared forest layer: one Borůvka run feeds mst, mst_weight and the sweep") {
+    import graft.graph.Clouds
+    // the production contract from forestLayer's scaladoc: materialize
+    // the forest + component layer ONCE, fan it out to all three
+    // consumers — and get bit-identical results to the rebuild-per-key
+    // registry path
+    val shared = Clouds.forestLayer(spark, SF)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(Clouds.mstOn(shared)) == rows(Clouds.mst(spark, SF)),
+      "forest edge list agrees")
+    assert(rows(Clouds.mstWeightOn(shared)) == rows(Clouds.mstWeight(spark, SF)),
+      "per-cloud weight report agrees")
+    assert(rows(Clouds.thresholdSweepOn(shared)) ==
+      rows(Clouds.thresholdSweep(spark, SF)), "threshold census agrees")
+  }
+
   test("threshold sweep: single-linkage identity against direct CC per cut") {
     import graft.graph.{Algorithms, Clouds, TestGraph}
     val rows = SparkEntry.queries("g_threshold_sweep")(spark, SF).collect()

@@ -50,6 +50,52 @@ class LouvainSpec extends SparkSpec {
     assert(got(9L) == 9L, "isolated node keeps its own community")
   }
 
+  /** WEIGHTED Newman modularity Q — the yardstick for the weighted
+    * variant (reduces to [[q]] when all weights are 1). */
+  private def qw(labels: Map[Long, Long], und: Seq[(Long, Long, Long)]): Double = {
+    val m = und.map(_._3).sum.toDouble
+    if (m == 0) return 0.0
+    val deg = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    und.foreach { case (a, b, w) => deg(a) += w; deg(b) += w }
+    val eIn = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    und.foreach { case (a, b, w) =>
+      if (labels(a) == labels(b)) eIn(labels(a)) += w }
+    val dSum = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    labels.foreach { case (id, c) => dSum(c) += deg(id) }
+    dSum.keys.map { c =>
+      eIn(c) / m - math.pow(dSum(c) / (2 * m), 2)
+    }.sum
+  }
+
+  test("weighted louvain follows edge strength where the unweighted variant cannot see it") {
+    // a 6-ring whose HEAVY edges are (1,2),(3,4),(5,0) — topologically
+    // every pairing of adjacent ring nodes is equally good, so only
+    // the weights say which pairs belong together
+    val nodes = 0L to 5L
+    val heavy = Seq((1L, 2L), (3L, 4L), (5L, 0L)).map { case (a, b) => (a, b, 100L) }
+    val light = Seq((0L, 1L), (2L, 3L), (4L, 5L)).map { case (a, b) => (a, b, 1L) }
+    val und = heavy ++ light
+    val wGot = Algorithms.louvainWeighted(nodes.toDF("id"),
+        und.toDF("src", "dst", "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the heavy pairs must land together, the light pairs apart
+    heavy.foreach { case (a, b, _) =>
+      assert(wGot(a) == wGot(b), s"heavy pair ($a,$b) must share a community: $wGot") }
+    light.foreach { case (a, b, _) =>
+      assert(wGot(a) != wGot(b), s"light pair ($a,$b) must split: $wGot") }
+    // the contract the key exists for: under WEIGHTED modularity the
+    // weighted argmax is at least as good as the weight-blind one
+    val uGot = run(nodes, und.map(e => (e._1, e._2)))
+    assert(qw(wGot, und) >= qw(uGot, und),
+      s"weighted Q ${qw(wGot, und)} must be >= unweighted-partition Q ${qw(uGot, und)}")
+    // and with unit weights the two variants are the same algorithm
+    val unit = und.map(e => (e._1, e._2, 1L))
+    val wUnit = Algorithms.louvainWeighted(nodes.toDF("id"),
+        unit.toDF("src", "dst", "w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wUnit == uGot, "unit-weight weighted louvain == unweighted louvain")
+  }
+
   test("coarsening level merges satellite pairs label-prop leaves split") {
     // a 5-clique with three 2-node satellites each attached by one
     // edge: level 1 moves each satellite pair together; the coarse

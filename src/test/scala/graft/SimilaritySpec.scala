@@ -155,6 +155,19 @@ class SimilaritySpec extends SparkSpec {
       assert(edges((q, q + 10)), s"twin edge ($q, ${q + 10}) must be mutual"))
   }
 
+  test("shared ladder layer: one truth + four family runs feed both ANN audits") {
+    // the production contract from ladderLayer's scaladoc: materialize
+    // the ranked lists ONCE, fan them out to both audits — and get
+    // bit-identical results to the rebuild-per-key registry path
+    val shared = Similarity.ladderLayer(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      rowsOf(df).map(_.toString)
+    assert(rows(Similarity.annRecallOn(shared)) ==
+      rows(Similarity.annRecall(spark, dir)), "recall report agrees")
+    assert(rows(Similarity.recallCurveOn(shared)) ==
+      rows(Similarity.recallCurve(spark, dir)), "recall curve agrees")
+  }
+
   test("kNN candidate generation bounds a collapsed LSH bucket at C(cap,2) pairs") {
     import spark.implicits._
     // the skew case: hundreds of vectors hashing to ONE (table, bucket) —
