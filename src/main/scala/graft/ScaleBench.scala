@@ -55,11 +55,19 @@ object ScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "WARN"))
 
     val nodes = spark.range(n).select(col("id")).localCheckpoint(true)
     val t0 = System.nanoTime()
-    val edges = syntheticEdges(spark, n, 25).localCheckpoint(true)
+    // SERIALIZED shared input: every kernel scans this frame with all
+    // 32 cores, and 32 readers PIN their in-memory blocks — a
+    // deserialized 85M-row cache (~3× the serialized bytes) can pin
+    // most of the unified pool and starve the reading stage's own
+    // execution memory (measured: r13's louvain/coreness OOM hunts all
+    // traced back to this mechanism)
+    val edges = syntheticEdges(spark, n, 25).localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nEdges = edges.count()
     val buildSec = (System.nanoTime() - t0) / 1e9
 
@@ -86,7 +94,10 @@ object ScaleBench {
         System.err.println(f"[scale] $name: ${times(name)}%.1f s ($rows rows)")
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => protectedIds.contains(id) }
-          .values.foreach(_.unpersist(blocking = false))
+          .values.foreach(_.unpersist(blocking = true)) // blocking: the
+          // NEXT kernel's first aggregate must not land under this
+          // one's still-resident blocks (measured: coreness OOM'd
+          // seconds after a 557 s refine under async cleanup)
       }
     }
 
@@ -119,13 +130,14 @@ object ScaleBench {
           col("distance").as("w")))._1
     }
     timed("louvain") {
-      Algorithms.louvain(nodes, edges)
+      Algorithms.louvain(nodes, edges, canonicalDistinct = true)
     }
     timed("community_refine") {
       // the g_community_refine composition: Louvain labels re-rooted
       // (freshStats) and fed to CC restricted to intra-community edges
       val lbl = Algorithms.freshStats(
-        Algorithms.louvain(nodes, edges)).localCheckpoint(true)
+        Algorithms.louvain(nodes, edges,
+          canonicalDistinct = true)).localCheckpoint(true)
       Algorithms.refinePartition(nodes,
         edges.select(col("src"), col("dst")), lbl)
     }

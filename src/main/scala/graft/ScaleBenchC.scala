@@ -108,7 +108,10 @@ object ScaleBenchC {
         times(name) = (System.nanoTime() - s) / 1e9
         System.err.println(f"[scale-c] $name: ${times(name)}%.1f s (${rows(name)} rows)")
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true)) // blocking: the NEXT
+          // kernel's first aggregate must not land under this one's
+          // still-resident blocks (measured: coreness OOM'd seconds
+          // after a 557 s refine under async cleanup)
       }
     }
 

@@ -19,6 +19,7 @@ object SparkEntry {
       (streaming.StreamJoin.queries, streaming.StreamJoin.oracle),
       (streaming.Enrich.queries, streaming.Enrich.oracle),
       (streaming.CdcCompact.queries, streaming.CdcCompact.oracle),
+      (streaming.FingerprintScreen.queries, streaming.FingerprintScreen.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -326,15 +326,31 @@ object Algorithms {
   def coreness(nodes: DataFrame, edges: DataFrame,
                rounds: Int = CorenessRounds): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
-      .union(edges.select(col("dst").as("u"), col("src").as("v")))
-      .repartition(col("v"))
-      .localCheckpoint(true)
-    val ids = nodes.select(col("id")).localCheckpoint(true)
+    // the symmetric view is built in one explode pass (a self-union
+    // would execute the caller's edge plan once per branch) and laid
+    // out by [[bigSymCheckpoint]] from a cheap pre-count — the 32-way
+    // deserialized layout measured AGGREGATE_OUT_OF_MEMORY on the very
+    // first degree count at the 150k ScaleBench point (32 readers pin
+    // the whole storage pool)
+    val symPlan = edges.select(col("src"), col("dst"))
+      .select(explode(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val (sess, sym) = bigSymCheckpoint(symPlan, symPlan.count(), "v")
+    val ids = (if (sess ne nodes.sparkSession)
+        rebase(sess, nodes.select(col("id")))
+      else nodes.select(col("id"))).localCheckpoint(true)
+    // materialized alone before the join — fed lazily into it, the
+    // |E|-wide count's map stage runs concurrently with the ids-side
+    // shuffle and the combined sorter pressure can starve first-page
+    // allocations in a single-JVM pool (the louvainLevel deg lesson)
     val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     var c = ids.join(deg, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("c"), lit(0L)).as("c"))
       .localCheckpoint(true)
+    releaseIterate(deg) // folded into the first iterate
     // Early exit on the fixpoint: the iterate is monotone
     // NON-INCREASING, so Σc is a convergence certificate — equal sums
     // ⇒ identical values ⇒ every later round is a no-op, and the
@@ -468,28 +484,105 @@ object Algorithms {
     * each round is one shuffle for the (node, community) gather, one
     * small community-degree aggregate (≤ #communities rows, shrinking
     * every round), and one argmax — the iterate is (id, lbl) only. */
+  /** Row threshold past which a loop's big symmetric checkpoint is
+    * re-laid by [[widenSym]] — ~16.7M rows is where the 32-way
+    * layout's per-task cache blocks and aggregate slices start
+    * starving the single-JVM execution pool (32 concurrent readers
+    * PIN their in-memory blocks, so execution cannot evict storage
+    * and first-page allocations get 0). */
+  val WidenRows: Long = 1L << 24
+
+  /** Lay out a loop's big symmetric edge checkpoint, SIZED BY DATA
+    * (the caller counts the plan's rows with a cheap streaming pass
+    * first — no checkpoint is ever built at the wrong layout and then
+    * re-laid, because every read of a mis-laid 170M-row cache is
+    * itself an OOM hazard: 32 concurrent readers PIN their in-memory
+    * blocks, so execution cannot evict storage and first-page
+    * allocations get 0 — measured repeatedly at the 150k/85M
+    * ScaleBench point, including in the re-lay shuffle itself).
+    * Below [[WidenRows]] rows: the caller's session and layout,
+    * deserialized blocks — small graphs and the bench fleet keep
+    * today's plans. At or above: a CHILD session with proportionally
+    * more shuffle partitions, an EXPLICIT repartition count (a bare
+    * repartition(col) takes the session conf width and AQE's
+    * coalescer merges it straight back — observed 352 → 34), and
+    * SERIALIZED blocks (deserialized UnsafeRow caches are ~3× the
+    * bytes plus their GC load — measured raw heap OOM). More,
+    * smaller, serialized blocks: per-reader pins shrink ~linearly and
+    * every downstream aggregate map and join slice with them. */
+  private[graft] def bigSymCheckpoint(plan: DataFrame, nRows: Long,
+                                      key: String)
+      : (org.apache.spark.sql.SparkSession, DataFrame) =
+    if (nRows < WidenRows)
+      (plan.sparkSession, plan.repartition(col(key)).localCheckpoint(true))
+    else {
+      val s = plan.sparkSession.newSession()
+      val parts = math.min(1024L, 32L * (nRows / WidenRows + 1)).toInt
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      (s, rebase(s, plan).repartition(parts, col(key))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+    }
+
   private[graft] def louvainLevel(nodes: DataFrame, canonEdges: DataFrame,
                                   rounds: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val ce = canonEdges.select(col("u"), col("v"), col("w"))
-      .localCheckpoint(true)
-    val nonLoop = ce.filter(col("u") =!= col("v"))
-    val sym = nonLoop.select(col("u"), col("v"), col("w"))
-      .union(nonLoop.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .repartition(col("v"))
-      .localCheckpoint(true)
-    // weighted degree; a self-loop contributes 2w (both endpoints)
-    val deg = ce.select(col("u").as("id"),
+    // ONE edge-scale checkpoint, not two: the level originally pinned a
+    // canonical copy AND its symmetrization (85M + 170M rows at the
+    // 150k ScaleBench point) on top of the caller's edge frame — one
+    // block set more than CC/label-prop, which pass at that point, and
+    // exactly the one that broke the camel's back (UNABLE_TO_ACQUIRE
+    // under 32 concurrent aggregate tasks; the betweenness double-copy
+    // lesson re-learned). The symmetric view is built in a single
+    // explode pass (never a self-union that re-executes the upstream
+    // coarsening aggregate per branch) with self-loops riding ONCE as
+    // (u, u, w) rows; degree, total weight and the per-round gather all
+    // derive from this one checkpoint.
+    val symPlan = canonEdges.select(col("u"), col("v"), col("w"))
+      .select(explode(when(col("u") === col("v"),
+          array(struct(col("u"), col("v"), col("w"))))
+        .otherwise(array(
+          struct(col("u"), col("v"), col("w")),
+          struct(col("v").as("u"), col("u").as("v"), col("w"))))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.w").as("w"))
+    // total edge weight — invariant under coarsening, so every level
+    // optimizes the SAME modularity — and the symmetric row count, in
+    // ONE cheap streaming pass BEFORE the checkpoint is laid out (the
+    // count sizes the layout — see [[bigSymCheckpoint]]). Σ over the
+    // symmetric view of (2w for loops, w otherwise) double-counts
+    // every canonical edge exactly once ⇒ halving is integer-exact.
+    val mc = symPlan.agg(coalesce(sum(
+        when(col("u") === col("v"), col("w") * 2).otherwise(col("w"))),
+      lit(0L)).cast("long"), count(lit(1))).head
+    val m = mc.getLong(0) / 2
+    val nSym = mc.getLong(1)
+    val (sess, symAll) = bigSymCheckpoint(symPlan, nSym, "v")
+    val idsIn = if (sess ne nodes.sparkSession)
+      rebase(sess, nodes.select(col("id")))
+    else nodes.select(col("id"))
+    // the ΔQ gather must see only proper neighbours (own-community mass
+    // enters via the explicit stay row) — a narrow codegen filter over
+    // the checkpoint scan per round
+    val sym = symAll.filter(col("u") =!= col("v"))
+    // weighted degree; a self-loop contributes 2w (both endpoints) and
+    // appears once in symAll, while proper edges already carry both
+    // orientations
+    // deg is materialized ALONE before the ids join: fed lazily into
+    // the sort-merge join, its |E|-wide aggregate map stage runs
+    // CONCURRENTLY with the nodes-side shuffle stage, and 64 task
+    // slots' sorters starve new tasks' first page allocation in a
+    // single-JVM pool (observed UNABLE_TO_ACQUIRE/got-0 at the 150k
+    // point). Sequenced, the aggregate job runs with the pool to
+    // itself and the join reads two small cached sides.
+    val deg = symAll.select(col("u").as("id"),
         when(col("u") === col("v"), col("w") * 2).otherwise(col("w")).as("kw"))
-      .union(nonLoop.select(col("v").as("id"), col("w").as("kw")))
       .groupBy(col("id")).agg(sum(col("kw")).cast(dec).as("k"))
-    val ids = nodes.select(col("id"))
+      .localCheckpoint(true)
+    val ids = idsIn
       .join(deg, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("k"), lit(0).cast(dec)).as("k"))
       .localCheckpoint(true)
-    // total edge weight — invariant under coarsening, so every level
-    // optimizes the SAME modularity. One 1-row driver action per level.
-    val m = ce.agg(coalesce(sum(col("w")), lit(0L)).cast("long")).head.getLong(0)
+    releaseIterate(deg) // folded into ids; |V| rows, but why pin twice
     // the iterate carries k alongside the label: sigma becomes a plain
     // aggregate (no per-round ids join) and the score chain reads
     // (cur, k) in ONE iterate join instead of two
@@ -507,10 +600,23 @@ object Algorithms {
       val sigma = lbl
         .groupBy(col("lbl").as("c"))
         .agg(sum(col("k")).as("st"), count(lit(1)).as("csz"))
-      val gath = sym
+      val gathBase = sym
         .join(lbl.select(col("id").as("v"), col("lbl").as("c")), Seq("v"))
         .repartition(col("u"))
-        .groupBy(col("u").as("id"), col("c")).agg(sum(col("w")).cast(dec).as("kin"))
+      // round 1 starts from singleton labels, so the gather key (u, c)
+      // is UNIQUE by construction (one sym row per neighbour, c = that
+      // neighbour's own id) and the |E|-wide groupBy is an identity —
+      // and a worst-case ZERO-REDUCTION hash aggregate (measured: it
+      // OOMs the 150k-node/85M-edge ScaleBench point under the pinned
+      // edge checkpoints, 32 concurrent tasks starving the execution
+      // pool). Project instead; rounds ≥ 2 keep the real aggregate,
+      // whose key space has collapsed with the merged communities.
+      val gath =
+        if (r == 1)
+          gathBase.select(col("u").as("id"), col("c"),
+            col("w").cast(dec).as("kin"))
+        else gathBase
+          .groupBy(col("u").as("id"), col("c")).agg(sum(col("w")).cast(dec).as("kin"))
       // the stay option rides as an explicit (id, own community, 0)
       // candidate row unioned BEFORE the score chain — no re-aggregate
       // of the big gather: when the node has neighbours in its own
@@ -545,9 +651,8 @@ object Algorithms {
       lbl = next.select(col("id"), col("k"), col("lbl"))
       r += 1
     }
-    releaseIterate(sym)
+    releaseIterate(symAll)
     releaseIterate(ids)
-    releaseIterate(ce)
     lbl.select(col("id"), col("lbl"))
   }
 
@@ -563,14 +668,30 @@ object Algorithms {
     * small dense clusters into whatever label is locally loudest,
     * while the ΔQ argmax explicitly trades intra-community mass
     * against community degree. */
+  /** `canonicalDistinct = true` declares the input edge list CANONICAL
+    * AND DISTINCT (each undirected pair once) — then the level-1
+    * multiplicity aggregate is an identity (every w = 1) and is
+    * SKIPPED. This is not a semantic knob, it is the level-1 memory
+    * shape at scale: `groupBy(u, v).count` over 85M already-unique
+    * keys is a worst-case hash aggregate (zero reduction, full-width
+    * key space) that measurably OOMs the 150k-node ScaleBench point
+    * under the pinned caller edge checkpoint, for a value the caller
+    * already knows. The similarity graph (and any deduped edge table a
+    * production pipeline materializes) is canonical-distinct by
+    * construction; multigraph inputs keep the default aggregate path.
+    * The SQL oracle's GROUP BY/COUNT(*) replay is unchanged — on
+    * canonical-distinct input the two plans are value-identical. */
   def louvain(nodes: DataFrame, edges: DataFrame,
               rounds: Int = LouvainRounds,
-              levels: Int = LouvainLevels): DataFrame =
+              levels: Int = LouvainLevels,
+              canonicalDistinct: Boolean = false): DataFrame = {
+    val canon = edges.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
     louvainOn(nodes,
-      edges.select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w")),
+      if (canonicalDistinct) canon.select(col("u"), col("v"), lit(1L).as("w"))
+      else canon.groupBy(col("u"), col("v")).agg(count(lit(1)).as("w")),
       rounds, levels)
+  }
 
   /** WEIGHTED Louvain: identical machinery, but the level-1 edge
     * weight is the caller's integer `w` column (summed over parallel
@@ -582,12 +703,15 @@ object Algorithms {
     * (src, dst, w). */
   def louvainWeighted(nodes: DataFrame, edges: DataFrame,
                       rounds: Int = LouvainRounds,
-                      levels: Int = LouvainLevels): DataFrame =
+                      levels: Int = LouvainLevels,
+                      canonicalDistinct: Boolean = false): DataFrame = {
+    val canon = edges.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"), col("w"))
     louvainOn(nodes,
-      edges.select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"), col("w"))
-        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w")),
+      if (canonicalDistinct) canon
+      else canon.groupBy(col("u"), col("v")).agg(sum(col("w")).as("w")),
       rounds, levels)
+  }
 
   private def louvainOn(nodes: DataFrame, canon0: DataFrame,
                         rounds: Int, levels: Int): DataFrame = {

@@ -212,7 +212,12 @@ object Clouds {
     * mutually-similar core of a cloud. `g_coreness`. */
   def corenessShells(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
-    Algorithms.coreness(g.nodes, g.edges)
+    // materialized ONCE (the mst caller-owned idiom): the kernel's
+    // layout pre-count and its checkpoint build both scan the edge
+    // frame — lazily passed, the similarity self-join would execute
+    // twice
+    val e = g.edges.select(col("src"), col("dst")).localCheckpoint(true)
+    Algorithms.coreness(g.nodes, e)
       .select(col("id").as("node"), col("coreness"))
       .orderBy(col("node"))
   }
@@ -427,7 +432,13 @@ object Clouds {
     * `g_louvain`. */
   def louvain(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
-    Algorithms.louvain(g.nodes, g.edges)
+    // materialized ONCE (the mst caller-owned idiom): the kernel's
+    // layout pre-count and its checkpoint build both scan the edge
+    // frame — lazily passed, the similarity self-join would execute
+    // twice
+    val e = g.edges.select(col("src"), col("dst")).localCheckpoint(true)
+    // the similarity edge table is canonical-distinct by construction
+    Algorithms.louvain(g.nodes, e, canonicalDistinct = true)
       .select(col("id").as("node"), col("community"))
       .orderBy(col("node"))
   }
@@ -447,9 +458,14 @@ object Clouds {
     * links dissolves. `g_louvain_weighted`. */
   def louvainWeighted(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    // materialized ONCE (the mst caller-owned idiom): the kernel's
+    // layout pre-count and its checkpoint build both scan the edge
+    // frame — lazily passed, the similarity self-join would execute
+    // twice
     val we = g.edges.select(col("src"), col("dst"),
       round((lit(0.2) - col("distance")) * 1100000).cast("long").as("w"))
-    Algorithms.louvainWeighted(g.nodes, we)
+      .localCheckpoint(true)
+    Algorithms.louvainWeighted(g.nodes, we, canonicalDistinct = true)
       .select(col("id").as("node"), col("community"))
       .orderBy(col("node"))
   }
@@ -476,10 +492,15 @@ object Clouds {
     // freshStats: the Louvain checkpoint carries 12 rounds of compounded
     // join statistics; composed into CC's loop they grow until the stats
     // visitor hangs the driver (see [[Algorithms.freshStats]])
+    // materialized ONCE (the mst caller-owned idiom): the kernel's
+    // layout pre-count and its checkpoint build both scan the edge
+    // frame — lazily passed, the similarity self-join would execute
+    // twice
+    val e = g.edges.select(col("src"), col("dst")).localCheckpoint(true)
     val lbl = Algorithms.freshStats(
-      Algorithms.louvain(g.nodes, g.edges)).localCheckpoint(true)
-    Algorithms.refinePartition(g.nodes.select(col("id")),
-        g.edges.select(col("src"), col("dst")), lbl)
+      Algorithms.louvain(g.nodes, e,
+        canonicalDistinct = true)).localCheckpoint(true)
+    Algorithms.refinePartition(g.nodes.select(col("id")), e, lbl)
       .orderBy(col("node"))
   }
 

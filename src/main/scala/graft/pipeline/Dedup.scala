@@ -1217,6 +1217,60 @@ object Dedup {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Dedup-METHOD agreement matrix — "which screens catch what": the
+    * flagged-document sets of the three independent duplicate screens
+    * (exact md5 keep-first, MinHash/LSH estimated-Jaccard ≥ 0.5,
+    * SimHash Hamming ≤ [[HammingMax]] — each flag = the doc has a
+    * LOWER-id duplicate partner under that method, the shared
+    * keep-first convention) compared pairwise: per method pair, both
+    * set sizes, the intersection, and the set Jaccard. The curation
+    * question this answers before a 100 TB run: is the cheap exact
+    * pass already catching most of what the fuzzy passes would, and do
+    * the two fuzzy families agree enough to run just one.
+    *
+    * Plan: three flagged sets (each near-dup-bounded, built by the
+    * already-capped screens), ONE checkpointed union tagged by method,
+    * one id-keyed self-join for the intersections, and a 3-row literal
+    * pair list — the [[graft.graph.Clouds.cloudOverlap]] shape.
+    * `d_method_overlap`. */
+  def methodOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Docs.docs(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("ch"))
+    val exKeep = docs.groupBy(col("ch")).agg(min(col("doc_id")).as("keeper"))
+    val exact = docs.join(exKeep, Seq("ch"))
+      .filter(col("doc_id") > col("keeper"))
+      .select(lit("exact").as("method"), col("doc_id"))
+    val mh = minhashLsh(spark, dir)
+      .select(lit("minhash").as("method"), col("b").as("doc_id")).distinct()
+    val sh = simhashPairs(spark, dir)
+      .select(lit("simhash").as("method"), col("b").as("doc_id")).distinct()
+    val flags = exact.unionByName(mh).unionByName(sh)
+      .localCheckpoint(true) // three screens run ONCE; read by 3 plans
+    val sizes = flags.groupBy(col("method")).agg(count(lit(1)).as("n"))
+    val inter = flags.as("x").join(flags.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.method") < col("y.method"))
+      .groupBy(col("x.method").as("method_a"), col("y.method").as("method_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val pairs = Seq(("exact", "minhash"), ("exact", "simhash"),
+      ("minhash", "simhash")).toDF("method_a", "method_b")
+    val na = coalesce(col("n_a"), lit(0L))
+    val nb = coalesce(col("n_b"), lit(0L))
+    val nx = coalesce(col("n_both"), lit(0L))
+    pairs
+      .join(sizes.select(col("method").as("method_a"), col("n").as("n_a")),
+        Seq("method_a"), "left_outer")
+      .join(sizes.select(col("method").as("method_b"), col("n").as("n_b")),
+        Seq("method_b"), "left_outer")
+      .join(inter, Seq("method_a", "method_b"), "left_outer")
+      .select(col("method_a"), col("method_b"),
+        na.as("n_a"), nb.as("n_b"), nx.as("n_both"),
+        when(na + nb - nx > 0,
+          round(nx.cast("double") / (na + nb - nx), 6))
+          .otherwise(lit(0.0)).as("jaccard"))
+      .orderBy(col("method_a"), col("method_b"))
+  }
+
   /** End-to-end curation FUNNEL report — the one-page number every
     * data-curation run publishes: how many documents and tokens
     * survive each sequential stage of the pipeline. Stages: raw →
@@ -1694,6 +1748,64 @@ object Dedup {
          SELECT b.doc_id, b.source, v.dup_of, v.dup_of IS NULL AS kept
          FROM batch b LEFT JOIN ver v ON v.b_id = b.doc_id
          ORDER BY b.doc_id""",
+    "d_method_overlap" -> {
+      val nBands = HammingMax + 1
+      val bandBits = SimhashBits / nBands
+      val mask = (1L << bandBits) - 1
+      s"""WITH $minhashEstCtePrelude,
+         $simhashFpCte,
+         sbanded AS (
+           SELECT doc_id, simhash, bb.b AS band,
+                  (simhash >> (bb.b * $bandBits)) & $mask AS bits
+           FROM fp, (SELECT unnest(range($nBands)) AS b) bb),
+         swit AS (
+           SELECT doc_id, simhash, band, bits FROM (
+             SELECT doc_id, simhash, band, bits,
+                    ROW_NUMBER() OVER (PARTITION BY band, bits
+                      ORDER BY doc_id) AS rn
+             FROM sbanded) WHERE rn <= $BandBucketCap),
+         exflag AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS kpr
+             FROM documents) WHERE doc_id > kpr),
+         mhflag AS (
+           SELECT DISTINCT b AS doc_id FROM est WHERE est_jaccard >= 0.5),
+         shflag AS (
+           SELECT DISTINCT y.doc_id AS doc_id
+           FROM swit x JOIN sbanded y
+             ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id
+           WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax),
+         mflags AS (
+           SELECT 'exact' AS method, doc_id FROM exflag
+           UNION ALL SELECT 'minhash', doc_id FROM mhflag
+           UNION ALL SELECT 'simhash', doc_id FROM shflag),
+         msizes AS (SELECT method, COUNT(*) AS n FROM mflags GROUP BY method),
+         minter AS (
+           SELECT x.method AS method_a, y.method AS method_b,
+                  COUNT(*) AS n_both
+           FROM mflags x JOIN mflags y
+             ON x.doc_id = y.doc_id AND x.method < y.method
+           GROUP BY 1, 2),
+         mpairs AS (
+           SELECT * FROM (VALUES ('exact', 'minhash'), ('exact', 'simhash'),
+             ('minhash', 'simhash')) t(method_a, method_b))
+         SELECT p.method_a, p.method_b,
+                CAST(COALESCE(sa.n, 0) AS BIGINT) AS n_a,
+                CAST(COALESCE(sb.n, 0) AS BIGINT) AS n_b,
+                CAST(COALESCE(i.n_both, 0) AS BIGINT) AS n_both,
+                CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                          - COALESCE(i.n_both, 0) > 0
+                     THEN ROUND(CAST(COALESCE(i.n_both, 0) AS DOUBLE) /
+                            (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                             - COALESCE(i.n_both, 0)), 6)
+                     ELSE 0.0 END AS jaccard
+         FROM mpairs p
+         LEFT JOIN msizes sa ON sa.method = p.method_a
+         LEFT JOIN msizes sb ON sb.method = p.method_b
+         LEFT JOIN minter i ON i.method_a = p.method_a
+                           AND i.method_b = p.method_b
+         ORDER BY p.method_a, p.method_b"""
+    },
     "d_incremental_simhash" -> {
       val nBands = HammingMax + 1
       val bandBits = SimhashBits / nBands
@@ -2248,6 +2360,7 @@ object Dedup {
     "d_incremental_dedup" -> ((s: SparkSession, d: String) => incrementalDedup(s, d)),
     "d_incremental_neardup" -> ((s: SparkSession, d: String) => incrementalNeardup(s, d)),
     "d_incremental_simhash" -> ((s: SparkSession, d: String) => incrementalSimhash(s, d)),
+    "d_method_overlap" -> (methodOverlap _),
     "d_containment" -> ((s: SparkSession, d: String) => containment(s, d)),
     "d_cluster_stats" -> (clusterStats _),
     "d_bloom_dedup" -> ((s: SparkSession, d: String) => bloomDedup(s, d)),

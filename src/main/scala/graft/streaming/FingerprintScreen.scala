@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import graft.pipeline.{Dedup, Docs}
+
+/** One banded fingerprint row entering the screen. */
+final case class BandProbe(band: Int, bits: Long, doc_id: Long, fp: Long)
+
+/** A verified near-dup hit emitted by the streaming screen. */
+final case class ScreenHit(doc_id: Long, dup_of: Long, hamming: Long)
+
+/** Per-bucket witness store: the ≤ [[Dedup.BandBucketCap]]
+  * FIRST-ARRIVED (= lowest-id, when arrival follows ids) members of one
+  * (band, bits) bucket. Constant-bounded state per key — the streaming
+  * mirror of the batch witness cap. */
+final case class BucketWitnesses(ids: List[Long], fps: List[Long])
+
+/** ONLINE SimHash near-dup screen — the streaming member of the
+  * fingerprint-dedup family (batch pairs: [[Dedup.simhashPairs]];
+  * corpus-probe ingest: [[Dedup.incrementalSimhash]]): documents
+  * arrive one shard after another, each is screened against what
+  * arrived BEFORE it (keep-first online dedup), and the per-bucket
+  * store keeps only the capped witness prefix so state NEVER grows
+  * with the corpus — the property that lets the screen run forever.
+  *
+  *   - [[screenBatch]]: the batch plan — per-doc keep-first verdict
+  *     over the capped band pairs (`dup_of` = smallest witness within
+  *     Hamming ≤ [[Dedup.HammingMax]], NULL ⇒ kept). This is the
+  *     oracle-checked `st_simhash_screen` entry; with arrival order =
+  *     id order the streaming path returns EXACTLY these verdicts
+  *     (witnesses = first cap arrivals = lowest cap ids — the same
+  *     prefix the batch cap ranks).
+  *   - [[screenStreaming]]: the streaming path — banded probes keyed by
+  *     (band, bits) through `flatMapGroupsWithState`: each bucket
+  *     group matches arrivals against its stored witnesses (exact
+  *     popcount verify) and appends the arrival to the store while
+  *     under the cap. Emitted hits are (doc, witness, hamming) match
+  *     rows; the ScalaTest drives it with a MemoryStream and asserts
+  *     hit-set equality with the batch pairs.
+  *
+  * Scale shape: state is ≤ cap entries per LIVE bucket key (bounded by
+  * construction, no watermark needed for correctness — the store is
+  * the retention policy); the only shuffle is the (band, bits) key —
+  * identical to the batch bucket join's. `st_simhash_screen`. */
+object FingerprintScreen {
+
+  /** Batch keep-first verdict per document — `st_simhash_screen`. */
+  def screenBatch(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.simhashPairs(spark, dir)
+    Docs.docs(spark, dir).select(col("doc_id"))
+      .join(pairs.groupBy(col("b").as("doc_id")).agg(min(col("a")).as("dup_of")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Explode a (doc_id, fp) fingerprint frame into its band probes —
+    * the same banding [[Dedup.bandedFingerprints]] computes, shaped
+    * for the typed streaming path. */
+  def bandProbes(fp: DataFrame, nBands: Int, bandBits: Int): Dataset[BandProbe] = {
+    import fp.sparkSession.implicits._
+    Dedup.bandedFingerprints(fp, "fp", nBands, bandBits)
+      .select(col("band").cast("int").as("band"), col("bits"),
+        col("doc_id"), col("fp"))
+      .as[BandProbe]
+  }
+
+  /** Streaming screen over a stream of (doc_id, fp) fingerprints.
+    * Emits one [[ScreenHit]] per (arrival, witness) match — dedup
+    * across bands and the min-witness verdict are downstream
+    * aggregates on this (bounded: ≤ cap hits per doc per band).
+    * Within a micro-batch the group's rows are processed in doc_id
+    * order, so replays and batch boundaries cannot reorder the
+    * witness prefix. */
+  def screenStreaming(fp: DataFrame, cap: Int = Dedup.BandBucketCap)
+      : Dataset[ScreenHit] = {
+    import fp.sparkSession.implicits._
+    val nBands = Dedup.HammingMax + 1
+    val bandBits = Dedup.SimhashBits / nBands
+    bandProbes(fp, nBands, bandBits)
+      .groupByKey(p => (p.band, p.bits))
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(screenBucket(cap))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st_simhash_screen" -> (screenBatch _),
+  )
+
+  /** Verdict = keep-first over the capped pair set — the pair oracle
+    * (which already replays banding + witness cap + popcount) nested
+    * as a CTE, then one MIN(witness) per flagged doc. */
+  val oracle: Map[String, String] = Map(
+    "st_simhash_screen" ->
+      s"""WITH pr AS (${Dedup.oracle("d_simhash_pairs")}),
+         ver AS (SELECT b AS doc_id, MIN(a) AS dup_of FROM pr GROUP BY b)
+         SELECT d.doc_id, v.dup_of, v.dup_of IS NULL AS kept
+         FROM documents d LEFT JOIN ver v ON v.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+  )
+
+  /** One bucket's state transition, factored out for direct unit
+    * drive: match each arrival against the stored witnesses, then
+    * admit it to the store while under the cap. */
+  private[graft] def screenBucket(cap: Int)(
+      key: (Int, Long), rows: Iterator[BandProbe],
+      state: GroupState[BucketWitnesses]): Iterator[ScreenHit] = {
+    var st = state.getOption.getOrElse(BucketWitnesses(Nil, Nil))
+    val out = scala.collection.mutable.ListBuffer.empty[ScreenHit]
+    rows.toSeq.sortBy(_.doc_id).foreach { p =>
+      st.ids.iterator.zip(st.fps.iterator).foreach { case (wid, wfp) =>
+        val h = java.lang.Long.bitCount(wfp ^ p.fp).toLong
+        if (h <= Dedup.HammingMax && wid < p.doc_id)
+          out += ScreenHit(p.doc_id, wid, h)
+      }
+      if (st.ids.size < cap)
+        st = BucketWitnesses(st.ids :+ p.doc_id, st.fps :+ p.fp)
+    }
+    state.update(st)
+    out.iterator
+  }
+}

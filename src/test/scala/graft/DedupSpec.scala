@@ -243,6 +243,29 @@ class DedupSpec extends SparkSpec {
     assert(dflt == unc, "fixture buckets are far below the cap")
   }
 
+  test("method overlap: exact ⊆ fuzzy on the fixture, matrix fields consistent") {
+    val rows = rowsOf(Dedup.methodOverlap(spark, dir))
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows.keySet == Set(("exact", "minhash"), ("exact", "simhash"),
+      ("minhash", "simhash")), "all three canonical method pairs reported")
+    // fixture: doc 2 is a byte copy of 0 (flagged by all three screens);
+    // doc 1 is a one-word near-dup (fuzzy screens only) — so the exact
+    // set is a STRICT subset of each fuzzy set here
+    rows.foreach { case ((a, b), (na, nb, nBoth, jac)) =>
+      assert(nBoth <= math.min(na, nb), s"intersection bounded: $a/$b")
+      val expect = if (na + nb - nBoth > 0)
+        BigDecimal(nBoth.toDouble / (na + nb - nBoth))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(jac == expect, s"jaccard replays from the counts: $a/$b")
+    }
+    val (exMh, exSh) = (rows(("exact", "minhash")), rows(("exact", "simhash")))
+    assert(exMh._1 == 1 && exMh._3 == 1, "exact flags {2}; minhash catches it")
+    assert(exSh._3 == 1, "simhash catches the exact copy too")
+    assert(exMh._2 >= 2, "minhash additionally flags the near-dup")
+  }
+
   test("incremental simhash screen: exact batch copy matches its corpus twin, fresh doc survives") {
     // corpus = src0 (docs 0, 1, 3); batch = {2 (copy of 0), 4 (fresh)}
     val r = rowsOf(Dedup.incrementalSimhash(spark, dir))

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.Windowed
+import graft.pipeline.Dedup
 
 class StreamingSpec extends SparkSpec {
 
@@ -447,4 +448,80 @@ class StreamingSpec extends SparkSpec {
         "the empty minutes never appear in the monitoring stream")
     } finally query.stop()
   }
+
+  test("streaming simhash screen: hit set equals the capped batch pairs across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.FingerprintScreen
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // fingerprints planted directly: 10 and 20 are hamming-1 twins of 0
+    // arriving LATER; 30 is far from everything; 40 is an exact copy of
+    // 10 arriving last. Arrival order = id order (the batch-equivalence
+    // precondition the scaladoc states).
+    val fps = Seq(
+      0L -> 0x0F0F0F0F0FL, 10L -> 0x0F0F0F0F0EL, 20L -> 0x0F0F0F0F0DL,
+      30L -> 0x123456789AL, 40L -> 0x0F0F0F0F0EL)
+    val stream = MemoryStream[(Long, Long)]
+    val q = FingerprintScreen.screenStreaming(
+        stream.toDF.toDF("doc_id", "fp"))
+      .writeStream.format("memory").queryName("screen_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(fps.take(2): _*) // batch 1: 0, 10
+      q.processAllAvailable()
+      stream.addData(fps.drop(2): _*) // batch 2: 20, 30, 40
+      q.processAllAvailable()
+      val got = spark.table("screen_sink").collect()
+        .map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet // (a, b, h)
+      // batch twin: the capped band pairs over the same fingerprints
+      val banded = Dedup.bandedFingerprints(
+        fps.toDF("doc_id", "fp"), "fp", Dedup.HammingMax + 1,
+        Dedup.SimhashBits / (Dedup.HammingMax + 1))
+      val expect = rowsOf(Dedup.cappedBandPairs(banded, Dedup.BandBucketCap)
+          .filter(col("hamming") <= Dedup.HammingMax).distinct())
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the stream emits one hit per matching band — set-collapse both
+      assert(got == expect,
+        s"stream hits $got must equal the batch capped pairs $expect")
+      assert(got.contains((0L, 10L, 1L)) && got.contains((10L, 40L, 0L)),
+        "cross-micro-batch matches found (state carried the witnesses)")
+      assert(!got.exists(t => t._1 == 30L || t._2 == 30L),
+        "the distant fingerprint matches nothing")
+    } finally q.stop()
+  }
+
+  test("streaming simhash screen: bucket state honors the witness cap") {
+    import graft.streaming.{BandProbe, BucketWitnesses, FingerprintScreen}
+    // drive one bucket's transition directly: identical fingerprints
+    // collapse into one bucket; with cap=3 only the first three become
+    // witnesses, yet EVERY later arrival still hits witness #1
+    val probes = (0L until 10L).map(i => BandProbe(0, 7L, i, 0xABCL))
+    val state = new TestGroupState[BucketWitnesses]
+    val hits = FingerprintScreen.screenBucket(3)((0, 7L), probes.iterator, state).toSeq
+    assert(state.value.ids == List(0L, 1L, 2L), "store capped at 3 witnesses")
+    val perDoc = hits.groupBy(_.doc_id)
+    (3L until 10L).foreach { d =>
+      assert(perDoc(d).map(_.dup_of).toSet == Set(0L, 1L, 2L),
+        s"arrival $d matches exactly the capped witnesses") }
+    assert(hits.forall(_.hamming == 0L))
+  }
+}
+
+/** Minimal GroupState stub for driving a state function directly. */
+class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
+  private var v: Option[S] = None
+  def value: S = v.get
+  override def exists: Boolean = v.isDefined
+  override def get: S = v.get
+  override def getOption: Option[S] = v
+  override def update(s: S): Unit = { v = Some(s) }
+  override def remove(): Unit = { v = None }
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(ms: Long): Unit = ()
+  override def setTimeoutDuration(d: String): Unit = ()
+  override def setTimeoutTimestamp(ms: Long): Unit = ()
+  override def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+  override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
 }
