@@ -142,7 +142,7 @@ object ScaleBench {
         edges.select(col("src"), col("dst")), lbl)
     }
     timed("coreness") {
-      Algorithms.coreness(nodes, edges)
+      Algorithms.coreness(nodes, edges, nSymHint = 2L * nEdges)
     }
     timed("threshold_sweep") {
       // the g_threshold_sweep composition: one Borůvka forest, then

@@ -324,7 +324,8 @@ object Algorithms {
     * rounds on deep thin structures (the 1-front of a long path moves
     * one hop per round), which the budget caps by design. */
   def coreness(nodes: DataFrame, edges: DataFrame,
-               rounds: Int = CorenessRounds): DataFrame = {
+               rounds: Int = CorenessRounds,
+               nSymHint: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the symmetric view is built in one explode pass (a self-union
     // would execute the caller's edge plan once per branch) and laid
@@ -337,20 +338,25 @@ object Algorithms {
         struct(col("src").as("u"), col("dst").as("v")),
         struct(col("dst").as("u"), col("src").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-    val (sess, sym) = bigSymCheckpoint(symPlan, symPlan.count(), "v")
+    // callers that already know the edge count pass 2·|E| as the hint
+    // and skip the sizing pass entirely
+    val (sess, sym) = bigSymCheckpoint(symPlan,
+      if (nSymHint >= 0) nSymHint else symPlan.count(), "v")
     val ids = (if (sess ne nodes.sparkSession)
         rebase(sess, nodes.select(col("id")))
       else nodes.select(col("id"))).localCheckpoint(true)
-    // materialized alone before the join — fed lazily into it, the
-    // |E|-wide count's map stage runs concurrently with the ids-side
-    // shuffle and the combined sorter pressure can starve first-page
-    // allocations in a single-JVM pool (the louvainLevel deg lesson)
-    val deg = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+    // WIDE inputs: materialized alone before the join — fed lazily
+    // into it, the |E|-wide count's map stage runs concurrently with
+    // the ids-side shuffle and the combined sorter pressure can starve
+    // first-page allocations in a single-JVM pool (the louvainLevel
+    // deg lesson). Narrow inputs skip the extra action.
+    val wide = sess ne nodes.sparkSession
+    val degPlan = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("c"))
+    val deg = if (wide) degPlan.localCheckpoint(true) else degPlan
     var c = ids.join(deg, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("c"), lit(0L)).as("c"))
       .localCheckpoint(true)
-    releaseIterate(deg) // folded into the first iterate
+    if (wide) releaseIterate(deg) // folded into the first iterate
     // Early exit on the fixpoint: the iterate is monotone
     // NON-INCREASING, so Σc is a convergence certificate — equal sums
     // ⇒ identical values ⇒ every later round is a no-op, and the
@@ -567,22 +573,23 @@ object Algorithms {
     // weighted degree; a self-loop contributes 2w (both endpoints) and
     // appears once in symAll, while proper edges already carry both
     // orientations
-    // deg is materialized ALONE before the ids join: fed lazily into
-    // the sort-merge join, its |E|-wide aggregate map stage runs
-    // CONCURRENTLY with the nodes-side shuffle stage, and 64 task
-    // slots' sorters starve new tasks' first page allocation in a
-    // single-JVM pool (observed UNABLE_TO_ACQUIRE/got-0 at the 150k
-    // point). Sequenced, the aggregate job runs with the pool to
-    // itself and the join reads two small cached sides.
-    val deg = symAll.select(col("u").as("id"),
+    // WIDE inputs: deg is materialized ALONE before the ids join —
+    // fed lazily into the sort-merge join, its |E|-wide aggregate map
+    // stage runs CONCURRENTLY with the nodes-side shuffle stage, and
+    // 64 task slots' sorters starve new tasks' first page allocation
+    // in a single-JVM pool (observed UNABLE_TO_ACQUIRE/got-0 at the
+    // 150k point). Sequenced, the aggregate job runs with the pool to
+    // itself. Narrow inputs skip the extra action.
+    val wideLvl = sess ne nodes.sparkSession
+    val degPlan = symAll.select(col("u").as("id"),
         when(col("u") === col("v"), col("w") * 2).otherwise(col("w")).as("kw"))
       .groupBy(col("id")).agg(sum(col("kw")).cast(dec).as("k"))
-      .localCheckpoint(true)
+    val deg = if (wideLvl) degPlan.localCheckpoint(true) else degPlan
     val ids = idsIn
       .join(deg, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("k"), lit(0).cast(dec)).as("k"))
       .localCheckpoint(true)
-    releaseIterate(deg) // folded into ids; |V| rows, but why pin twice
+    if (wideLvl) releaseIterate(deg) // folded into ids; why pin twice
     // the iterate carries k alongside the label: sigma becomes a plain
     // aggregate (no per-round ids join) and the score chain reads
     // (cur, k) in ONE iterate join instead of two

@@ -217,7 +217,7 @@ object Clouds {
     // frame — lazily passed, the similarity self-join would execute
     // twice
     val e = g.edges.select(col("src"), col("dst")).localCheckpoint(true)
-    Algorithms.coreness(g.nodes, e)
+    Algorithms.coreness(g.nodes, e, nSymHint = 2L * e.count())
       .select(col("id").as("node"), col("coreness"))
       .orderBy(col("node"))
   }

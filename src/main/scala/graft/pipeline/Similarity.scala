@@ -817,9 +817,25 @@ object Similarity {
     "pq"    -> pqAnn(spark, dir, nQueries, k).localCheckpoint(true),
     "ivfpq" -> ivfPqAnn(spark, dir, nQueries, k).localCheckpoint(true))
 
+  /** The LAZY ladder: truth checkpointed (shared by all four joins in
+    * one query), families unmaterialized — so Catalyst/AQE keep the
+    * cross-family exchange reuse (ivf and ivfpq share the centroid
+    * assignment, pq and ivfpq the codebooks) that separate
+    * materialization forfeits (measured: eager per-family checkpoints
+    * cost s_ann_recall ~+3.5 s min at sf0.1). The registry entries run
+    * THIS shape; [[ladderLayer]] is the materialize-once production
+    * contract, and the composition spec proves both agree. */
+  private def lazyLadder(spark: SparkSession, dir: String,
+                         nQueries: Int, k: Int): Seq[(String, DataFrame)] = Seq(
+    "truth" -> cosineTopK(spark, dir, nQueries, k).localCheckpoint(true),
+    "lsh"   -> lshAnn(spark, dir, nQueries, k),
+    "ivf"   -> ivfAnn(spark, dir, nQueries, k),
+    "pq"    -> pqAnn(spark, dir, nQueries, k),
+    "ivfpq" -> ivfPqAnn(spark, dir, nQueries, k))
+
   def recallCurve(spark: SparkSession, dir: String,
                   nQueries: Int = 10, k: Int = 5): DataFrame =
-    recallCurveOn(ladderLayer(spark, dir, nQueries, k))
+    recallCurveOn(lazyLadder(spark, dir, nQueries, k))
 
   /** [[recallCurve]] over a caller-materialized [[ladderLayer]]. */
   def recallCurveOn(layer: Seq[(String, DataFrame)]): DataFrame = {
@@ -847,7 +863,7 @@ object Similarity {
 
   def annRecall(spark: SparkSession, dir: String,
                 nQueries: Int = 10, k: Int = 5): DataFrame =
-    annRecallOn(ladderLayer(spark, dir, nQueries, k))
+    annRecallOn(lazyLadder(spark, dir, nQueries, k))
 
   /** [[annRecall]] over a caller-materialized [[ladderLayer]]. */
   def annRecallOn(layer: Seq[(String, DataFrame)]): DataFrame = {
