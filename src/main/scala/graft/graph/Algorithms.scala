@@ -328,11 +328,12 @@ object Algorithms {
                nSymHint: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // the symmetric view is built in one explode pass (a self-union
-    // would execute the caller's edge plan once per branch) and laid
-    // out by [[bigSymCheckpoint]] from a cheap pre-count — the 32-way
-    // deserialized layout measured AGGREGATE_OUT_OF_MEMORY on the very
-    // first degree count at the 150k ScaleBench point (32 readers pin
-    // the whole storage pool)
+    // would scan the caller's edge frame once per branch — one more
+    // 32-reader pass over a big pinned cache at scale; A/B at sf0.1:
+    // no measurable difference) and laid out by [[bigSymCheckpoint]]'s
+    // pre-count — the 32-way deserialized layout measured
+    // AGGREGATE_OUT_OF_MEMORY on the very first degree count at the
+    // 150k ScaleBench point (32 readers pin the whole storage pool)
     val symPlan = edges.select(col("src"), col("dst"))
       .select(explode(array(
         struct(col("src").as("u"), col("dst").as("v")),
