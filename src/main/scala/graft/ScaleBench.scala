@@ -133,13 +133,11 @@ object ScaleBench {
       Algorithms.louvain(nodes, edges, canonicalDistinct = true)
     }
     timed("community_refine") {
-      // the g_community_refine composition: Louvain labels re-rooted
-      // (freshStats) and fed to CC restricted to intra-community edges
-      val lbl = Algorithms.freshStats(
-        Algorithms.louvain(nodes, edges,
-          canonicalDistinct = true)).localCheckpoint(true)
-      Algorithms.refinePartition(nodes,
-        edges.select(col("src"), col("dst")), lbl)
+      // the g_community_refine composition, fused: the level-1
+      // symmetric layer is built once and shared between the ΔQ rounds
+      // and the intra-community CC
+      Algorithms.louvainRefine(nodes,
+        edges.select(col("src"), col("dst")), canonicalDistinct = true)
     }
     timed("coreness") {
       Algorithms.coreness(nodes, edges, nSymHint = 2L * nEdges)

@@ -182,6 +182,28 @@ object Algorithms {
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
       .repartition(col("v"))
       .localCheckpoint(true)
+    // the returned labels are a materialized checkpoint that no longer
+    // references the symmetrized edge list — release it, or every
+    // nested CC call (Borůvka contracts per round) pins one more
+    // edge-sized block set for the session lifetime
+    val out = connectedComponentsOnSym(nodes, sym, maxIter, cyclesPerRound)
+    releaseIterate(sym)
+    out
+  }
+
+  /** [[connectedComponents]] over a CALLER-OWNED symmetric edge
+    * checkpoint — `sym` is an already-materialized (u, v) frame
+    * carrying BOTH orientations of every edge, laid out on v. The
+    * split exists for compositions that already hold such a layer
+    * (the Louvain level-1 layer feeding [[refinePartitionOnSym]]):
+    * re-deriving it through the public entry's self-union would
+    * execute the caller's edge plan once per union branch AND pin a
+    * second edge-scale checkpoint — the exact double-copy shape the
+    * 150k/85M ScaleBench point OOMs on. The caller releases `sym`
+    * when done; this function never does. */
+  private[graft] def connectedComponentsOnSym(
+      nodes: DataFrame, sym: DataFrame, maxIter: Int = 64,
+      cyclesPerRound: Int = CcCyclesPerRound): DataFrame = {
 
     // one hash-to-min + pointer-jump cycle: (id, comp, changed) in,
     // (id, comp, changed) out, unmaterialized
@@ -238,11 +260,6 @@ object Algorithms {
     if (!done) throw new IllegalStateException(
       s"connectedComponents: frontier still live after $maxIter rounds — " +
         "raise maxIter (chain-shaped inputs propagate labels slowly)")
-    // the returned labels are a materialized checkpoint that no longer
-    // references the symmetrized edge list — release it, or every
-    // nested CC call (Borůvka contracts per round) pins one more
-    // edge-sized block set for the life of the session
-    releaseIterate(sym)
     labels.select(col("id"), col("comp"))
   }
 
@@ -313,16 +330,30 @@ object Algorithms {
     * unrolled SQL oracle replays it unconditionally (integer values
     * only; rank order among equal values cannot change max min(c,r)).
     *
-    * Scale shape: one shuffle per round — neighbour values gather on
-    * the edge's head, the H-index is a per-node sorted-rank aggregate
-    * (window partitioned on the gather key, bounded by degree), and
-    * the iterate is (id, c) only, checkpointed and released like every
-    * loop here. Isolated nodes report 0. Rounds past the fixpoint are
-    * no-ops, so the fixed budget matches an early-exit loop; like the
-    * SSSP relax budget and the BFS hop budget, the round budget is
-    * part of the operator contract — convergence needs O(diameter)
-    * rounds on deep thin structures (the 1-front of a long path moves
-    * one hop per round), which the budget caps by design. */
+    * Scale shape — DELTA FRONTIER (the CC/SSSP idiom): the iterate is
+    * monotone non-increasing, so a node's H-index can change in round
+    * t+1 ONLY if some neighbour's value changed in round t (unchanged
+    * neighbourhood multiset ⇒ unchanged max min(c, r)). Each round
+    * therefore gathers only onto TOUCHED nodes — those with ≥1
+    * changed neighbour — and the untouched remainder keeps its value
+    * through a |V|-row left join; the per-node sorted-rank aggregate
+    * (window partitioned on the gather key, bounded by degree) runs
+    * over Σdeg(touched) rows instead of 2|E| every round. Round 1
+    * gathers everything (the degree init "changed" every node), and
+    * rounds whose changed set is still a large fraction of |V| keep
+    * the full gather too ([[CorenessFrontierFrac]] — the frontier
+    * plumbing, a distinct over Σdeg(changed) rows, only pays for
+    * itself once the frontier has collapsed; measured at the
+    * 150k-node/85M-edge ScaleBench point the full-gather rounds after
+    * convergence-in-all-but-a-trickle dominated the r13 wall).
+    * Iterates are (id, c, changed), checkpointed and released like
+    * every loop here. Isolated nodes report 0. Early exit on an empty
+    * frontier equals the oracle's full-budget unroll (no change ⇒
+    * fixpoint ⇒ every later round is a no-op); like the SSSP relax
+    * budget and the BFS hop budget, the round budget is part of the
+    * operator contract — convergence needs O(diameter) rounds on deep
+    * thin structures (the 1-front of a long path moves one hop per
+    * round), which the budget caps by design. */
   def coreness(nodes: DataFrame, edges: DataFrame,
                rounds: Int = CorenessRounds,
                nSymHint: Long = -1L): DataFrame = {
@@ -354,27 +385,30 @@ object Algorithms {
     val wide = sess ne nodes.sparkSession
     val degPlan = sym.groupBy(col("u").as("id")).agg(count(lit(1)).as("c"))
     val deg = if (wide) degPlan.localCheckpoint(true) else degPlan
-    var c = ids.join(deg, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("c"), lit(0L)).as("c"))
-      .localCheckpoint(true)
+    // loopCheckpoint (not plain localCheckpoint): each round references
+    // the iterate twice (gather value side + old-value join), so
+    // carried origin stats would compound ~×2 per round
+    var c = loopCheckpoint(ids.join(deg, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("c"), lit(0L)).as("c")))
     if (wide) releaseIterate(deg) // folded into the first iterate
-    // Early exit on the fixpoint: the iterate is monotone
-    // NON-INCREASING, so Σc is a convergence certificate — equal sums
-    // ⇒ identical values ⇒ every later round is a no-op, and the
-    // early-exited loop equals the full-budget unroll the oracle runs.
-    // The probe is a 1-row aggregate over the just-checkpointed
-    // (id, c) iterate — the kCore count() idiom, not a new job shape.
-    // DECIMAL(38,0): a wrapped long sum could collide two distinct
-    // iterates and exit early with a non-converged result
-    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
-    def sumC(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("c").cast(dec0)), lit(0).cast(dec0)))
-        .head.getDecimal(0)
-    var prevSum = sumC(c)
+    val nV = ids.count() // cached scan — gates the frontier path below
+    // chg = null ⇒ "every node changed" (round 1, and any round whose
+    // frontier is still ≥ CorenessFrontierFrac·|V| — see scaladoc)
+    var chg: DataFrame = null
     var r = 0
     var live = true
     while (r < rounds && live) {
-      val gathered = sym
+      // touched = nodes with ≥1 changed neighbour. sym is laid out on v
+      // (the bigSymCheckpoint key), so the chg probe lands without
+      // re-shuffling the edge checkpoint (AQE broadcasts the collapsed
+      // frontier at runtime); the distinct shuffles Σdeg(chg) rows only.
+      val gatherEdges =
+        if (chg == null) sym
+        else sym.join(
+          sym.join(chg.select(col("id").as("v")), Seq("v"), "left_semi")
+            .select(col("u")).distinct(),
+          Seq("u"), "left_semi")
+      val gathered = gatherEdges
         .join(c.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
         .select(col("u"), col("cv"))
       val h = gathered
@@ -382,19 +416,39 @@ object Algorithms {
           Window.partitionBy(col("u")).orderBy(col("cv").desc)))
         .groupBy(col("u").as("id"))
         .agg(max(least(col("cv"), col("rn").cast("long"))).as("h"))
-      val next = c.select(col("id"))
+      // untouched nodes have no h row and keep their value — exactly
+      // the frontier argument: no changed neighbour ⇒ unchanged H
+      val next = loopCheckpoint(c.select(col("id"), col("c").as("oldc"))
         .join(h, Seq("id"), "left_outer")
-        .select(col("id"), coalesce(col("h"), lit(0L)).as("c"))
-        .localCheckpoint(true)
-      val s = sumC(next)
-      live = s.compareTo(prevSum) != 0
-      prevSum = s
+        .select(col("id"), coalesce(col("h"), col("oldc")).as("c"),
+          (col("h").isNotNull && col("h") =!= col("oldc")).as("changed")))
+      // the probe is a cached scan over the just-checkpointed iterate
+      // (the kCore count() idiom); the changed COUNT both certifies the
+      // fixpoint (0 ⇒ every later round is a no-op ⇒ early exit equals
+      // the oracle's full-budget unroll) and sizes next round's path
+      val nChanged = next.filter(col("changed")).count()
+      live = nChanged > 0
       releaseIterate(c)
-      c = next
+      c = next.select(col("id"), col("c"))
+      chg = if (nChanged * CorenessFrontierFrac >= nV) null
+        else next.filter(col("changed")).select(col("id"))
       r += 1
     }
+    // the final iterate is a materialized checkpoint with no reader of
+    // the 2|E|-row symmetric layout left — release it (and the id
+    // checkpoint), or every call pins an edge-sized block set for the
+    // session lifetime
+    releaseIterate(sym)
+    releaseIterate(ids)
     c.select(col("id"), col("c").as("coreness"))
   }
+
+  /** Frontier gate for [[coreness]]: rounds whose changed set is at
+    * least |V|/this keep the FULL gather — the frontier plumbing (a
+    * distinct over Σdeg(changed) rows plus two semi-joins) only beats
+    * the full 2|E| gather once the frontier has genuinely collapsed.
+    * 4 ⇒ switch to the delta path below 25% of nodes changed. */
+  val CorenessFrontierFrac = 4L
 
   /** Synchronous label-propagation rounds (fixed by contract, like
     * [[pageRank]]'s iteration count — the oracle unrolls exactly this
@@ -492,7 +546,7 @@ object Algorithms {
     * small community-degree aggregate (≤ #communities rows, shrinking
     * every round), and one argmax — the iterate is (id, lbl) only. */
   /** Row threshold past which a loop's big symmetric checkpoint is
-    * re-laid by [[widenSym]] — ~16.7M rows is where the 32-way
+    * re-laid by [[bigSymCheckpoint]] — ~16.7M rows is where the 32-way
     * layout's per-task cache blocks and aggregate slices start
     * starving the single-JVM execution pool (32 concurrent readers
     * PIN their in-memory blocks, so execution cannot evict storage
@@ -531,8 +585,32 @@ object Algorithms {
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
     }
 
+  /** A level's symmetric edge layer, surfaced for cross-composition
+    * reuse: the [[bigSymCheckpoint]]-laid (u, v, w) frame with BOTH
+    * orientations of every proper edge (self-loops ride once), the
+    * session it was laid in (the caller's, or a widened child past
+    * [[WidenRows]]), and its row count (an exact layout bound for any
+    * SUBSET a consumer re-checkpoints — no second counting pass). The
+    * holder owns the release. */
+  private[graft] final case class SymLayer(
+      sess: org.apache.spark.sql.SparkSession, symAll: DataFrame, nSym: Long)
+
   private[graft] def louvainLevel(nodes: DataFrame, canonEdges: DataFrame,
                                   rounds: Int): DataFrame = {
+    val (lbl, layer) = louvainLevelKeep(nodes, canonEdges, rounds)
+    releaseIterate(layer.symAll)
+    lbl
+  }
+
+  /** [[louvainLevel]] variant that RETURNS its symmetric edge layer
+    * instead of releasing it — the one-edge-scale-checkpoint-per-
+    * composition contract: [[louvainRefine]]'s intra-community CC
+    * filters this exact checkpoint rather than re-symmetrizing the
+    * caller's edges (which would execute the upstream plan once per
+    * union branch and pin a second edge-scale block set — the r13
+    * ScaleBench lesson applied ACROSS the kernel boundary). */
+  private[graft] def louvainLevelKeep(nodes: DataFrame, canonEdges: DataFrame,
+                                      rounds: Int): (DataFrame, SymLayer) = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // ONE edge-scale checkpoint, not two: the level originally pinned a
     // canonical copy AND its symmetrization (85M + 170M rows at the
@@ -659,9 +737,8 @@ object Algorithms {
       lbl = next.select(col("id"), col("k"), col("lbl"))
       r += 1
     }
-    releaseIterate(symAll)
     releaseIterate(ids)
-    lbl.select(col("id"), col("lbl"))
+    (lbl.select(col("id"), col("lbl")), SymLayer(sess, symAll, nSym))
   }
 
   /** Louvain community detection (Blondel et al. 2008), deterministic
@@ -713,6 +790,16 @@ object Algorithms {
                       rounds: Int = LouvainRounds,
                       levels: Int = LouvainLevels,
                       canonicalDistinct: Boolean = false): DataFrame = {
+    // the integer-w contract is load-bearing, not advisory: a float w
+    // would truncate in the m total (cast to long) while degree sums
+    // stay fractional, silently skewing the ΔQ argmax and breaking
+    // Spark/oracle parity — fail loudly at the entry point instead
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val wType = edges.schema("w").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(wType),
+      s"louvainWeighted: w must be an integral column (got $wType) — " +
+        "quantize float weights upstream; the exact decimal score " +
+        "chain and the SQL oracle replay depend on integer w")
     val canon = edges.select(least(col("src"), col("dst")).as("u"),
       greatest(col("src"), col("dst")).as("v"), col("w"))
     louvainOn(nodes,
@@ -722,13 +809,26 @@ object Algorithms {
   }
 
   private def louvainOn(nodes: DataFrame, canon0: DataFrame,
-                        rounds: Int, levels: Int): DataFrame = {
+                        rounds: Int, levels: Int): DataFrame =
+    louvainOnLayer(nodes, canon0, rounds, levels, keepLayer = false)._1
+
+  /** [[louvainOn]] with the LEVEL-1 symmetric layer optionally kept
+    * alive and returned (null when `keepLayer` is false, or trivially
+    * when levels < 1) — coarse levels' layers are always released as
+    * before (they are |communities|-sized, rebuilt cheaply, and no
+    * composition wants them). */
+  private def louvainOnLayer(nodes: DataFrame, canon0: DataFrame,
+                             rounds: Int, levels: Int,
+                             keepLayer: Boolean): (DataFrame, SymLayer) = {
     var canon = canon0
     var curNodes = nodes.select(col("id"))
     var mapping: DataFrame = null
     var prevLbl: DataFrame = null
+    var kept: SymLayer = null
     for (lvl <- 1 to levels) {
-      val lbl = louvainLevel(curNodes, canon, rounds)
+      val (lbl, layer) = louvainLevelKeep(curNodes, canon, rounds)
+      if (lvl == 1 && keepLayer) kept = layer
+      else releaseIterate(layer.symAll)
       // louvainLevel eagerly checkpointed its edge/node inputs, so the
       // PREVIOUS level's label iterate (which fed this level's coarse
       // graph lazily) has no live reader left
@@ -754,7 +854,7 @@ object Algorithms {
       }
     }
     releaseIterate(prevLbl) // mapping checkpoint was the last reader
-    mapping
+    (mapping, kept)
   }
 
   /** Round cap for [[connectedComponentsStar]] — the alternation is
@@ -980,14 +1080,57 @@ object Algorithms {
     * aggregate keys on |communities|. */
   private[graft] def refinePartition(nodes: DataFrame, edges: DataFrame,
                                      labels: DataFrame): DataFrame = {
-    val intra = edges
+    // symmetrize the intra-community edges in the SAME pass that
+    // filters them (one explode, like every kernel here) and feed the
+    // layer to the CC loop directly: routing through the public CC
+    // entry would re-execute this 2-join plan once per self-union
+    // branch — the double-scan shape the 150k ScaleBench point OOMs on
+    val intraSym = edges
       .join(labels.select(col("id").as("src"), col("community").as("ca")),
         Seq("src"))
       .join(labels.select(col("id").as("dst"), col("community").as("cb")),
         Seq("dst"))
       .filter(col("ca") === col("cb"))
-      .select(col("src"), col("dst"))
-    val cc = connectedComponents(nodes, intra)
+      .select(explode(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .repartition(col("v"))
+      .localCheckpoint(true)
+    val cc = connectedComponentsOnSym(nodes, intraSym)
+    // cc's label table is materialized — the intra layer has no reader
+    releaseIterate(intraSym)
+    refineAudit(labels, cc)
+  }
+
+  /** [[refinePartition]] over an ALREADY-SYMMETRIC caller layer (the
+    * Louvain level-1 [[SymLayer]]): the intra-community restriction is
+    * a 2-join filter of that exact checkpoint — no re-symmetrization,
+    * no second pass over the caller's edge plan — and the filtered
+    * layer is laid out by [[bigSymCheckpoint]] under the layer's own
+    * row count (an exact upper bound for the subset, so the sizing
+    * pass is free). Consumes the layer: `layer.symAll` is released as
+    * soon as the intra checkpoint is materialized. */
+  private[graft] def refinePartitionOnSym(nodes: DataFrame, layer: SymLayer,
+                                          labels: DataFrame): DataFrame = {
+    val intraPlan = layer.symAll.filter(col("u") =!= col("v"))
+      .join(labels.select(col("id").as("u"), col("community").as("ca")),
+        Seq("u"))
+      .join(labels.select(col("id").as("v"), col("community").as("cb")),
+        Seq("v"))
+      .filter(col("ca") === col("cb"))
+      .select(col("u"), col("v"))
+    val (_, intraSym) = bigSymCheckpoint(intraPlan, layer.nSym, "v")
+    releaseIterate(layer.symAll) // intra layer materialized; the
+    // louvain layer's last reader is gone
+    val cc = connectedComponentsOnSym(nodes, intraSym)
+    releaseIterate(intraSym)
+    refineAudit(labels, cc)
+  }
+
+  /** The refine report shared by both entry points: per-community part
+    * count + split flag over the (node, community, refined) join. */
+  private def refineAudit(labels: DataFrame, cc: DataFrame): DataFrame = {
     val joined = labels.join(cc, Seq("id"))
     val parts = joined.groupBy(col("community"))
       .agg(countDistinct(col("comp")).as("n_parts"))
@@ -995,6 +1138,36 @@ object Algorithms {
       .select(col("id").as("node"), col("community"),
         col("comp").as("refined_community"), col("n_parts"),
         (col("n_parts") > 1).cast("int").as("was_split"))
+  }
+
+  /** The `g_community_refine` composition as ONE kernel: Louvain, then
+    * the Leiden-style connectivity refinement of its final labels —
+    * with the level-1 symmetric edge layer built ONCE and shared
+    * between the ΔQ rounds and the intra-community CC
+    * ([[louvainOnLayer]] keeps it; [[refinePartitionOnSym]] consumes
+    * it). Calling [[louvain]] then [[refinePartition]] separately is
+    * value-identical but re-symmetrizes and re-checkpoints the edge
+    * set the level already laid out — measured 434.9 s vs louvain's
+    * 260.8 s at the 150k/85M ScaleBench point, most of the gap being
+    * exactly that duplicate edge-scale work. Output schema =
+    * [[refinePartition]]'s. */
+  def louvainRefine(nodes: DataFrame, edges: DataFrame,
+                    rounds: Int = LouvainRounds,
+                    levels: Int = LouvainLevels,
+                    canonicalDistinct: Boolean = false): DataFrame = {
+    val canon = edges.select(least(col("src"), col("dst")).as("u"),
+      greatest(col("src"), col("dst")).as("v"))
+    val canonW =
+      if (canonicalDistinct) canon.select(col("u"), col("v"), lit(1L).as("w"))
+      else canon.groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+    val (mapping, layer) =
+      louvainOnLayer(nodes, canonW, rounds, levels, keepLayer = true)
+    // re-root before composing into the CC loop (the compounded-stats
+    // guard) and materialize: the refine plan reads the labels four
+    // times (two intra sides + the audit join pair)
+    val lbl = freshStats(mapping).localCheckpoint(true)
+    releaseIterate(mapping)
+    refinePartitionOnSym(nodes, layer, lbl)
   }
 
   /** PageRank, fixed iteration count, damping d. The edge list is

@@ -489,19 +489,23 @@ object Clouds {
     * keys on |communities|. `g_community_refine`. */
   def communityRefine(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
-    // freshStats: the Louvain checkpoint carries 12 rounds of compounded
-    // join statistics; composed into CC's loop they grow until the stats
-    // visitor hangs the driver (see [[Algorithms.freshStats]])
     // materialized ONCE (the mst caller-owned idiom): the kernel's
     // layout pre-count and its checkpoint build both scan the edge
     // frame — lazily passed, the similarity self-join would execute
     // twice
     val e = g.edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val lbl = Algorithms.freshStats(
-      Algorithms.louvain(g.nodes, e,
-        canonicalDistinct = true)).localCheckpoint(true)
-    Algorithms.refinePartition(g.nodes.select(col("id")), e, lbl)
-      .orderBy(col("node"))
+    // the fused composition: ONE level-1 symmetric layer serves both
+    // the ΔQ rounds and the intra-community CC (see
+    // [[Algorithms.louvainRefine]] — the freshStats re-root between the
+    // loops lives inside it)
+    val out = Algorithms.louvainRefine(g.nodes.select(col("id")), e,
+      canonicalDistinct = true)
+    // everything derived from the edge checkpoint is materialized
+    // inside louvainRefine (level layers, intra layer, CC labels) —
+    // release it rather than pinning similarity-self-join output for
+    // the rest of the session
+    Algorithms.releaseIterate(e)
+    out.orderBy(col("node"))
   }
 
   /** Local clustering coefficient: how close each genome's neighbourhood
@@ -720,6 +724,7 @@ object Clouds {
     // cuts run the O(log²)-guaranteed star-contraction kernel
     var prev: DataFrame = null
     var prevT = 0.0
+    val cutCks = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val perT = SweepThresholds.sorted.map { t =>
       val cc =
         if (t == QueryThreshold) fullComp.withColumnRenamed("c", "comp")
@@ -749,10 +754,8 @@ object Clouds {
         // set, the relabel join AND this cut's census) and re-root its
         // stats — a star-CC output composed into another star-CC loop
         // is exactly the compounding shape freshStats exists for.
-        // MEMORY CONTRACT: the returned census plan reads every cut's
-        // checkpoint, so the k−1 |V|-row label tables stay pinned until
-        // the caller's action completes — k·|V| rows, not edge-sized.
         prev = Algorithms.freshStats(cc).localCheckpoint(true)
+        cutCks += prev
         prevT = t
       }
       val censusSrc = if (t < QueryThreshold) prev else cc
@@ -762,7 +765,14 @@ object Clouds {
           max(col("sz")).as("max_cloud"),
           sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
     }
+    // the census is k rows — materialize it HERE and release the k−1
+    // |V|-row cut label tables immediately, instead of pinning them
+    // until (and beyond: they were never released) the caller's
+    // action. The function's one extra action is the k-row checkpoint;
+    // every kernel action already ran during construction.
     val out = perT.reduce(_ unionByName _).orderBy(col("threshold"))
+      .localCheckpoint(true)
+    cutCks.foreach(Algorithms.releaseIterate)
     out
   }
 

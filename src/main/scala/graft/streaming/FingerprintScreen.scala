@@ -103,7 +103,15 @@ object FingerprintScreen {
 
   /** One bucket's state transition, factored out for direct unit
     * drive: match each arrival against the stored witnesses, then
-    * admit it to the store while under the cap. */
+    * admit it to the store while under the cap. Hits are emitted
+    * ORIENTED — (max id, min id) — not (arrival, witness): with
+    * id-ordered arrival the two are identical (every stored witness
+    * has a smaller id), but when a shard replays out of order a
+    * LOWER-id doc can arrive after its higher-id bucket-mates, and
+    * arrival-orientation would silently drop the pair (the old
+    * `wid < arrival` guard). Orienting by id keeps the match either
+    * way; the self-pair from a re-delivered probe is the one case
+    * skipped. */
   private[graft] def screenBucket(cap: Int)(
       key: (Int, Long), rows: Iterator[BandProbe],
       state: GroupState[BucketWitnesses]): Iterator[ScreenHit] = {
@@ -112,8 +120,8 @@ object FingerprintScreen {
     rows.toSeq.sortBy(_.doc_id).foreach { p =>
       st.ids.iterator.zip(st.fps.iterator).foreach { case (wid, wfp) =>
         val h = java.lang.Long.bitCount(wfp ^ p.fp).toLong
-        if (h <= Dedup.HammingMax && wid < p.doc_id)
-          out += ScreenHit(p.doc_id, wid, h)
+        if (h <= Dedup.HammingMax && wid != p.doc_id)
+          out += ScreenHit(math.max(p.doc_id, wid), math.min(p.doc_id, wid), h)
       }
       if (st.ids.size < cap)
         st = BucketWitnesses(st.ids :+ p.doc_id, st.fps :+ p.fp)
