@@ -107,14 +107,49 @@ object Dedup {
     * estimate is matches/32 — a dyadic rational, so the double compare
     * is exact). ScalaTest additionally asserts the planted duplicates
     * are recovered. */
-  def minhashLsh(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(spark, dir).localCheckpoint(true)
+  /** The banded (doc_id, band, bh, sig) view of a signature table —
+    * one row per (document, band) with the band hash AND the full
+    * 32-perm signature carried as an array (the streaming screen's
+    * verify needs it in-row). Shared by [[minhashBands]] and the
+    * typed probe path. */
+  private[graft] def minhashBandsSig(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), md5Hash60(concat_ws("|", cols: _*)).as("bh"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val sigArr = array((0 until NumPerm).map(i => col(s"mh$i")): _*)
+    sig.select(col("doc_id"), sigArr.as("sig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bh").as("bh"), col("sig"))
+  }
+
+  /** (doc_id, band, bh) banded view of a signature table — the LSH
+    * bucket key rows shared by the pair join ([[minhashLsh]]), the
+    * incremental probe ([[incrementalNeardup]]) and the streaming
+    * screen's batch twin. */
+  private[graft] def minhashBands(sig: DataFrame): DataFrame =
+    minhashBandsSig(sig).select(col("doc_id"), col("band"), col("bh"))
+
+  /** Bucket-space bound for the ONLINE MinHash screen
+    * ([[graft.streaming.FingerprintScreen]] `st_minhash_screen`): band
+    * hashes fold into `bh mod 2^15` buckets so the streaming state's
+    * KEY SPACE is bounded by construction (NumBands · 2^15 — the same
+    * forever-running property the SimHash screen gets from its 15-bit
+    * band stripes) instead of growing with the distinct band-hash
+    * count. Folding only ADDS bucket collisions — extra candidates the
+    * exact signature verify discards — never drops a true bucket
+    * match, so the pigeonhole recall contract is untouched. */
+  val MinhashScreenBuckets = 1L << 15
+
+  /** Verify threshold for the screen's signature match count:
+    * matches/NumPerm ≥ 0.5 — the same estimated-Jaccard cut
+    * [[minhashLsh]] defaults to, expressed as an integer compare. */
+  val MinhashMinMatches: Int = NumPerm / 2
+
+  def minhashLsh(spark: SparkSession, dir: String, minSim: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(spark, dir).localCheckpoint(true)
+    val bands = minhashBands(sig)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -463,12 +498,7 @@ object Dedup {
                          minSim: Double = 0.5): DataFrame = {
     val docs = Docs.docs(spark, dir).select(col("doc_id"), col("source"))
     val sig = minhashSignatures(spark, dir).localCheckpoint(true)
-    val bandStructs = (0 until NumBands).map { b =>
-      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), md5Hash60(concat_ws("|", cols: _*)).as("bh"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = minhashBands(sig)
     val corpusIds = docs.filter(col("source") === existingSource)
       .select(col("doc_id"))
     val batch = docs.filter(col("source") =!= existingSource)
@@ -1632,7 +1662,11 @@ object Dedup {
     * prelude ending in `est(a, b, est_jaccard)` — shared by the LSH
     * dedup oracle (≥ 0.5 cut) and the calibration audit (low cut +
     * exact compare). */
-  private def minhashEstCtePrelude: String = {
+  /** grams → 32-perm signatures → band hashes as a CTE chain ending in
+    * `bands(doc_id, band, bh)` (with `sig` in scope) — the shared
+    * prelude of every MinHash oracle, generated from the same
+    * constants the Spark plans use ([[permA]]/[[permB]]/[[P]]). */
+  private def minhashSigBandsCte: String = {
     val mhs = (0 until NumPerm)
       .map(i => s"MIN((CAST(${permA(i)} AS BIGINT) * h + ${permB(i)}) % $P) AS mh$i")
       .mkString(", ")
@@ -1640,21 +1674,52 @@ object Dedup {
       val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, ${hexFoldSql(s"concat_ws('|', $cols)")} AS bh FROM sig"
     }.mkString(" UNION ALL ")
-    val matches = (0 until NumPerm)
-      .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
-      .mkString(" + ")
     s"""$KeptGramCte,
        gh AS (SELECT doc_id, ${hexFoldSql("gram")} % $P AS h FROM kept),
        sig AS (SELECT doc_id, $mhs FROM gh GROUP BY doc_id),
-       bands AS ($bandSelects),
+       bands AS ($bandSelects)"""
+  }
+
+  /** The 32-term signature match count between `sa` and `sb` aliases. */
+  private def sigMatchesSql: String = (0 until NumPerm)
+    .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+    .mkString(" + ")
+
+  private def minhashEstCtePrelude: String =
+    s"""$minhashSigBandsCte,
        cand AS (
          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          FROM bands x JOIN bands y
            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
        est AS (
-         SELECT a, b, CAST($matches AS DOUBLE) / $NumPerm AS est_jaccard
+         SELECT a, b, CAST($sigMatchesSql AS DOUBLE) / $NumPerm AS est_jaccard
          FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b)"""
-  }
+
+  /** `st_minhash_screen` replay: bands folded into the bounded bucket
+    * space, the ≤[[BandBucketCap]] lowest-id witnesses per bucket
+    * (ROW_NUMBER — each doc appears once per band, so the rank is
+    * deterministic), the capped pair join, the integer signature-match
+    * verify, then one MIN(witness) per flagged doc — the keep-first
+    * verdict the streaming path reproduces under id-ordered arrival. */
+  private[graft] def minhashScreenOracle: String =
+    s"""WITH $minhashSigBandsCte,
+       bb AS (SELECT doc_id, band, bh % $MinhashScreenBuckets AS bkt FROM bands),
+       wit AS (SELECT doc_id, band, bkt FROM (
+                 SELECT doc_id, band, bkt,
+                        ROW_NUMBER() OVER (PARTITION BY band, bkt
+                                           ORDER BY doc_id) AS rn
+                 FROM bb) WHERE rn <= $BandBucketCap),
+       scand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                 FROM wit x JOIN bb y
+                   ON x.band = y.band AND x.bkt = y.bkt
+                      AND x.doc_id < y.doc_id),
+       ver AS (SELECT b AS doc_id, MIN(a) AS dup_of
+               FROM scand
+               JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+               WHERE $sigMatchesSql >= $MinhashMinMatches GROUP BY b)
+       SELECT d.doc_id, v.dup_of, v.dup_of IS NULL AS kept
+       FROM documents d LEFT JOIN ver v ON v.doc_id = d.doc_id
+       ORDER BY d.doc_id"""
 
   private def minhashOracle: String =
     s"""WITH $minhashEstCtePrelude

@@ -17,6 +17,21 @@ final case class ScreenHit(doc_id: Long, dup_of: Long, hamming: Long)
   * mirror of the batch witness cap. */
 final case class BucketWitnesses(ids: List[Long], fps: List[Long])
 
+/** One banded MinHash row entering the online screen: the bucket key
+  * (band, folded band-hash) plus the full 32-perm signature the
+  * in-state verify needs. */
+final case class MinhashProbe(band: Int, bkt: Long, doc_id: Long, sig: Seq[Long])
+
+/** Per-bucket witness store for the MinHash screen — ids plus their
+  * full signatures (the verify is a 32-way equality count, so the
+  * whole signature rides in state; ≤ cap × NumPerm longs per key,
+  * constant-bounded like [[BucketWitnesses]]). */
+final case class SigWitnesses(ids: List[Long], sigs: List[Seq[Long]])
+
+/** A verified near-dup hit from the MinHash screen: `matches` = how
+  * many of the 32 permutation minima agree (≥ [[Dedup.MinhashMinMatches]]). */
+final case class MinhashScreenHit(doc_id: Long, dup_of: Long, matches: Long)
+
 /** ONLINE SimHash near-dup screen — the streaming member of the
   * fingerprint-dedup family (batch pairs: [[Dedup.simhashPairs]];
   * corpus-probe ingest: [[Dedup.incrementalSimhash]]): documents
@@ -85,8 +100,104 @@ object FingerprintScreen {
         GroupStateTimeout.NoTimeout())(screenBucket(cap))
   }
 
+  /** Batch keep-first verdict for the ONLINE MinHash screen —
+    * `st_minhash_screen`, the text-path twin of `st_simhash_screen`
+    * (token-overlap near-dups instead of Hamming-ball ones; the
+    * [[Dedup.incrementalNeardup]] probe is the shard-ingest member of
+    * the same family). Band hashes fold into the bounded
+    * [[Dedup.MinhashScreenBuckets]] space, each bucket keeps its
+    * ≤ cap LOWEST-id witnesses (the [[Dedup.cappedBandPairs]] witness
+    * argument: the keep-first survivor of a duplicate group is the
+    * bucket minimum, always witness #1), and candidates are verified
+    * by the integer signature-match count ≥
+    * [[Dedup.MinhashMinMatches]] — bucket folding can only add
+    * candidates for this verify to discard, never drop a true bucket
+    * match. Output: (doc_id, dup_of = smallest verified witness,
+    * kept). */
+  def minhashScreenBatch(spark: SparkSession, dir: String,
+                         cap: Int = Dedup.BandBucketCap): DataFrame = {
+    val sig = Dedup.minhashSignatures(spark, dir).localCheckpoint(true)
+    val bands = Dedup.minhashBands(sig)
+      .select(col("doc_id"), col("band"),
+        pmod(col("bh"), lit(Dedup.MinhashScreenBuckets)).as("bkt"))
+    val wit = graft.plans.TopKPerGroup.rankTopK(
+        bands, Seq("band", "bkt"), Seq("doc_id" -> false), cap)
+      .select(col("doc_id"), col("band"), col("bkt"))
+    val cand = wit.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val matches = (0 until Dedup.NumPerm)
+      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val ver = cand
+      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .filter(matches >= Dedup.MinhashMinMatches)
+      .groupBy(col("b").as("doc_id")).agg(min(col("a")).as("dup_of"))
+    Docs.docs(spark, dir).select(col("doc_id"))
+      .join(ver, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shape a (doc_id, mh0..mh31) signature frame into typed
+    * [[MinhashProbe]]s — the streaming input rows. */
+  def minhashProbes(sig: DataFrame): Dataset[MinhashProbe] = {
+    import sig.sparkSession.implicits._
+    Dedup.minhashBandsSig(sig)
+      .select(col("band").cast("int").as("band"),
+        pmod(col("bh"), lit(Dedup.MinhashScreenBuckets)).as("bkt"),
+        col("doc_id"), col("sig"))
+      .as[MinhashProbe]
+  }
+
+  /** Streaming MinHash screen over a stream of signature rows — the
+    * same flatMapGroupsWithState shape as [[screenStreaming]], keyed
+    * on (band, folded band-hash). State is bounded by CONSTRUCTION
+    * twice over: ≤ cap witnesses per key AND ≤ NumBands ·
+    * [[Dedup.MinhashScreenBuckets]] keys, so the screen runs forever
+    * regardless of corpus size. Emits one oriented (max id, min id)
+    * hit per verified (arrival, witness) signature match; dedup
+    * across bands and the min-witness verdict are downstream
+    * aggregates. */
+  def minhashScreenStreaming(sig: DataFrame, cap: Int = Dedup.BandBucketCap)
+      : Dataset[MinhashScreenHit] = {
+    import sig.sparkSession.implicits._
+    minhashProbes(sig)
+      .groupByKey(p => (p.band, p.bkt))
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(minhashScreenBucket(cap))
+  }
+
+  /** One MinHash bucket's state transition — the [[screenBucket]]
+    * discipline (in-batch id sort, oriented emission, cap-gated
+    * admission) with the popcount verify replaced by the 32-way
+    * signature match count. */
+  private[graft] def minhashScreenBucket(cap: Int)(
+      key: (Int, Long), rows: Iterator[MinhashProbe],
+      state: GroupState[SigWitnesses]): Iterator[MinhashScreenHit] = {
+    var st = state.getOption.getOrElse(SigWitnesses(Nil, Nil))
+    val out = scala.collection.mutable.ListBuffer.empty[MinhashScreenHit]
+    rows.toSeq.sortBy(_.doc_id).foreach { p =>
+      st.ids.iterator.zip(st.sigs.iterator).foreach { case (wid, wsig) =>
+        val m = wsig.iterator.zip(p.sig.iterator)
+          .count { case (a, b) => a == b }.toLong
+        if (m >= Dedup.MinhashMinMatches && wid != p.doc_id)
+          out += MinhashScreenHit(
+            math.max(p.doc_id, wid), math.min(p.doc_id, wid), m)
+      }
+      if (st.ids.size < cap)
+        st = SigWitnesses(st.ids :+ p.doc_id, st.sigs :+ p.sig)
+    }
+    state.update(st)
+    out.iterator
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_simhash_screen" -> (screenBatch _),
+    "st_minhash_screen" -> ((s: SparkSession, d: String) => minhashScreenBatch(s, d)),
   )
 
   /** Verdict = keep-first over the capped pair set — the pair oracle
@@ -99,6 +210,7 @@ object FingerprintScreen {
          SELECT d.doc_id, v.dup_of, v.dup_of IS NULL AS kept
          FROM documents d LEFT JOIN ver v ON v.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+    "st_minhash_screen" -> Dedup.minhashScreenOracle,
   )
 
   /** One bucket's state transition, factored out for direct unit

@@ -489,6 +489,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash screen: hit set matches the planted signature overlaps across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.FingerprintScreen
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // signatures planted directly (mh0..mh31). Bands are 4 consecutive
+    // perms each; sharing the FIRST 16 perms ⇒ same hash in bands 0-3 ⇒
+    // same buckets, and exactly MinhashMinMatches=16 matches — the
+    // verify boundary. 0/10 share 16; 20 copies 10 (32 vs 10, 16 vs 0);
+    // 30 shares nothing; 40 copies 0 and arrives in the SECOND batch
+    // (state must carry the earlier witnesses).
+    def sig(f: Int => Long): Seq[Long] = (0 until Dedup.NumPerm).map(f).toSeq
+    val s0 = sig(i => 10L + i)
+    val s10 = sig(i => if (i < 16) 10L + i else 1000L + i)
+    val s30 = sig(i => 5000L + i)
+    val rows = Seq(0L -> s0, 10L -> s10, 20L -> s10, 30L -> s30, 40L -> s0)
+    val stream = MemoryStream[(Long, Seq[Long])]
+    val sigCols = (0 until Dedup.NumPerm).map(i => col("sig")(i).as(s"mh$i"))
+    val q = FingerprintScreen.minhashScreenStreaming(
+        stream.toDF.toDF("doc_id", "sig")
+          .select(col("doc_id") +: sigCols: _*))
+      .writeStream.format("memory").queryName("mh_screen_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.take(3): _*) // batch 1: 0, 10, 20
+      q.processAllAvailable()
+      stream.addData(rows.drop(3): _*) // batch 2: 30, 40
+      q.processAllAvailable()
+      val got = spark.table("mh_screen_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = Set(
+        (10L, 0L, 16L), (20L, 0L, 16L), (20L, 10L, 32L),
+        (40L, 0L, 32L), (40L, 10L, 16L), (40L, 20L, 16L))
+      assert(got == expect,
+        s"stream hits $got must equal the planted overlap set $expect")
+    } finally q.stop()
+  }
+
+  test("streaming minhash screen: bucket state honors the witness cap") {
+    import graft.streaming.{MinhashProbe, SigWitnesses, FingerprintScreen}
+    // identical signatures collapse into one bucket; with cap=3 only
+    // the first three become witnesses, yet every later arrival still
+    // hits all of them at full 32/32 matches
+    val s = (0 until Dedup.NumPerm).map(_.toLong)
+    val probes = (0L until 8L).map(i => MinhashProbe(0, 7L, i, s))
+    val state = new TestGroupState[SigWitnesses]
+    val hits = FingerprintScreen.minhashScreenBucket(3)(
+      (0, 7L), probes.iterator, state).toSeq
+    assert(state.value.ids == List(0L, 1L, 2L), "store capped at 3 witnesses")
+    val perDoc = hits.groupBy(_.doc_id)
+    (3L until 8L).foreach { d =>
+      assert(perDoc(d).map(_.dup_of).toSet == Set(0L, 1L, 2L),
+        s"arrival $d matches exactly the capped witnesses") }
+    assert(hits.forall(_.matches == Dedup.NumPerm.toLong))
+  }
+
   test("streaming simhash screen: bucket state honors the witness cap") {
     import graft.streaming.{BandProbe, BucketWitnesses, FingerprintScreen}
     // drive one bucket's transition directly: identical fingerprints
