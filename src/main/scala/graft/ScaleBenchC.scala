@@ -127,6 +127,15 @@ object ScaleBenchC {
     timed("d_importance_weights") { pipeline.Dedup.importanceWeights(spark, dir) }
     timed("d_bloom_dedup") { pipeline.Dedup.bloomDedup(spark, dir) }
     timed("t_bigram_lm") { pipeline.Text.bigramLm(spark, dir) }
+    // the incremental-ingest family (batch-probes-corpus screens) + the
+    // two online screens' batch twins: their 25%-dup stress shape is
+    // exactly this harness's planted duplication, and the r12-r13
+    // rounds proved memory-shape bugs appear ONLY at the ×100 point
+    timed("d_incremental_dedup") { pipeline.Dedup.incrementalDedup(spark, dir) }
+    timed("d_incremental_neardup") { pipeline.Dedup.incrementalNeardup(spark, dir) }
+    timed("d_incremental_simhash") { pipeline.Dedup.incrementalSimhash(spark, dir) }
+    timed("st_simhash_screen") { streaming.FingerprintScreen.screenBatch(spark, dir) }
+    timed("st_minhash_screen") { streaming.FingerprintScreen.minhashScreenBatch(spark, dir) }
 
     only.foreach { names =>
       val unknown = names -- allOps

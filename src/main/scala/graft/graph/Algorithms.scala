@@ -336,9 +336,11 @@ object Algorithms {
     * neighbourhood multiset ⇒ unchanged max min(c, r)). Each round
     * therefore gathers only onto TOUCHED nodes — those with ≥1
     * changed neighbour — and the untouched remainder keeps its value
-    * through a |V|-row left join; the per-node sorted-rank aggregate
-    * (window partitioned on the gather key, bounded by degree) runs
-    * over Σdeg(touched) rows instead of 2|E| every round. Round 1
+    * through a |V|-row left join; the per-node H aggregate
+    * (value-compressed counts + a running-count window — see the
+    * round body) runs over Σdeg(touched) rows instead of 2|E| every
+    * round, with the sort itself over the compressed (node, value)
+    * set only. Round 1
     * gathers everything (the degree init "changed" every node), and
     * rounds whose changed set is still a large fraction of |V| keep
     * the full gather too ([[CorenessFrontierFrac]] — the frontier
@@ -391,12 +393,28 @@ object Algorithms {
     var c = loopCheckpoint(ids.join(deg, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("c"), lit(0L)).as("c")))
     if (wide) releaseIterate(deg) // folded into the first iterate
-    val nV = ids.count() // cached scan — gates the frontier path below
+    val nV = ids.count() // cached scan — gates frontier + broadcast below
+    // |V|-row frames (the value iterate, the per-round H table, the
+    // frontier sets) are BROADCAST into the edge-scale joins while |V|
+    // is small enough to collect: the measured alternative is brutal —
+    // the loopCheckpoint scrub leaves default (huge) stats, so every
+    // round planned the gather as a sort-merge join that re-exchanged
+    // AND re-sorted the 2|E|-row symmetric checkpoint (twice: gather +
+    // output join — ~26 s/round flat at the 150k/85M point, whatever
+    // else improved). With the hint the round is: sym scan → BHJ →
+    // one aggregate exchange → window over compressed values → BHJ
+    // left-outer — the edge checkpoint is never re-shuffled or
+    // re-sorted. Past the threshold (≈64 MB of (id, c) rows) the SMJ
+    // path returns, which is the right plan when the iterate itself
+    // is shuffle-scale.
+    val bcOk = nV <= CorenessBroadcastMaxNodes
+    def bc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
     // chg = null ⇒ "every node changed" (round 1, and any round whose
     // frontier is still ≥ CorenessFrontierFrac·|V| — see scaladoc)
     var chg: DataFrame = null
     var r = 0
     var live = true
+    val t0 = System.nanoTime()
     while (r < rounds && live) {
       // touched = nodes with ≥1 changed neighbour. sym is laid out on v
       // (the bigSymCheckpoint key), so the chg probe lands without
@@ -405,29 +423,47 @@ object Algorithms {
       val gatherEdges =
         if (chg == null) sym
         else sym.join(
-          sym.join(chg.select(col("id").as("v")), Seq("v"), "left_semi")
-            .select(col("u")).distinct(),
+          bc(sym.join(bc(chg.select(col("id").as("v"))), Seq("v"), "left_semi")
+            .select(col("u")).distinct()),
           Seq("u"), "left_semi")
       val gathered = gatherEdges
-        .join(c.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+        .join(bc(c.select(col("id").as("v"), col("c").as("cv"))), Seq("v"))
         .select(col("u"), col("cv"))
+      // H via VALUE-COMPRESSED counts, not a per-edge rank: neighbour
+      // values concentrate hard (degree-init round 1, and ever harder
+      // as the iterate converges), so (u, cv) counts shrink the rows
+      // entering the sort by an order of magnitude — and the count
+      // aggregate map-side-combines BEFORE its exchange, so the
+      // shuffle shrinks too (the per-edge row_number variant sorted
+      // all 2|E| gather rows every round — measured ~28 s/round of
+      // mostly sort at the 150k/85M point). Identity: with distinct
+      // values v₁ > v₂ > … and running counts Rᵢ = #{c ≥ vᵢ},
+      // H = maxᵢ min(vᵢ, Rᵢ) — min(h, count≥h) is maximized at the
+      // interval endpoints the distinct values define.
       val h = gathered
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("u")).orderBy(col("cv").desc)))
+        .groupBy(col("u"), col("cv")).agg(count(lit(1)).as("cnt"))
+        .withColumn("run", sum(col("cnt")).over(
+          Window.partitionBy(col("u")).orderBy(col("cv").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("u").as("id"))
-        .agg(max(least(col("cv"), col("rn").cast("long"))).as("h"))
+        .agg(max(least(col("cv"), col("run"))).as("h"))
       // untouched nodes have no h row and keep their value — exactly
       // the frontier argument: no changed neighbour ⇒ unchanged H
-      val next = loopCheckpoint(c.select(col("id"), col("c").as("oldc"))
-        .join(h, Seq("id"), "left_outer")
+      val prePlan = c.select(col("id"), col("c").as("oldc"))
+        .join(bc(h), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("h"), col("oldc")).as("c"),
-          (col("h").isNotNull && col("h") =!= col("oldc")).as("changed")))
+          (col("h").isNotNull && col("h") =!= col("oldc")).as("changed"))
+      if (CorenessLog && r == 1) prePlan.explain("formatted")
+      val next = loopCheckpoint(prePlan)
       // the probe is a cached scan over the just-checkpointed iterate
       // (the kCore count() idiom); the changed COUNT both certifies the
       // fixpoint (0 ⇒ every later round is a no-op ⇒ early exit equals
       // the oracle's full-budget unroll) and sizes next round's path
       val nChanged = next.filter(col("changed")).count()
       live = nChanged > 0
+      if (CorenessLog) System.err.println(
+        f"[coreness] round ${r + 1}: changed=$nChanged/$nV " +
+          f"frontier=${chg != null} ${(System.nanoTime() - t0) / 1e9}%.1f s")
       releaseIterate(c)
       c = next.select(col("id"), col("c"))
       chg = if (nChanged * CorenessFrontierFrac >= nV) null
@@ -449,6 +485,18 @@ object Algorithms {
     * the full 2|E| gather once the frontier has genuinely collapsed.
     * 4 ⇒ switch to the delta path below 25% of nodes changed. */
   val CorenessFrontierFrac = 4L
+
+  /** Per-round convergence trace for [[coreness]] (round, changed
+    * count, frontier engagement, cumulative wall) — stderr, opt-in via
+    * `SPARK_GRAFT_CORENESS_LOG`, for scale-harness forensics. */
+  private val CorenessLog = sys.env.contains("SPARK_GRAFT_CORENESS_LOG")
+
+  /** Broadcast ceiling for [[coreness]]'s |V|-row frames: 4.2M (id, c)
+    * rows ≈ 64 MB serialized — comfortably collectable, and far above
+    * every tested scale point. Beyond it the gather joins fall back to
+    * shuffle plans, the right shape once the iterate itself is
+    * shuffle-scale. */
+  val CorenessBroadcastMaxNodes: Long = 1L << 22
 
   /** Synchronous label-propagation rounds (fixed by contract, like
     * [[pageRank]]'s iteration count — the oracle unrolls exactly this

@@ -156,6 +156,23 @@ object Clouds {
       .orderBy(col("phage"))
   }
 
+  /** family.py:98 + 116-120 — the induced edge list among the
+    * family-cloud nodes, with the pyvis `value = thres − distance +
+    * 0.1` attr (the same enrichment [[cloudEdges]] carries for the
+    * taxon cloud). CLI surface ([[graft.Cloud]] family mode); the
+    * registry's `g_family_cloud`/`g_family_nodes*` keys cover the
+    * node-side semantics. */
+  def familyEdges(spark: SparkSession, dir: String,
+                  family: String = Family, threshold: Double = QueryThreshold): DataFrame =
+    graph(spark, dir)
+      .filterEdges(col("distance") <= threshold)
+      .inducedSubgraph(familyCloud(spark, dir, family, threshold)
+        .select(col("phage_node").as("id")))
+      .edges
+      .select(col("src"), col("dst"), col("distance"),
+        (lit(threshold) - col("distance") + lit(0.1)).as("value"))
+      .orderBy(col("src"), col("dst"))
+
   /** host.py:64 — the induced edge list among the host-cloud nodes. */
   def hostEdges(spark: SparkSession, dir: String, harsh: Boolean = false,
                 hostGenus: String = HostGenus, threshold: Double = QueryThreshold): DataFrame =
