@@ -205,15 +205,36 @@ object Algorithms {
       nodes: DataFrame, sym: DataFrame, maxIter: Int = 64,
       cyclesPerRound: Int = CcCyclesPerRound): DataFrame = {
 
+    var labels = loopCheckpoint(
+      nodes.select(col("id"), col("id").as("comp"), lit(true).as("changed")))
+    // |V|-row per-cycle frames broadcast into the edge-scale gather
+    // below the shared ceiling — the frontier delta and the gathered
+    // min table are both ≤ |V| rows, and without the hint the
+    // scrubbed iterate stats plan the gather as a sort-merge join
+    // that re-sorts the symmetric edge checkpoint every cycle
+    // ([[IterateBroadcastMaxRows]]; measured at sf0.1: 4.5 → 3.2 s
+    // min-of-5). The pointer-jump self-join is deliberately NOT
+    // hinted: its AQE exchange-reuse structure is measured-tuned (see
+    // below) and both sides are |V|-sized. UNLIKE the linear-chain
+    // kernels (coreness/label-prop/PageRank), CC's hint is ALSO gated
+    // on the edge scale: the hinted gather loses its exchange stage
+    // barrier, so the dual-referenced self-join races two narrow
+    // 2|E|-scan subtrees over the big shared cache — measured
+    // AGGREGATE_OUT_OF_MEMORY in round 1 at the 150k/85M single-JVM
+    // point, while below [[WidenRows]] the hints only help. Both gate
+    // probes are cached scans of already-materialized checkpoints.
+    val bcOk = labels.count() <= IterateBroadcastMaxRows &&
+      sym.count() < WidenRows
+
     // one hash-to-min + pointer-jump cycle: (id, comp, changed) in,
     // (id, comp, changed) out, unmaterialized
     def cycle(labels: DataFrame): DataFrame = {
       // min over CHANGED neighbours' labels only (see frontier note above)
       val delta = labels.filter(col("changed"))
         .select(col("id").as("v"), col("comp").as("vcomp"))
-      val nbrMin = sym.join(delta, Seq("v"))
+      val nbrMin = sym.join(bcIf(bcOk, delta), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("vcomp")).as("nbr_comp"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left_outer")
+      val stepped = labels.join(bcIf(bcOk, nbrMin), Seq("id"), "left_outer")
         .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // pointer jumping: comp := comp(comp). comp values are node ids, so
@@ -232,8 +253,6 @@ object Algorithms {
           (col("ccomp") < col("l.prev")).as("changed"))
     }
 
-    var labels = loopCheckpoint(
-      nodes.select(col("id"), col("id").as("comp"), lit(true).as("changed")))
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
@@ -396,19 +415,13 @@ object Algorithms {
     val nV = ids.count() // cached scan — gates frontier + broadcast below
     // |V|-row frames (the value iterate, the per-round H table, the
     // frontier sets) are BROADCAST into the edge-scale joins while |V|
-    // is small enough to collect: the measured alternative is brutal —
-    // the loopCheckpoint scrub leaves default (huge) stats, so every
-    // round planned the gather as a sort-merge join that re-exchanged
-    // AND re-sorted the 2|E|-row symmetric checkpoint (twice: gather +
-    // output join — ~26 s/round flat at the 150k/85M point, whatever
-    // else improved). With the hint the round is: sym scan → BHJ →
+    // is small enough to collect — see [[IterateBroadcastMaxRows]] for
+    // the measured why; with the hints a round is sym-scan → BHJ →
     // one aggregate exchange → window over compressed values → BHJ
-    // left-outer — the edge checkpoint is never re-shuffled or
-    // re-sorted. Past the threshold (≈64 MB of (id, c) rows) the SMJ
-    // path returns, which is the right plan when the iterate itself
-    // is shuffle-scale.
-    val bcOk = nV <= CorenessBroadcastMaxNodes
-    def bc(df: DataFrame): DataFrame = if (bcOk) broadcast(df) else df
+    // left-outer, and the edge checkpoint is never re-shuffled or
+    // re-sorted.
+    val bcOk = nV <= IterateBroadcastMaxRows
+    def bc(df: DataFrame): DataFrame = bcIf(bcOk, df)
     // chg = null ⇒ "every node changed" (round 1, and any round whose
     // frontier is still ≥ CorenessFrontierFrac·|V| — see scaladoc)
     var chg: DataFrame = null
@@ -491,12 +504,26 @@ object Algorithms {
     * `SPARK_GRAFT_CORENESS_LOG`, for scale-harness forensics. */
   private val CorenessLog = sys.env.contains("SPARK_GRAFT_CORENESS_LOG")
 
-  /** Broadcast ceiling for [[coreness]]'s |V|-row frames: 4.2M (id, c)
-    * rows ≈ 64 MB serialized — comfortably collectable, and far above
-    * every tested scale point. Beyond it the gather joins fall back to
-    * shuffle plans, the right shape once the iterate itself is
-    * shuffle-scale. */
-  val CorenessBroadcastMaxNodes: Long = 1L << 22
+  /** Broadcast ceiling for the iterative kernels' |V|-row iterate
+    * frames (value/label tables, per-round aggregates, frontier
+    * sets): 4.2M rows of an (id, value) pair ≈ 64 MB serialized —
+    * comfortably collectable, and far above every tested scale point.
+    * WHY A HINT AT ALL: loop iterates are [[loopCheckpoint]]
+    * LogicalRDDs whose scrubbed statistics are the default (huge)
+    * estimate, so Catalyst plans every round's edge⋈iterate gather as
+    * a sort-merge join that re-exchanges AND re-sorts the 2|E|-row
+    * symmetric checkpoint — measured a flat ~26 s/round at the
+    * 150k/85M coreness point however the aggregate side improved;
+    * with the hint the round became sym-scan → BHJ → one aggregate
+    * exchange (~14 s/round, 519.5 → 329.3 s end-to-end). Beyond the
+    * ceiling the kernels fall back to the shuffle plans, the right
+    * shape once the iterate itself is shuffle-scale. */
+  val IterateBroadcastMaxRows: Long = 1L << 22
+
+  /** `broadcast` hint gated on the iterate-size check the caller did
+    * against [[IterateBroadcastMaxRows]]. */
+  private def bcIf(ok: Boolean, df: DataFrame): DataFrame =
+    if (ok) broadcast(df) else df
 
   /** Synchronous label-propagation rounds (fixed by contract, like
     * [[pageRank]]'s iteration count — the oracle unrolls exactly this
@@ -522,9 +549,19 @@ object Algorithms {
       .repartition(col("v"))
       .localCheckpoint(true)
     var labels = nodes.select(col("id"), col("id").as("lbl")).localCheckpoint(true)
+    // |V|-row label frames broadcast into the edge-scale gather below
+    // the shared ceiling ([[IterateBroadcastMaxRows]]): without the
+    // hint the scrubbed iterate stats re-sort the symmetric checkpoint
+    // under a sort-merge join every round (sf0.1 min-of-5: ~4+ → 3.0 s).
+    // Edge-gated like CC's ([[WidenRows]]): hinted rounds fuse work
+    // into the big-cache scan stage, the single-JVM shape that OOMs at
+    // the 150k/85M point (see the pageRank gate note).
+    val bcOk = labels.count() <= IterateBroadcastMaxRows &&
+      sym.count() < WidenRows
     for (_ <- 1 to rounds) {
       val gathered = sym
-        .join(labels.select(col("id").as("v"), col("lbl").as("nlbl")), Seq("v"))
+        .join(bcIf(bcOk,
+          labels.select(col("id").as("v"), col("lbl").as("nlbl"))), Seq("v"))
         // one exchange for BOTH aggregates: hash-partitioning on u
         // satisfies clustering on (u, nlbl) AND on u, so the count and
         // the argmax reuse this single shuffle
@@ -536,7 +573,7 @@ object Algorithms {
         .groupBy(col("id"))
         .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("b"))
         .select(col("id"), (-col("b.neg")).as("blbl"))
-      val next = labels.join(best, Seq("id"), "left_outer")
+      val next = labels.join(bcIf(bcOk, best), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("blbl"), col("lbl")).as("lbl"))
         .localCheckpoint(true)
       releaseIterate(labels)
@@ -722,6 +759,16 @@ object Algorithms {
     // (cur, k) in ONE iterate join instead of two
     var lbl = ids.select(col("id"), col("k"), col("id").as("lbl"))
       .localCheckpoint(true)
+    // |V|-row iterate projections (labels into the gather, (k, cur)
+    // into the score chain, sigma's |C|-row community mass, the argmax
+    // result) broadcast below the shared ceiling
+    // ([[IterateBroadcastMaxRows]]): without the hints the scrubbed
+    // iterate stats sort-merge every one of these joins, re-sorting
+    // the |E|-scale gather/candidate stream several times per round.
+    // Edge-gated ([[WidenRows]], nSym already counted) like the other
+    // kernels: hinted rounds fuse aggregates into big-cache scan
+    // stages — the single-JVM OOM shape the pageRank gate documents.
+    val bcOk = ids.count() <= IterateBroadcastMaxRows && nSym < WidenRows
     // early exit needs TWO consecutive zero-move rounds: a round where
     // the gated parity class stands pat says nothing about the OTHER
     // class, whose argmax was computed but not applied — only
@@ -735,7 +782,8 @@ object Algorithms {
         .groupBy(col("lbl").as("c"))
         .agg(sum(col("k")).as("st"), count(lit(1)).as("csz"))
       val gathBase = sym
-        .join(lbl.select(col("id").as("v"), col("lbl").as("c")), Seq("v"))
+        .join(bcIf(bcOk, lbl.select(col("id").as("v"), col("lbl").as("c"))),
+          Seq("v"))
         .repartition(col("u"))
       // round 1 starts from singleton labels, so the gather key (u, c)
       // is UNIQUE by construction (one sym row per neighbour, c = that
@@ -759,8 +807,9 @@ object Algorithms {
       val cand = gath.unionByName(
         lbl.select(col("id"), col("lbl").as("c"), lit(0).cast(dec).as("kin")))
       val scored = cand
-        .join(lbl.select(col("id"), col("k"), col("lbl").as("cur")), Seq("id"))
-        .join(sigma, Seq("c"))
+        .join(bcIf(bcOk,
+          lbl.select(col("id"), col("k"), col("lbl").as("cur"))), Seq("id"))
+        .join(bcIf(bcOk, sigma), Seq("c"))
         // singleton-chase guard: stay is always a candidate; a
         // singleton target only from a larger-labeled community
         .filter(col("c") === col("cur") || col("csz") > 1 ||
@@ -774,7 +823,7 @@ object Algorithms {
         .agg(max(struct(col("score"), (-col("c")).as("neg"))).as("b"))
         .select(col("id"), (-col("b.neg")).as("blbl"))
       // parity gate: only id % 2 == r % 2 adopts its argmax this round
-      val next = lbl.join(best, Seq("id"))
+      val next = lbl.join(bcIf(bcOk, best), Seq("id"))
         .select(col("id"), col("k"), col("lbl").as("old"),
           when(pmod(col("id"), lit(2)) === lit(r % 2), col("blbl"))
             .otherwise(col("lbl")).as("lbl"))
@@ -1045,14 +1094,27 @@ object Algorithms {
     var comp = rebase(s, nodesIn.select(col("id")))
       .select(col("id"), col("id").as("c"))
       .localCheckpoint(true)
+    // the shrinking component table broadcast into the per-round edge
+    // relabel (two joins over the FULL edge set otherwise sort-merge
+    // re-sorted every round under the iterate's scrubbed stats) —
+    // same ceiling + single-JVM edge gate as the other kernels
+    // ([[IterateBroadcastMaxRows]] / [[WidenRows]]; the caller passes
+    // `edgesIn` materialized, so the gate count is one narrow pass).
+    // sf0.1 A/B: NEUTRAL within the min-of-5 spread (the pick's
+    // ObjectHashAggregate dominates the round, not the joins) — kept
+    // for the plan shape: two fewer full-edge sorts per round.
+    val bcOk = comp.count() <= IterateBroadcastMaxRows &&
+      edges.count() < WidenRows
     val empty = edges.limit(0).localCheckpoint(true)
     var forest = empty
     var r = 0
     var live = true
     while (r < maxRounds && live) {
       val ce = edges
-        .join(comp.select(col("id").as("u"), col("c").as("cu")), Seq("u"))
-        .join(comp.select(col("id").as("v"), col("c").as("cv")), Seq("v"))
+        .join(bcIf(bcOk, comp.select(col("id").as("u"), col("c").as("cu"))),
+          Seq("u"))
+        .join(bcIf(bcOk, comp.select(col("id").as("v"), col("c").as("cv"))),
+          Seq("v"))
         .filter(col("cu") =!= col("cv"))
       // ONE pass: explode each inter-component edge into its two
       // (component, candidate) records — a union of two projections of
@@ -1240,13 +1302,26 @@ object Algorithms {
       .join(outDeg, Seq("id"), "left_outer")
       .localCheckpoint(true) // (id, odeg|null) — carried through every iterate
     val n = ids.count().toDouble
+    // the rank iterate and the per-iteration contrib table are |V|-row
+    // frames — broadcast into the edge-scale join below the shared
+    // ceiling ([[IterateBroadcastMaxRows]]), so the pre-partitioned
+    // edge checkpoint is never re-sorted under a per-iteration SMJ
+    // (sf0.1 min-of-5: ~4+ → 3.1 s). ALSO edge-gated ([[WidenRows]]):
+    // the hinted iteration fuses the contrib PARTIAL aggregate into
+    // the stage that scans the big shared edge cache, and under 32
+    // concurrent readers pinning that cache the fused hash aggregate
+    // gets no execution memory — measured AGGREGATE_OUT_OF_MEMORY at
+    // the 150k/85M single-JVM point (iteration 1), while below
+    // WidenRows the hints only help. The count is one cached scan.
+    val bcOk = n <= IterateBroadcastMaxRows && e.count() < WidenRows
     var pr = ids.select(col("id"), col("odeg"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val dangling = pr.filter(col("odeg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
-      val contribs = pr.filter(col("odeg").isNotNull)
-        .join(e, pr("id") === e("src"))
+      val live = pr.filter(col("odeg").isNotNull)
+      val contribs = bcIf(bcOk, live)
+        .join(e, live("id") === e("src"))
         .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
       // ranks are quantized to 12 dp each iteration: the contrib SUM is
@@ -1254,7 +1329,7 @@ object Algorithms {
       // engine-dependent (~1e-18 noise); quantizing makes every iterate
       // bit-deterministic, so the DuckDB oracle replays the loop exactly
       val next = pr.select(col("id"), col("odeg"))
-        .join(contribs, Seq("id"), "left_outer")
+        .join(bcIf(bcOk, contribs), Seq("id"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("id"), col("odeg"),
           round(lit(reset / n) + lit(damping) *
@@ -1292,18 +1367,22 @@ object Algorithms {
       .localCheckpoint(true)
     val nS = ids.filter(col("is_seed")).count().toDouble
     require(nS > 0, "personalized PageRank needs at least one seed")
+    // same iterate-broadcast gate as [[pageRank]], edge gate included
+    val bcOk = ids.count() <= IterateBroadcastMaxRows &&
+      e.count() < WidenRows
     var pr = ids.select(col("id"), col("odeg"), col("is_seed"),
         when(col("is_seed"), lit(1.0 / nS)).otherwise(lit(0.0)).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val dangling = pr.filter(col("odeg").isNull)
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
-      val contribs = pr.filter(col("odeg").isNotNull)
-        .join(e, pr("id") === e("src"))
+      val live = pr.filter(col("odeg").isNotNull)
+      val contribs = bcIf(bcOk, live)
+        .join(e, live("id") === e("src"))
         .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("contrib"))
       val next = pr.select(col("id"), col("odeg"), col("is_seed"))
-        .join(contribs, Seq("id"), "left_outer")
+        .join(bcIf(bcOk, contribs), Seq("id"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("id"), col("odeg"), col("is_seed"),
           round(
