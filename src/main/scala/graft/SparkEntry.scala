@@ -20,6 +20,7 @@ object SparkEntry {
       (streaming.Enrich.queries, streaming.Enrich.oracle),
       (streaming.CdcCompact.queries, streaming.CdcCompact.oracle),
       (streaming.FingerprintScreen.queries, streaming.FingerprintScreen.oracle),
+      (streaming.Anomaly.queries, streaming.Anomaly.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

