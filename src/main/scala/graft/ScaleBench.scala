@@ -142,6 +142,29 @@ object ScaleBench {
     timed("coreness") {
       Algorithms.coreness(nodes, edges, nSymHint = 2L * nEdges)
     }
+    // the truss pair pins a broadcast adjacency image per result —
+    // destroy each once counted so later kernels get the heap back
+    // (broadcast blocks are invisible to the persistent-RDD sweep)
+    var trussBc: Option[org.apache.spark.broadcast.Broadcast[_]] = None
+    timed("truss_support") {
+      val (df, bc) = Algorithms.edgeSupportImg(
+        edges.select(col("src").as("u"), col("dst").as("v")),
+        symCellsHint = 2 * nEdges)
+      trussBc = bc
+      df
+    }
+    trussBc.foreach(_.destroy()); trussBc = None
+    timed("ktruss") {
+      // dense-blob caveat: the synthetic same-group blobs barely peel
+      // at k=4 (support ≈ blob size), so this measures the
+      // fixpoint-detect cost (2 support passes) rather than a long
+      // peel — the per-round cost is the truss_support row above
+      val (df, bc) = Algorithms.kTrussImg(
+        edges.select(col("src"), col("dst")), k = 4)
+      trussBc = bc
+      df
+    }
+    trussBc.foreach(_.destroy())
     timed("threshold_sweep") {
       // the g_threshold_sweep composition: one Borůvka forest, then
       // nested star-CC cuts contracted by the previous cut's components

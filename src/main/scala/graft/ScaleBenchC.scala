@@ -120,6 +120,8 @@ object ScaleBenchC {
     timed("m_phash_dedup") { pipeline.Multimodal.phashDedup(spark, dir) }
     timed("d_dedup_clusters") { pipeline.Dedup.dedupClusters(spark, dir) }
     timed("s_knn_graph") { pipeline.Similarity.knnGraph(spark, dir) }
+    timed("s_mips_topk") { pipeline.Similarity.mipsTopK(spark, dir) }
+    timed("s_mips_ann") { pipeline.Similarity.mipsAnn(spark, dir) }
     timed("d_semantic_dedup") { pipeline.Similarity.semanticDedup(spark, dir) }
     timed("d_curation_e2e") { pipeline.Dedup.curationE2e(spark, dir) }
     timed("d_seq_pack") { pipeline.Dedup.seqPack(spark, dir) }

@@ -360,41 +360,232 @@ object Algorithms {
     * the convergence probe reading the checkpointed result — the
     * [[kCore]] loop discipline, and superseded iterates released. */
   def kTruss(edges: DataFrame, k: Int,
-             maxRounds: Int = KTrussMaxRounds): DataFrame = {
-    def support(surv: DataFrame): DataFrame = {
-      val adj = surv.select(col("u").as("node"), col("v").as("nbr"))
-        .union(surv.select(col("v").as("node"), col("u").as("nbr")))
-        .groupBy(col("node"))
-        .agg(sort_array(collect_list(col("nbr"))).as("adj"))
-      surv
-        .join(adj.select(col("node").as("u"), col("adj").as("adj_u")), Seq("u"))
-        .join(adj.select(col("node").as("v"), col("adj").as("adj_v")), Seq("v"))
-        .select(col("u"), col("v"),
-          graft.functions.SortedIntersectCount
-            .sortedIntersectCount(col("adj_u"), col("adj_v")).as("support"))
-    }
+             maxRounds: Int = KTrussMaxRounds): DataFrame =
+    kTrussImg(edges, k, maxRounds)._1
+
+  /** [[kTruss]] plus the broadcast handle behind the FINAL support
+    * pass's adjacency image (None on the shuffle path) — the returned
+    * frame pins the image until the caller's action completes (the
+    * standard iterate-lifetime contract); callers that chain further
+    * work in one session should destroy it once the result is
+    * consumed, because block-manager blocks are not heap-collectable. */
+  private[graft] def kTrussImg(edges: DataFrame, k: Int,
+      maxRounds: Int = KTrussMaxRounds): (DataFrame,
+        Option[org.apache.spark.broadcast.Broadcast[AdjImage]]) = {
+    val trace = sys.env.contains("SPARK_GRAFT_TRUSS_LOG")
+    def t0 = System.nanoTime()
+    def lap(s: Long, what: String): Unit = if (trace)
+      System.err.println(f"[ktruss] $what: ${(System.nanoTime() - s) / 1e9}%.1f s")
+    var st = t0
+    // CALLER-OWNED input contract (the [[boruvkaMst]] lesson, §4.13
+    // r12(a)): round 0 scans `edges` as-is — three narrow scans per
+    // support pass, NOT a defensive re-checkpoint, which at 150k/85M
+    // costs ~2 min of wall and ~1.4 GB of the 8 GiB JVM before any
+    // peeling starts. Callers pass a materialized (or cheap-to-scan)
+    // canonical edge frame. Edge-scale iterates that ARE created here
+    // use serialized blocks: a deserialized 85M-row checkpoint pins
+    // ~3× the bytes and starves the adjacency pack's
+    // ObjectHashAggregate (measured OOM at 150k/85M — the §4.13
+    // reader-pin shape).
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     var surv = edges.select(col("src").as("u"), col("dst").as("v"))
-      .localCheckpoint(true)
+    var survCp: DataFrame = null // the checkpoint behind surv, if any
     var size = surv.count()
+    lap(st, s"input count ($size edges)")
     var round = 0
     var done = size == 0L
     while (!done && round < maxRounds) {
-      val next = support(surv)
+      st = t0
+      val (sup, bc) = edgeSupportImg(surv, 2 * size)
+      val next = sup
         .filter(col("support") >= k - 2)
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, ser)
       val m = next.count()
+      lap(st, s"round $round support+peel ($m survive)")
+      // next is materialized: this round's adjacency image and the
+      // superseded survivor checkpoint can go immediately (block-manager
+      // blocks are not heap-collectable — see [[edgeSupportImg]])
+      bc.foreach(_.destroy())
       done = m == size // monotone: equal size ⇒ identical set ⇒ fixpoint
-      releaseIterate(surv)
+      releaseIterate(survCp)
+      survCp = next
       surv = next
       size = m
       round += 1
     }
-    // At the fixpoint every survivor's support is ≥ k−2 ≥ 1, so the
-    // recompute equals the last round's filtered table; the >0 guard
-    // only matters on a budget-exhausted exit, where the oracle's
-    // final inner wedge-join drops common-neighbour-free edges too.
-    support(surv).filter(col("support") > 0)
+    // One more support pass WITHIN the final survivor set scores the
+    // kept edges (on a converged exit it recomputes the fixpoint
+    // round's values — memory-cheaper than checkpointing the wide
+    // support table every round, and pure broadcast-side compute under
+    // the [[AdjBroadcastMaxCells]] gate). The >0 guard matches the
+    // oracle's final inner wedge-join, which drops
+    // common-neighbour-free edges too.
+    val (fin, finBc) = edgeSupportImg(surv, 2 * size)
+    (fin.filter(col("support") > 0), finBc)
+  }
+
+  /** Broadcast gate for [[edgeSupport]]'s packed-adjacency image, in
+    * ARRAY CELLS (2|E| — each edge contributes one cell per endpoint):
+    * 256M cells ≈ 2 GB of longs, the dense-synthetic 150k/85M point.
+    * Same role as [[IterateBroadcastMaxRows]], but the payload here is
+    * edge-sized (the arrays), so the gate counts cells, not rows. */
+  val AdjBroadcastMaxCells = 256L * 1000 * 1000
+
+  /** The flat adjacency image behind [[edgeSupport]]'s broadcast path:
+    * node ids sorted ascending, CSR-style offsets into ONE flat
+    * neighbour array whose cells are INT INDICES into `ids` (each
+    * node's slice ascending — index order = id order, so the
+    * two-pointer intersect is unchanged). Three primitive arrays,
+    * ~8 B/edge-cell and three object headers TOTAL: a broadcast
+    * HashedRelation of array rows costs ~100 B/row overhead PLUS the
+    * build charging Spark's execution-memory pool (measured: the
+    * 150k/85M relation build trips
+    * notEnoughMemoryToBuildAndBroadcastTableError), and a long-cell
+    * image (measured next) OOMs the default 8 GiB JVM once its torrent
+    * blocks and value copy sit beside the edge checkpoint. The int
+    * encoding is safe BY THE GATE: [[AdjBroadcastMaxCells]] ≤ 256M
+    * cells bounds |V| ≤ cells + 1 < 2³¹, so every index fits. */
+  private[graft] final case class AdjImage(
+      ids: Array[Long], offs: Array[Int], flat: Array[Int]) {
+    /** [start, end) slice of `flat` for node `id`; empty if absent. */
+    def slice(id: Long): (Int, Int) = {
+      val i = java.util.Arrays.binarySearch(ids, id)
+      if (i < 0) (0, 0) else (offs(i), offs(i + 1))
+    }
+  }
+
+  /** Assemble the CSR image from PRE-TRANSLATED (node-index, int-index
+    * slice) rows — the per-cell long→index translation happened
+    * executor-side under the broadcast id dictionary, so the driver
+    * only ever holds the int cells (half the bytes) and does pure
+    * arraycopy placement here. */
+  private[graft] def packAdjImage(
+      ids: Array[Long], rows: Array[(Int, Array[Int])]): AdjImage = {
+    val n = ids.length
+    val lens = new Array[Int](n)
+    var total = 0L
+    rows.foreach { case (i, s) => lens(i) = s.length; total += s.length }
+    require(total <= Int.MaxValue,
+      s"adjacency image of $total cells exceeds the int-indexed bound; " +
+        "raise the caller's gate only below AdjBroadcastMaxCells")
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { offs(i + 1) = offs(i) + lens(i); i += 1 }
+    val flat = new Array[Int](total.toInt)
+    rows.foreach { case (idx, s) =>
+      System.arraycopy(s, 0, flat, offs(idx), s.length) }
+    AdjImage(ids, offs, flat)
+  }
+
+  /** Two-pointer intersection count over two sorted slices of `flat` —
+    * the [[graft.functions.SortedIntersectCount]] kernel, hand-rolled
+    * because the broadcast path runs outside codegen. */
+  private def sliceIntersect(flat: Array[Int], s1: Int, e1: Int,
+                             s2: Int, e2: Int): Long = {
+    var i = s1; var j = s2; var c = 0L
+    while (i < e1 && j < e2) {
+      val a = flat(i); val b = flat(j)
+      if (a == b) { c += 1; i += 1; j += 1 }
+      else if (a < b) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Per-edge triangle support of a canonical (u < v) edge set: pack
+    * each node's adjacency into ONE sorted array row, join each edge
+    * to its two endpoint arrays, count common neighbours with the
+    * native two-pointer [[graft.functions.SortedIntersectCount]].
+    * Every edge survives (its endpoints always have adjacency rows —
+    * they contain each other), so 0-support edges come through with
+    * support 0. Shared by [[kTruss]]'s peel rounds and
+    * [[Clouds.trussSupport]]'s one-shot report.
+    *
+    * PLAN SHAPE — the second join is the scale hazard: left as a pair
+    * of shuffle joins, join-1's output re-exchanges (u, v, adj_u) rows
+    * by v, i.e. Σ_e deg(u) array CELLS through the wire (measured:
+    * 24 GB at 47k/8.4M on the dense synthetic, page-cache-masked until
+    * the next query pays the writeback). When the caller knows the
+    * symmetric cell count (2|E|) and it clears [[AdjBroadcastMaxCells]],
+    * the packed adjacency is collected into a flat [[AdjImage]] and
+    * broadcast ONCE, and support becomes a single narrow map over the
+    * edge stream — zero joins, zero exchanges, two slice lookups + a
+    * two-pointer intersect per edge (the [[Similarity.embeddingNearDup]]
+    * collect-then-tight-JVM-loop idiom; a broadcast-HASH-JOIN plan of
+    * the same shape builds a HashedRelation whose ~100 B/row overhead
+    * and execution-memory charge trip
+    * notEnoughMemoryToBuildAndBroadcastTableError at 150k/85M in the
+    * 8 GiB JVM the image fits comfortably). Above the gate
+    * (billion-node corpora) the shuffle plan stands — Σdeg² cell
+    * movement is the intrinsic cost of exact triangle counting
+    * (wedge-join formulations ship the same volume as rows), and it
+    * parallelizes per-partition on a cluster. */
+  def edgeSupport(surv: DataFrame, symCellsHint: Long = -1L): DataFrame =
+    edgeSupportImg(surv, symCellsHint)._1
+
+  /** [[edgeSupport]] plus the broadcast handle behind the gated path
+    * (None on the shuffle path), so loop callers ([[kTruss]]) can
+    * destroy a superseded round's adjacency image instead of waiting
+    * for the ContextCleaner's GC-driven sweep — block-manager blocks
+    * are not heap-collectable, so an r-round peel would otherwise hold
+    * r images' worth of storage at worst. */
+  private[graft] def edgeSupportImg(surv: DataFrame, symCellsHint: Long)
+      : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[AdjImage]]) = {
+    val adj0 = surv.select(col("u").as("node"), col("v").as("nbr"))
+      .union(surv.select(col("v").as("node"), col("u").as("nbr")))
+      .groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("adj"))
+    if (symCellsHint >= 0 && symCellsHint <= AdjBroadcastMaxCells) {
+      val spark = surv.sparkSession
+      import spark.implicits._
+      // two driver hops, both int-lean: (1) the sorted id dictionary
+      // (|V| longs), broadcast back so (2) each adjacency slice is
+      // translated long→index EXECUTOR-side and only int cells cross
+      // the driver — the long-cell single-collect variant held 2× the
+      // bytes and OOM'd the 8 GiB JVM at 150k/85M
+      val ids: Array[Long] = adj0.select(col("node").as("value"))
+        .as[Long].collect().sorted
+      val bcIds = spark.sparkContext.broadcast(ids)
+      val intRows: Array[(Int, Array[Int])] =
+        adj0.select(col("node").as("_1"), col("adj").as("_2"))
+          .as[(Long, Array[Long])]
+          .mapPartitions { it =>
+            val d = bcIds.value
+            it.map { case (node, nbrs) =>
+              val s = new Array[Int](nbrs.length)
+              var j = 0
+              while (j < nbrs.length) {
+                // neighbours are nodes of the same edge set ⇒ found
+                s(j) = java.util.Arrays.binarySearch(d, nbrs(j)); j += 1
+              }
+              (java.util.Arrays.binarySearch(d, node), s)
+            }
+          }.collect()
+      val img = packAdjImage(ids, intRows)
+      bcIds.destroy()
+      val bc = spark.sparkContext.broadcast(img)
+      val out = surv.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)]
+        .mapPartitions { rows =>
+          val a = bc.value
+          rows.map { case (u, v) =>
+            val (s1, e1) = a.slice(u)
+            val (s2, e2) = a.slice(v)
+            (u, v, sliceIntersect(a.flat, s1, e1, s2, e2))
+          }
+        }
+        .toDF("u", "v", "support")
+      (out, Some(bc))
+    } else {
+      val out = surv
+        .join(adj0.select(col("node").as("u"), col("adj").as("adj_u")), Seq("u"))
+        .join(adj0.select(col("node").as("v"), col("adj").as("adj_v")), Seq("v"))
+        .select(col("u"), col("v"),
+          graft.functions.SortedIntersectCount
+            .sortedIntersectCount(col("adj_u"), col("adj_v")).as("support"))
+      (out, None)
+    }
   }
 
   /** Round budget for [[coreness]] — part of the contract, like every

@@ -242,15 +242,8 @@ object Clouds {
     val e = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
       .edges.select(col("src").as("u"), col("dst").as("v"))
       .localCheckpoint(true) // adjacency pack + rescore probe share it
-    val adj = e.select(col("u").as("node"), col("v").as("nbr"))
-      .union(e.select(col("v").as("node"), col("u").as("nbr")))
-      .groupBy(col("node"))
-      .agg(sort_array(collect_list(col("nbr"))).as("adj"))
-    e.join(adj.select(col("node").as("u"), col("adj").as("adj_u")), Seq("u"))
-      .join(adj.select(col("node").as("v"), col("adj").as("adj_v")), Seq("v"))
-      .select(col("u").as("src"), col("v").as("dst"),
-        graft.functions.SortedIntersectCount
-          .sortedIntersectCount(col("adj_u"), col("adj_v")).as("support"))
+    Algorithms.edgeSupport(e, symCellsHint = 2 * e.count())
+      .select(col("u").as("src"), col("v").as("dst"), col("support"))
       .orderBy(col("src"), col("dst"))
   }
 

@@ -56,6 +56,19 @@ class TrussSpec extends SparkSpec {
     assert(!got.contains((100L, 101L)) && !got.contains((6L, 7L)))
   }
 
+  test("edgeSupport: broadcast-image path and shuffle path are row-identical") {
+    val e = edgesDf(planted).select(col("src").as("u"), col("dst").as("v"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    // hint below the gate -> AdjImage broadcast + mapPartitions intersect
+    val img = rowsOf(Algorithms.edgeSupport(e, symCellsHint = 2L * planted.size))
+      .map(key).toSet
+    // no hint -> the generic two-shuffle-join SortedIntersectCount plan
+    val shuffle = rowsOf(Algorithms.edgeSupport(e)).map(key).toSet
+    assert(img == shuffle)
+    assert(img.nonEmpty)
+  }
+
   test("trussSupport on the driver graph: canonical edges, support matches the brute count") {
     val sup = rowsOf(Clouds.trussSupport(spark, SF))
     assert(sup.nonEmpty)
