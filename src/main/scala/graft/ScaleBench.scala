@@ -142,6 +142,9 @@ object ScaleBench {
     timed("coreness") {
       Algorithms.coreness(nodes, edges, nSymHint = 2L * nEdges)
     }
+    timed("eigen_walks") {
+      Algorithms.walkCounts(nodes, edges)
+    }
     // the truss pair pins a broadcast adjacency image per result —
     // destroy each once counted so later kernels get the heap back
     // (broadcast blocks are invisible to the persistent-RDD sweep)

@@ -1542,6 +1542,52 @@ object Algorithms {
     * checkpointed once so upstream plans run exactly once; each iteration
     * is ONE action. Dangling-node mass is folded back in as a broadcast
     * 1-row aggregate join — never a separate driver action. */
+  /** Round budget for [[walkCounts]] — fixed SHORT on purpose: the
+    * iterate is the power method on the adjacency matrix, and t rounds
+    * count walks of length t, whose magnitude grows like (mean deg)^t;
+    * 4 rounds already separates hubs from periphery (the ranking is
+    * what eigenvector centrality is for) while keeping every count
+    * below ~deg⁴ ≈ 1.7×10¹² at the 85M-edge dense point — exact in
+    * int64 for BOTH engines, no normalization step whose float
+    * division would break oracle parity. */
+  val EigenWalkRounds = 4
+
+  /** Unnormalized eigenvector centrality in EXACT integers: x₀ = 1,
+    * xₜ₊₁ = A·xₜ over the undirected view of `edges`, so xₜ(v) = the
+    * number of t-step walks ending at v — the power-method iterate
+    * whose direction converges to the principal eigenvector
+    * (Bonacich 1987), with the usual per-round normalization REPLACED
+    * by exact integer counts (rankings are scale-invariant; the
+    * oracle replays integer sums unconditionally, where normalized
+    * doubles would need the 12-dp quantization contract). Loop shape =
+    * [[pageRank]]: symmetric edge table pre-partitioned and
+    * checkpointed ONCE, only the |V|-row iterate moves per round,
+    * broadcast into the edge-scale gather below
+    * [[IterateBroadcastMaxRows]] (and [[WidenRows]] — the fused
+    * partial-aggregate OOM shape). */
+  def walkCounts(nodes: DataFrame, edges: DataFrame,
+                 rounds: Int = EigenWalkRounds): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).localCheckpoint(true)
+    val ids = nodes.select(col("id")).distinct().localCheckpoint(true)
+    val n = ids.count()
+    val bcOk = n <= IterateBroadcastMaxRows && sym.count() < WidenRows
+    var x = ids.select(col("id"), lit(1L).as("walks")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val gathered = bcIf(bcOk, x)
+        .join(sym, x("id") === sym("src"))
+        .select(col("dst").as("id"), col("walks").as("w"))
+        .groupBy(col("id")).agg(sum(col("w")).as("walks"))
+      val next = ids.join(bcIf(bcOk, gathered), Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("walks"), lit(0L)).as("walks"))
+        .localCheckpoint(true)
+      releaseIterate(x)
+      x = next
+    }
+    x
+  }
+
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     // teleport constant derived in decimal: (1 - 0.85) in binary doubles
     // is 1 ulp away from the literal 0.15 a SQL oracle parses, which

@@ -283,6 +283,20 @@ object Clouds {
       .orderBy(col("id"))
   }
 
+  /** Eigenvector-centrality walk counts of the thresholded graph
+    * ([[Algorithms.walkCounts]], [[Algorithms.EigenWalkRounds]]-step
+    * exact-integer power iterate): genomes ranked by how many length-4
+    * similarity walks END at them — the "important because similar to
+    * other important genomes" cut that degree ([[degrees]]) and
+    * PageRank's damped random surfer each miss in their own way.
+    * `g_eigen_walks`. */
+  def eigenWalks(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    Algorithms.walkCounts(g.nodes, g.edges)
+      .select(col("id").as("node"), col("walks"))
+      .orderBy(col("node"))
+  }
+
   /** Personalized PageRank from the taxon-cloud seed phages — "rank
     * every genome by random-walk proximity to THIS cloud's seeds", the
     * natural follow-up to the reference's seed-filtered cloud expand
@@ -1823,6 +1837,29 @@ object Clouds {
        SELECT id, rank FROM p$iters ORDER BY id"""
   }
 
+  /** [[eigenWalks]] replay: the power iterate unrolled to `rounds`
+    * stages — pure integer sums (x₀ = 1, xₜ₊₁(v) = Σ_{u∼v} xₜ(u)), so
+    * the replay is unconditional; the SUM lands in DuckDB's HUGEINT
+    * and is cast back to BIGINT to match the Spark long. */
+  private def eigenWalksOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""x$i AS MATERIALIZED (
+         SELECT b.id, CAST(COALESCE(g.w, 0) AS BIGINT) AS walks
+         FROM nodes b LEFT JOIN (
+           SELECT e.dst AS id, SUM(x.walks) AS w
+           FROM x${i - 1} x JOIN und e ON e.src = x.id
+           GROUP BY e.dst) g ON g.id = b.id)"""
+    }.mkString(",\n")
+    s"""$OracleCte,
+       und AS MATERIALIZED (
+         SELECT src, dst FROM edges WHERE distance <= 0.10
+         UNION ALL
+         SELECT dst, src FROM edges WHERE distance <= 0.10),
+       x0 AS (SELECT id, CAST(1 AS BIGINT) AS walks FROM nodes),
+       $steps
+       SELECT id AS node, walks FROM x$rounds ORDER BY node"""
+  }
+
   /** [[khopReach]] replay: budgeted recursive BFS (the eccentricity
     * idiom) from the taxon seed predicate, min hop distance per
     * (seed, node), hop-0 rows dropped. */
@@ -2124,6 +2161,7 @@ object Clouds {
          WHERE i.common_neighbors >= 3
          ORDER BY i.a, i.b""",
     "g_pagerank" -> pagerankOracle(10),
+    "g_eigen_walks" -> eigenWalksOracle(Algorithms.EigenWalkRounds),
     "g_ppr" -> pprOracle(10),
     "g_khop_reach" -> khopOracle(KhopMaxHops),
     // JSON attr payloads rebuilt by string concatenation: longs/strings
@@ -2438,6 +2476,7 @@ object Clouds {
                                     neighborJaccardCapped(s, d)),
     "g_link_pred"             -> ((s: SparkSession, d: String) => linkPrediction(s, d)),
     "g_pagerank"              -> pageRank _,
+    "g_eigen_walks"           -> eigenWalks _,
     "g_ppr"                   -> personalizedPageRank _,
     "g_shortest_paths"        -> shortestPaths _,
     "g_clustering_coeff"      -> clusteringCoeff _,

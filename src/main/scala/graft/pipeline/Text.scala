@@ -492,9 +492,14 @@ object Text {
     * token keys — vocabulary-keyed shuffles that scale with corpus
     * content, deliberately NOT broadcast. Docs under 2 tokens have no
     * bigrams and drop out (mirrored in the oracle). `t_bigram_lm`. */
-  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
-    // materialized once: the bigram stream fans into the model build and
-    // the scoring probe; without the checkpoint the explode runs thrice
+  /** The self-trained bigram model's per-occurrence conditional
+    * probability stream (doc_id, q): bigrams exploded once
+    * (checkpointed — the stream fans into the model build and the
+    * scoring probe), counts aggregated into the model, every
+    * occurrence scored with its [[BigramPScale]]-quantized
+    * P(cur|prev). Shared by [[bigramLm]] (average quality score) and
+    * [[pplFilter]] (negative-log-likelihood tertile cut). */
+  private def bigramQ(spark: SparkSession, dir: String): DataFrame = {
     val bg = Docs.docs(spark, dir)
       .select(col("doc_id"), Docs.tokens.as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -511,10 +516,72 @@ object Text {
       .select(col("doc_id"),
         round(col("cb").cast("double") / col("cp").cast("double"), BigramPScale)
           .cast(s"decimal(${BigramPScale + 2},$BigramPScale)").as("q"))
+  }
+
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    bigramQ(spark, dir)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("qs"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("qs").cast("double") / col("n_bigrams"), 6).as("avg_bigram_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Floor on a quantized conditional before its log: a true
+    * P(cur|prev) below 0.5·10⁻¹² rounds to decimal 0 at corpus scale
+    * (cp > 10¹² occurrences of one prev), and log(0) would poison the
+    * document's whole score. Applied identically in the oracle. */
+  val PplQFloor = 1e-12
+
+  /** CCNet-style perplexity filter (Wenzek et al. 2020): score every
+    * document by its per-bigram negative log-likelihood under the
+    * self-trained model, then cut the corpus into head / middle / tail
+    * TERTILES and keep head+middle — the corpus-relative "perplexity
+    * buckets" gate that, unlike [[gopherRules]]' absolute thresholds,
+    * adapts to whatever distribution the crawl has.
+    *
+    * Exactness: per-doc NLL folds log(q) over the SORTED per-doc q
+    * list (the [[entropy]] ordered-fold contract — a groupBy SUM of
+    * doubles is addition-order-nondeterministic, a sequential fold
+    * over one sorted array is bit-reproducible in both engines),
+    * rounded to 6 dp. Tertile boundaries are VALUE-based order
+    * statistics (smallest score with cum·3 ≥ n, then ≥ 2n), computed
+    * from a (score → count) histogram whose only unpartitioned window
+    * runs over DISTINCT 6-dp scores — bounded far below corpus rows —
+    * and broadcast back as two scalars; boundary ties share a bucket,
+    * so no doc-id tiebreak enters the semantics. Documents too short
+    * to score (< 2 tokens) surface as `unscored`, keep = false.
+    * `d_ppl_filter`. */
+  def pplFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ln2 = math.log(2.0)
+    val scored = bigramQ(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sort_array(collect_list(col("q"))).as("qs"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-aggregate(col("qs"), lit(0.0),
+            (a, q) => a + log(greatest(q.cast("double"), lit(PplQFloor)))) /
+          (col("n_bigrams") * lit(ln2)), 6).as("nll_bits"))
+      .localCheckpoint(true) // fans into the histogram AND the verdict
+    val n = scored.count()
+    val cum = scored.groupBy(col("nll_bits")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("nll_bits"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val cuts = cum.filter(col("cum") * 3 >= n)
+      .agg(min(col("nll_bits")).as("t1"))
+      .crossJoin(cum.filter(col("cum") * 3 >= 2 * n)
+        .agg(min(col("nll_bits")).as("t2")))
+    Docs.docs(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_bits"),
+        when(col("nll_bits").isNull, "unscored")
+          .when(col("nll_bits") <= col("t1"), "head")
+          .when(col("nll_bits") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .withColumn("keep", col("bucket").isin("head", "middle"))
       .orderBy(col("doc_id"))
   }
 
@@ -740,6 +807,52 @@ object Text {
          SELECT doc_id, COUNT(*) AS n_bigrams,
                 ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_p
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+    "d_ppl_filter" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)),
+                    i -> struct_pack(prev := t[i], cur := t[i + 1]))) AS b
+           FROM toks),
+         s AS (SELECT doc_id, b.prev AS prev, b.cur AS cur FROM bg),
+         cb AS (SELECT prev, cur, COUNT(*) AS cb FROM s GROUP BY 1, 2),
+         cp AS (SELECT prev, SUM(cb) AS cp FROM cb GROUP BY 1),
+         qq AS (
+           SELECT s.doc_id,
+                  CAST(ROUND(CAST(cb.cb AS DOUBLE) / CAST(cp.cp AS DOUBLE),
+                             $BigramPScale)
+                       AS DECIMAL(${BigramPScale + 2},$BigramPScale)) AS q
+           FROM s JOIN cb USING (prev, cur) JOIN cp USING (prev)),
+         sc AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+                  ROUND(-list_reduce(
+                      list_prepend(CAST(0 AS DOUBLE), list_sort(list(q))),
+                      (acc, x) -> acc +
+                        LN(GREATEST(CAST(x AS DOUBLE), $PplQFloor)))
+                    / (COUNT(*) * LN(CAST(2.0 AS DOUBLE))), 6) AS nll_bits
+           FROM qq GROUP BY doc_id),
+         nn AS (SELECT COUNT(*) AS n FROM sc),
+         hist AS (SELECT nll_bits, COUNT(*) AS c FROM sc GROUP BY 1),
+         cum AS (
+           SELECT nll_bits, SUM(c) OVER (ORDER BY nll_bits
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM hist),
+         cuts AS (
+           SELECT (SELECT MIN(nll_bits) FROM cum, nn WHERE cum * 3 >= n) AS t1,
+                  (SELECT MIN(nll_bits) FROM cum, nn WHERE cum * 3 >= 2 * n) AS t2)
+         SELECT d.doc_id, sc.n_bigrams, sc.nll_bits,
+                CASE WHEN sc.nll_bits IS NULL THEN 'unscored'
+                     WHEN sc.nll_bits <= cuts.t1 THEN 'head'
+                     WHEN sc.nll_bits <= cuts.t2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+                (CASE WHEN sc.nll_bits IS NULL THEN 'unscored'
+                      WHEN sc.nll_bits <= cuts.t1 THEN 'head'
+                      WHEN sc.nll_bits <= cuts.t2 THEN 'middle'
+                      ELSE 'tail' END) IN ('head', 'middle') AS keep
+         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         CROSS JOIN cuts
+         ORDER BY d.doc_id""",
     "t_bpe_train" -> bpeTrainOracle(MergeCount),
     "t_bpe_encode" -> bpeEncodeOracle(MergeCount),
     // the regex literals are shared constants: identical pattern text
@@ -1010,6 +1123,7 @@ object Text {
     "t_ttr"         -> (typeTokenRatio _),
     "t_pii_redact"  -> (piiRedact _),
     "t_bigram_lm"   -> (bigramLm _),
+    "d_ppl_filter"  -> (pplFilter _),
     "t_gopher_rules" -> (gopherRules _),
     "t_zipf_slope"  -> ((s: SparkSession, d: String) => zipfSlope(s, d)),
   )

@@ -60,6 +60,23 @@ class AlgorithmsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass conservation")
   }
 
+  test("walk counts match driver-side A^t multiplication and rank the hub first") {
+    // path 1-2-3 with a hub 3 also joined to 4 and 5; 6 isolated
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L)).toDF("src", "dst")
+    val nodes = nodesDf(1, 2, 3, 4, 5, 6)
+    val got = Algorithms.walkCounts(nodes, edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: integer adjacency power iterate
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L, 5L),
+      4L -> Seq(3L), 5L -> Seq(3L), 6L -> Seq.empty[Long])
+    var x = adj.keys.map(_ -> 1L).toMap
+    for (_ <- 1 to 4)
+      x = adj.keys.map(v => v -> adj(v).map(x).sum).toMap
+    assert(got == x)
+    assert(got(6L) == 0L, "isolated node counts zero walks")
+    assert(got(3L) == got.values.max, "the hub has the most 4-walks")
+  }
+
   test("personalized pagerank matches a driver-side restart-walk reference") {
     // seed 1; node 4 is dangling (mass restarts at the seed); node 5 is
     // disconnected from the seed side and must end at exactly 0

@@ -12,6 +12,7 @@ class PlanAuditSpec extends SparkSpec {
     * bounded-by-construction broadcast side. */
   private val boundedBnlj = Set(
     "s_cosine_topk", // fixed nQueries query vectors × corpus
+    "d_ppl_filter",  // ONE-row tertile-cuts scalar × corpus verdict join
     "s_mips_topk",   // fixed nQueries query vectors × corpus (ip scoring)
     "s_mips_ann",    // ONE-row global-max-norm scalar × corpus (banded augmentation)
     "s_ivf_ann",     // NumLists centroids × corpus (assignment cross)

@@ -152,6 +152,39 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("perplexity filter: NLL ranks the self-repeating doc head, tertiles partition, short docs unscored") {
+    val fx = TestSession.docsFixture(Seq(
+      (0L, "the cat and the dog of a house is big", "en", "s", 37L),
+      (1L, "der hund und die katze ist ein tier", "de", "s", 35L),
+      (2L, "le chat et la maison est une idée les amis", "fr", "s", 42L),
+      (3L, "word word word", "xx", "s", 14L),
+      (4L, "solo", "xx", "s", 4L)))
+    val r = rowsOf(Text.pplFilter(spark, fx)).map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(0L, 1L, 2L, 3L, 4L), "every document gets a verdict")
+    // doc 3: every bigram has p=1 => NLL exactly 0, the global minimum
+    // => head bucket, kept
+    assert(r(3L).getDouble(2) == 0.0)
+    assert(r(3L).getString(3) == "head" && r(3L).getBoolean(4))
+    // doc 4 is a single token: no bigrams => unscored, dropped
+    assert(r(4L).isNullAt(2) && r(4L).getString(3) == "unscored" && !r(4L).getBoolean(4))
+    // value-based tertiles over the 4 scored docs: every bucket named,
+    // scored docs' nll non-negative, and the tail holds the max NLL
+    val scored = Seq(0L, 1L, 2L, 3L).map(r)
+    scored.foreach(x => assert(x.getDouble(2) >= 0.0))
+    val maxDoc = scored.maxBy(_.getDouble(2))
+    assert(maxDoc.getString(3) == "tail" && !maxDoc.getBoolean(4))
+    // verdict agrees with a driver-side replay of the value tertiles
+    val nlls = scored.map(_.getDouble(2)).sorted
+    val n = nlls.size
+    val t1 = nlls(math.ceil(n / 3.0).toInt - 1)
+    val t2 = nlls(math.ceil(2 * n / 3.0).toInt - 1)
+    scored.foreach { x =>
+      val want = if (x.getDouble(2) <= t1) "head"
+        else if (x.getDouble(2) <= t2) "middle" else "tail"
+      assert(x.getString(3) == want, s"doc ${x.getLong(0)}")
+    }
+  }
+
   test("repetition score counts repeated 3-grams exactly on a planted template") {
     val d = TestSession.docsFixture(Seq(
       (0L, "a b c a b c a b c", "en", "s", 17L), // 7 grams, 3 distinct
