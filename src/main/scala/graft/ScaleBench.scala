@@ -143,7 +143,7 @@ object ScaleBench {
       Algorithms.coreness(nodes, edges, nSymHint = 2L * nEdges)
     }
     timed("eigen_walks") {
-      Algorithms.walkCounts(nodes, edges)
+      Algorithms.walkCounts(nodes, edges, nSymHint = 2L * nEdges)
     }
     // the truss pair pins a broadcast adjacency image per result —
     // destroy each once counted so later kernels get the heap back

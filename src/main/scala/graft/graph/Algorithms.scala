@@ -1566,25 +1566,43 @@ object Algorithms {
     * [[IterateBroadcastMaxRows]] (and [[WidenRows]] — the fused
     * partial-aggregate OOM shape). */
   def walkCounts(nodes: DataFrame, edges: DataFrame,
-                 rounds: Int = EigenWalkRounds): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(col("src")).localCheckpoint(true)
-    val ids = nodes.select(col("id")).distinct().localCheckpoint(true)
-    val n = ids.count()
-    val bcOk = n <= IterateBroadcastMaxRows && sym.count() < WidenRows
+                 rounds: Int = EigenWalkRounds,
+                 nSymHint: Long = -1L): DataFrame = {
+    // input shape = [[coreness]]: one explode pass for the symmetric
+    // view (not a self-union — two scans of a big pinned cache), laid
+    // out by [[bigSymCheckpoint]] so the 2|E|-row frame is serialized
+    // and pre-partitioned on the gather key (a plain deserialized
+    // checkpoint measured UNABLE_TO_ACQUIRE_MEMORY in the round-1
+    // gather at the 150k/85M point — the §4.13 reader-pin shape)
+    val symPlan = edges.select(col("src"), col("dst"))
+      .select(explode(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val (sess, sym) = bigSymCheckpoint(symPlan,
+      if (nSymHint >= 0) nSymHint else symPlan.count(), "v")
+    val ids = (if (sess ne nodes.sparkSession)
+        rebase(sess, nodes.select(col("id")))
+      else nodes.select(col("id"))).distinct().localCheckpoint(true)
+    val nV = ids.count()
+    // the |V|-row iterate broadcasts into the edge-scale gather at all
+    // edge sizes — the bigSymCheckpoint layout keeps the fused per-task
+    // state small, the same contract [[coreness]] runs green on
+    val bcOk = nV <= IterateBroadcastMaxRows
     var x = ids.select(col("id"), lit(1L).as("walks")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
-      val gathered = bcIf(bcOk, x)
-        .join(sym, x("id") === sym("src"))
-        .select(col("dst").as("id"), col("walks").as("w"))
-        .groupBy(col("id")).agg(sum(col("w")).as("walks"))
+      val gathered = sym
+        .join(bcIf(bcOk, x.select(col("id").as("v"), col("walks").as("w"))),
+          Seq("v"))
+        .groupBy(col("u").as("id")).agg(sum(col("w")).as("walks"))
       val next = ids.join(bcIf(bcOk, gathered), Seq("id"), "left_outer")
         .select(col("id"), coalesce(col("walks"), lit(0L)).as("walks"))
         .localCheckpoint(true)
       releaseIterate(x)
       x = next
     }
+    releaseIterate(sym) // the final iterate is materialized
+    releaseIterate(ids)
     x
   }
 

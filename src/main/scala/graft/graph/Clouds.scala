@@ -292,7 +292,10 @@ object Clouds {
     * `g_eigen_walks`. */
   def eigenWalks(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
-    Algorithms.walkCounts(g.nodes, g.edges)
+    // materialized once (the corenessShells idiom): the kernel's layout
+    // pre-count and its checkpoint build both scan the edge frame
+    val e = g.edges.select(col("src"), col("dst")).localCheckpoint(true)
+    Algorithms.walkCounts(g.nodes, e, nSymHint = 2L * e.count())
       .select(col("id").as("node"), col("walks"))
       .orderBy(col("node"))
   }
