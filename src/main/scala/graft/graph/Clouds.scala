@@ -687,6 +687,123 @@ object Clouds {
       .orderBy(col("cloud_a"), col("cloud_b"))
   }
 
+  /** Exact 4-cycle (square) census of the thresholded graph — the
+    * quadrilateral analogue of [[triangleCount]]: two genome pairs
+    * that corroborate each other's similarity without any direct
+    * diagonal link, the classic sign of a gene-sharing module larger
+    * than a clique. Identity: for every unordered co-neighbour pair
+    * {a,c} with n common neighbours, the pair closes C(n,2) squares,
+    * and every square is counted by exactly TWO diagonal pairs, so
+    * n_squares = Σ C(n,2) / 2 — all integer arithmetic, replayed
+    * unconditionally by the oracle. Plan shape: one wedge self-join
+    * keyed on the middle node (the Σdeg² cell movement that IS the
+    * intrinsic exact-square cost, same class as the triangle oracle's
+    * wedge table) + one (a,c) count + a single global fold. At 100 TB
+    * the wedge join shuffles on the middle id only; a skew-capped
+    * variant would sample high-degree middles the way
+    * [[neighborJaccardCapped]] caps adjacency — kept exact here
+    * because the census is a one-number audit. `g_square_count`. */
+  def squareCount(spark: SparkSession, dir: String): DataFrame =
+    squareCountOnCanon(canonQueryEdges(spark, dir))
+
+  /** Canonical (u < v, distinct) edge set of the query-thresholded
+    * graph — the shared input of the census operators below. */
+  private def canonQueryEdges(spark: SparkSession, dir: String): DataFrame =
+    graph(spark, dir).edges
+      .filter(col("distance") <= QueryThreshold)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+  /** [[squareCount]] kernel over any canonical (u, v) edge frame. */
+  private[graft] def squareCountOnCanon(canon: DataFrame): DataFrame = {
+    val und = canon.select(col("u"), col("v"))
+      .union(canon.select(col("v").as("u"), col("u").as("v")))
+    val coNeighbors = und.select(col("u").as("m"), col("v").as("a"))
+      .join(und.select(col("u").as("m2"), col("v").as("c")),
+        col("m") === col("m2") && col("a") < col("c"))
+      .groupBy(col("a"), col("c")).agg(count(lit(1)).as("n"))
+    coNeighbors.agg(
+      count(lit(1)).as("n_coneighbor_pairs"),
+      coalesce(sum(col("n")), lit(0L)).as("n_wedge_pairs"),
+      coalesce(expr("SUM(n * (n - 1) DIV 2) DIV 2"), lit(0L)).as("n_squares"))
+  }
+
+  /** Rich-club profile of the thresholded graph: for each degree cut k
+    * in a fixed ladder, how densely the nodes of degree > k connect to
+    * EACH OTHER (φ(k) = 2·e_k / (n_k·(n_k−1))) — do the hub genomes of
+    * the corpus form their own tightly-knit club, or are they hubs of
+    * disjoint clouds? Plan shape: one degree aggregate (|V| rows), one
+    * edge⋈degree join per side (shuffled on the node id — degree is
+    * fact-scale at 100 TB, never broadcast), then a ×|ladder| explode
+    * of the per-edge min-degree (a constant factor 6, not a shuffle)
+    * and one tiny groupBy(k). The ladder frame is a literal → the
+    * final join is broadcast by size. `g_rich_club`. */
+  val RichClubKs: Seq[Int] = Seq(1, 2, 4, 8, 16, 32)
+
+  def richClub(spark: SparkSession, dir: String): DataFrame =
+    richClubOnCanon(spark, canonQueryEdges(spark, dir))
+
+  /** [[richClub]] kernel over any canonical (u, v) edge frame. */
+  private[graft] def richClubOnCanon(spark: SparkSession, canon: DataFrame): DataFrame = {
+    val deg = canon.select(col("u").as("id")).union(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val ladder = array(RichClubKs.map(k => lit(k.toLong)): _*)
+    val nodeCounts = deg.select(explode(ladder).as("k"), col("d"))
+      .filter(col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_rich_nodes"))
+    val edgeMin = canon
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .select(least(col("du"), col("dv")).as("m"))
+    val edgeCounts = edgeMin.select(explode(ladder).as("k"), col("m"))
+      .filter(col("m") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_rich_edges"))
+    import spark.implicits._
+    RichClubKs.map(_.toLong).toDF("k")
+      .join(broadcast(nodeCounts), Seq("k"), "left_outer")
+      .join(broadcast(edgeCounts), Seq("k"), "left_outer")
+      .select(col("k"),
+        coalesce(col("n_rich_nodes"), lit(0L)).as("n_rich_nodes"),
+        coalesce(col("n_rich_edges"), lit(0L)).as("n_rich_edges"))
+      .select(col("k"), col("n_rich_nodes"), col("n_rich_edges"),
+        when(col("n_rich_nodes") >= 2,
+          round(col("n_rich_edges").cast("double") * 2.0 /
+            (col("n_rich_nodes") * (col("n_rich_nodes") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("phi"))
+      .orderBy(col("k"))
+  }
+
+  /** Inter-genus similarity matrix: the genus-level PROJECTION of the
+    * thresholded sharesDNA graph — for every unordered pair of phage
+    * genera, how many similarity edges connect them, the closest pair
+    * (min distance — exact, order-free), and the mean edge distance
+    * (DECIMAL(18,12) sum ÷ count, the [[cloudStats]] order-independent
+    * idiom). The aggregate view a corpus browser renders as a heatmap
+    * before descending into per-cloud detail — the reference's
+    * one-cloud-at-a-time CLI has no equivalent. Plan shape: the edge
+    * table joins the node table twice ON THE NODE ID (both fact-scale
+    * at 100 TB → shuffled equi-joins, AQE picks broadcast when the
+    * node projection measures small) and the result groups to at most
+    * C(|genera|+1, 2) rows — 28 here. `g_genus_projection`. */
+  def genusProjection(spark: SparkSession, dir: String): DataFrame = {
+    val gn = phageNodes(spark, dir).select(col("id"), col("genus"))
+    graph(spark, dir).edges
+      .filter(col("distance") <= QueryThreshold)
+      .join(gn.select(col("id").as("src"), col("genus").as("gs")), Seq("src"))
+      .join(gn.select(col("id").as("dst"), col("genus").as("gd")), Seq("dst"))
+      .select(least(col("gs"), col("gd")).as("genus_a"),
+        greatest(col("gs"), col("gd")).as("genus_b"),
+        col("distance"))
+      .groupBy(col("genus_a"), col("genus_b"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("distance")).as("min_distance"),
+        sum(col("distance").cast(DecimalType(18, 12))).as("dist_sum"))
+      .select(col("genus_a"), col("genus_b"), col("n_edges"), col("min_distance"),
+        round(col("dist_sum").cast("double") / col("n_edges"), 6).as("avg_distance"))
+      .orderBy(col("genus_a"), col("genus_b"))
+  }
+
   /** Minimum spanning forest of the thresholded similarity graph — the
     * "cloud backbone": the cheapest edge set that keeps every cloud
     * connected, the standard skeleton for dendrogram-style cloud
@@ -2441,6 +2558,61 @@ object Clouds {
                      ELSE 0.0 END AS avg_distance
          FROM ns LEFT JOIN es USING (component)
          ORDER BY component""",
+    "g_square_count" ->
+      s"""$OracleCte,
+         te AS (
+           SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+           FROM edges WHERE distance <= 0.10 AND src <> dst),
+         und AS (SELECT u, v FROM te UNION ALL SELECT v, u FROM te),
+         cn AS (
+           SELECT e1.v AS a, e2.v AS c, COUNT(*) AS n
+           FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+           GROUP BY 1, 2)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_coneighbor_pairs,
+                CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_wedge_pairs,
+                CAST(COALESCE(SUM(n * (n - 1) // 2) // 2, 0) AS BIGINT) AS n_squares
+         FROM cn""",
+    "g_rich_club" ->
+      s"""$OracleCte,
+         te AS (
+           SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+           FROM edges WHERE distance <= 0.10 AND src <> dst),
+         dg AS (
+           SELECT x AS id, COUNT(*) AS d FROM (
+             SELECT u AS x FROM te UNION ALL SELECT v FROM te) q GROUP BY x),
+         ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32]) AS BIGINT) AS k),
+         nc AS (
+           SELECT ks.k AS k, COUNT(*) AS n_rich_nodes
+           FROM ks JOIN dg ON dg.d > ks.k GROUP BY ks.k),
+         em AS (
+           SELECT LEAST(a.d, b.d) AS m FROM te
+           JOIN dg a ON a.id = te.u JOIN dg b ON b.id = te.v),
+         ec AS (
+           SELECT ks.k AS k, COUNT(*) AS n_rich_edges
+           FROM ks JOIN em ON em.m > ks.k GROUP BY ks.k)
+         SELECT ks.k,
+                CAST(COALESCE(nc.n_rich_nodes, 0) AS BIGINT) AS n_rich_nodes,
+                CAST(COALESCE(ec.n_rich_edges, 0) AS BIGINT) AS n_rich_edges,
+                CASE WHEN COALESCE(nc.n_rich_nodes, 0) >= 2
+                     THEN ROUND(CAST(COALESCE(ec.n_rich_edges, 0) AS DOUBLE) * 2.0 /
+                                CAST(nc.n_rich_nodes * (nc.n_rich_nodes - 1) AS DOUBLE), 6)
+                     ELSE 0.0 END AS phi
+         FROM ks LEFT JOIN nc ON nc.k = ks.k LEFT JOIN ec ON ec.k = ks.k
+         ORDER BY ks.k""",
+    "g_genus_projection" ->
+      s"""$OracleCte,
+         ge AS (
+           SELECT ns.genus AS gs, nd.genus AS gd, e.distance
+           FROM edges e
+           JOIN nodes ns ON ns.id = e.src
+           JOIN nodes nd ON nd.id = e.dst
+           WHERE e.distance <= 0.10)
+         SELECT LEAST(gs, gd) AS genus_a, GREATEST(gs, gd) AS genus_b,
+                CAST(COUNT(*) AS BIGINT) AS n_edges,
+                MIN(distance) AS min_distance,
+                ROUND(CAST(SUM(CAST(distance AS DECIMAL(18,12))) AS DOUBLE)
+                      / COUNT(*), 6) AS avg_distance
+         FROM ge GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2484,6 +2656,9 @@ object Clouds {
     "g_shortest_paths"        -> shortestPaths _,
     "g_clustering_coeff"      -> clusteringCoeff _,
     "g_cloud_stats"           -> cloudStats _,
+    "g_square_count"          -> squareCount _,
+    "g_rich_club"             -> richClub _,
+    "g_genus_projection"      -> genusProjection _,
     "g_assortativity"         -> assortativity _,
     "g_eccentricity"          -> eccentricity _,
     "g_harmonic"              -> harmonic _,
