@@ -104,6 +104,60 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** DBSCAN over the embedding set, with the eps-neighbourhood defined
+    * on rounded cosine similarity (cos ≥ `epsCos`) — the density
+    * clustering a curation pipeline runs where k-means' fixed k and
+    * spherical bias are wrong (it also yields the NOISE set, the
+    * outlier embeddings worth auditing). Semantics are the textbook
+    * ones made deterministic: core = |N_eps(p)| ≥ minPts (self
+    * included); cluster label = MIN core id of the core's connected
+    * component (via the shared [[graft.graph.Algorithms
+    * .connectedComponents]] hash-to-min kernel over core–core
+    * eps-edges); border points join the SMALLEST cluster label among
+    * their core neighbours (textbook DBSCAN leaves border assignment
+    * scan-order-dependent — min is the order-free choice the oracle
+    * can replay); everything else is noise (cluster −1).
+    *
+    * Scale shape: the eps-graph comes from [[embeddingNearDup]] — the
+    * sf-bounded exact baseline; at 100 TB swap in the LSH-bucketed
+    * pair generator ([[lshAnn]]'s candidate join + exact rescore,
+    * i.e. approximate DBSCAN) — everything downstream of `pairs` is
+    * already distributed: one degree count, two semi-joins, the CC
+    * kernel, one border min-agg. The pair list is checkpointed once
+    * and feeds all three consumers. `s_dbscan`. */
+  val DbscanEpsCos = 0.3
+  val DbscanMinPts = 4
+
+  def dbscan(spark: SparkSession, dir: String, epsCos: Double = DbscanEpsCos,
+             minPts: Int = DbscanMinPts): DataFrame = {
+    val pairs = embeddingNearDup(spark, dir, epsCos)
+      .select(col("a"), col("b"))
+      .localCheckpoint(true) // three consumers: degrees, core edges, borders
+    val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("n_nbrs"))
+    val cores = deg.filter(col("n_nbrs") + 1 >= minPts).select(col("id"))
+    val coreEdges = pairs
+      .join(cores.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(cores.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+    val comp = graft.graph.Algorithms.connectedComponents(
+      cores, coreEdges.select(col("a").as("src"), col("b").as("dst")))
+    val borders = sym
+      .join(comp.select(col("id").as("b"), col("comp")), Seq("b"))
+      .join(comp.select(col("id").as("a")), Seq("a"), "left_anti")
+      .groupBy(col("a")).agg(min(col("comp")).as("border_cluster"))
+    vectors(spark, dir).select(col("vec_id"))
+      .join(comp.select(col("id").as("vec_id"), col("comp").as("core_cluster")),
+        Seq("vec_id"), "left_outer")
+      .join(borders.select(col("a").as("vec_id"), col("border_cluster")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        when(col("core_cluster").isNotNull, "core")
+          .when(col("border_cluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cluster"), col("border_cluster"), lit(-1L)).as("cluster"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest other vectors. The query side is a fixed small set →
     * broadcast is size-safe by construction; the candidate side streams.
@@ -1606,6 +1660,37 @@ object Similarity {
                   ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.4 ORDER BY a, b""",
+    "s_dbscan" ->
+      s"""${VecCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         pairs AS (
+           SELECT a.vec_id AS a, b.vec_id AS b
+           FROM e a JOIN e b ON a.vec_id < b.vec_id
+           WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= $DbscanEpsCos),
+         sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         deg AS (SELECT a AS id, COUNT(*) AS n FROM sym GROUP BY a),
+         cores AS (SELECT id FROM deg WHERE n + 1 >= $DbscanMinPts),
+         ce AS (
+           SELECT s.a, s.b FROM sym s
+           JOIN cores x ON x.id = s.a JOIN cores y ON y.id = s.b),
+         reach(u, v) AS (
+           SELECT id, id FROM cores
+           UNION
+           SELECT r.u, c.b FROM reach r JOIN ce c ON c.a = r.v),
+         comp AS (SELECT u AS id, MIN(v) AS comp FROM reach GROUP BY u),
+         borders AS (
+           SELECT s.a AS id, MIN(c.comp) AS cluster
+           FROM sym s JOIN comp c ON c.id = s.b
+           WHERE s.a NOT IN (SELECT id FROM cores)
+           GROUP BY s.a)
+         SELECT e.vec_id,
+                CASE WHEN cp.comp IS NOT NULL THEN 'core'
+                     WHEN b.cluster IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                COALESCE(cp.comp, b.cluster, -1) AS cluster
+         FROM e
+         LEFT JOIN comp cp ON cp.id = e.vec_id
+         LEFT JOIN borders b ON b.id = e.vec_id
+         ORDER BY vec_id""",
     "s_cosine_topk" ->
       s"""$VecCte,
          q AS (SELECT * FROM e WHERE vec_id < 10),
@@ -1709,6 +1794,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
+    "s_dbscan"            -> ((s: SparkSession, d: String) => dbscan(s, d)),
     "s_cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "s_lsh_ann"           -> ((s: SparkSession, d: String) => lshAnn(s, d)),
     "s_range_search"      -> ((s: SparkSession, d: String) => rangeSearch(s, d)),

@@ -786,7 +786,138 @@ object Text {
        FROM e$rounds ORDER BY doc_id"""
   }
 
+  /** Per-source corpus drift: Jensen–Shannon divergence between each
+    * source's unigram distribution P and the corpus distribution Q —
+    * the mixture-audit a pretraining run does before setting sampling
+    * weights (a source whose JSD is near ln 2 contributes vocabulary
+    * the rest of the corpus never uses; near 0 it is redundant).
+    *
+    * Exactness: the naive JSD sums over the FULL corpus vocabulary for
+    * every source (a vocab × sources blow-up). The absent-term part
+    * collapses in closed form — for t ∉ source, m = q/2 so the term is
+    * q/2·ln 2 — giving
+    *   JSD = ln2/2 + Σ_{t ∈ source} [p·ln(p/m) + q·ln(q/m) − q·ln 2]/2
+    * over PRESENT terms only: the plan stays two keyed counts + one
+    * join on the term, nothing quadratic. The Σ fold runs over terms
+    * SORTED BY TOKEN per source (the [[entropy]] ordered-fold
+    * contract) so both engines replay the identical IEEE sequence.
+    * Memory contract: one (tok, p, q) struct list per source —
+    * vocabulary-sized, the same bound as the corpus-wide [[vocabTopK]]
+    * aggregate's input. `t_source_divergence`. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tf = toksOf(Docs.docs(spark, dir))
+      .select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // feeds both the corpus margin and the join
+    val corpus = tf.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val totals = tf.groupBy(col("source")).agg(sum(col("c")).as("ns"),
+      count(lit(1)).as("n_terms"))
+    val n = corpus.agg(sum(col("ct")).as("n"))
+    val terms = tf.join(corpus, Seq("tok"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_terms"), col("ns"), col("tok"),
+        (col("c").cast("double") / col("ns").cast("double")).as("p"),
+        (col("ct").cast("double") / col("n").cast("double")).as("q"))
+    val ln2 = log(lit(2.0))
+    terms
+      .groupBy(col("source"))
+      .agg(first(col("n_terms")).as("n_terms"), first(col("ns")).as("n_tokens"),
+        sort_array(collect_list(struct(col("tok"), col("p"), col("q")))).as("ts"))
+      .select(col("source"), col("n_terms"), col("n_tokens"),
+        round((ln2 + aggregate(col("ts"), lit(0.0), (acc, t) => {
+          val p = t.getField("p"); val q = t.getField("q")
+          val m = (p + q) / lit(2.0)
+          acc + (p * log(p / m) + q * log(q / m) - q * ln2)
+        }) ) / lit(2.0), 6).as("jsd"))
+      .orderBy(col("source"))
+  }
+
+  /** Readability scoring — Flesch reading ease + Flesch–Kincaid grade
+    * per document, the classic cheap quality gate (too-easy = template
+    * spam, unreadable = OCR garbage). Sentences = runs of [.!?]
+    * (floored at 1 — a fragment with no terminator is one sentence);
+    * syllables = vowel-group runs per word, floored at 1 (the standard
+    * heuristic). Everything is per-row codegen'd string/regexp work —
+    * no shuffle at all until the final presentation sort; at 100 TB
+    * this is a pure narrow map over the corpus scan. Both engines
+    * evaluate the identical formula term order on integer counts, so
+    * round-4 hash-matches. `t_readability`. */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val nSents = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    toksOf(Docs.docs(spark, dir))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        nSents.as("n_sents"),
+        aggregate(
+          transform(col("toks"), w => greatest(lit(1L),
+            size(regexp_extract_all(lower(w), lit("[aeiouy]+"), lit(0))).cast("long"))),
+          lit(0L), (acc, x) => acc + x).as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syllables"),
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sents").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double")),
+          4).as("flesch_ease"),
+        round(lit(0.39) * (col("n_words").cast("double") / col("n_sents").cast("double"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+          - lit(15.59), 4).as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "t_source_divergence" ->
+      """WITH tf AS (
+           SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+         cnt AS (SELECT source, tok, COUNT(*) AS c FROM tf GROUP BY 1, 2),
+         corpus AS (SELECT tok, SUM(c) AS ct FROM cnt GROUP BY 1),
+         totals AS (
+           SELECT source, SUM(c) AS ns, COUNT(*) AS n_terms
+           FROM cnt GROUP BY 1),
+         nn AS (SELECT SUM(ct) AS n FROM corpus),
+         terms AS (
+           SELECT c.source, t.n_terms, t.ns, c.tok,
+                  CAST(c.c AS DOUBLE) / CAST(t.ns AS DOUBLE) AS p,
+                  CAST(co.ct AS DOUBLE) / CAST(nn.n AS DOUBLE) AS q
+           FROM cnt c JOIN corpus co USING (tok)
+           JOIN totals t USING (source) CROSS JOIN nn),
+         lists AS (
+           SELECT source, ANY_VALUE(n_terms) AS n_terms, ANY_VALUE(ns) AS ns,
+                  list(struct_pack(tok := tok, p := p, q := q) ORDER BY tok) AS ts
+           FROM terms GROUP BY source)
+         SELECT source, CAST(n_terms AS BIGINT) AS n_terms,
+                CAST(ns AS BIGINT) AS n_tokens,
+                ROUND((LN(2) + list_reduce(
+                  list_prepend(CAST(0 AS DOUBLE), list_transform(ts, t ->
+                    t.p * LN(t.p / ((t.p + t.q) / 2))
+                    + t.q * LN(t.q / ((t.p + t.q) / 2))
+                    - t.q * LN(2))),
+                  (acc, x) -> acc + x)) / 2, 6) AS jsd
+         FROM lists ORDER BY source""",
+    "t_readability" ->
+      """WITH base AS (
+           SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         counts AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  GREATEST(CAST(1 AS BIGINT),
+                    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+                    AS n_sents,
+                  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(toks, w -> GREATEST(CAST(1 AS BIGINT),
+                      CAST(len(regexp_extract_all(lower(w), '[aeiouy]+'))
+                           AS BIGINT)))),
+                    (acc, x) -> acc + x) AS BIGINT) AS n_syllables
+           FROM base)
+         SELECT doc_id, n_words, n_sents, n_syllables,
+                ROUND(206.835
+                      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+                      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                      4) AS flesch_ease,
+                ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+                      + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                      - 15.59, 4) AS fk_grade
+         FROM counts ORDER BY doc_id""",
     "t_bigram_lm" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                         FROM documents WHERE len(string_split(text, ' ')) >= 2),
@@ -1126,5 +1257,7 @@ object Text {
     "d_ppl_filter"  -> (pplFilter _),
     "t_gopher_rules" -> (gopherRules _),
     "t_zipf_slope"  -> ((s: SparkSession, d: String) => zipfSlope(s, d)),
+    "t_source_divergence" -> (sourceDivergence _),
+    "t_readability" -> (readability _),
   )
 }

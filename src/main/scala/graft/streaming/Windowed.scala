@@ -79,6 +79,38 @@ object Windowed {
   def slidingStreaming(events: DataFrame): DataFrame =
     slidingAgg(events.withWatermark("ts", "2 hours"))
 
+  /** EXACT distinct users per tumbling hour — the audience/uniques
+    * count a rate monitor wants, where approximate HLL sketches are
+    * not oracle-replayable. Streaming forbids COUNT(DISTINCT) in one
+    * stateful operator, so this is the documented two-stage chain
+    * (Spark 3.4+ multiple-stateful-operators): stage 1 reduces to one
+    * row per (window, user) — map-side combined, state bounded by
+    * users-per-open-window; stage 2 re-windows via `window_time` and
+    * counts rows. Both stages run the IDENTICAL plan in batch (the
+    * oracle-checked path) and under a watermark in streaming — the
+    * batch/stream equivalence is asserted by MemoryStream replay in
+    * StreamingSpec. At 100 TB the (window, user) exchange is the
+    * intrinsic exact-distinct shuffle; the second stage's input is
+    * already |uniques|-sized. `st_distinct_users`. */
+  def distinctUsersAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time(col("w")), "1 hour").as("w2"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      .select(unix_timestamp(col("w2.start")).as("window_start_sec"),
+        col("n_users"), col("n_events"))
+
+  def distinctUsersBatch(spark: SparkSession, dir: String): DataFrame =
+    distinctUsersAgg(Tables.events(spark, dir))
+      .orderBy(col("window_start_sec"))
+
+  /** Streaming path: the same two-stage chain under one upstream
+    * watermark (append mode; stage-1 windows close when the watermark
+    * passes, feeding closed per-user rows into stage 2). */
+  def distinctUsersStreaming(events: DataFrame): DataFrame =
+    distinctUsersAgg(events.withWatermark("ts", "2 hours"))
+
   /** Streaming exact dedup — the streaming counterpart of
     * `d_exact_dedup`: drops payloads whose content hash was already
     * seen, with the watermark bounding how long seen-hashes state is
@@ -359,6 +391,14 @@ object Windowed {
          SELECT content_hash, sec AS first_sec, event_id AS first_event_id,
                 n_copies
          FROM r WHERE rn = 1 ORDER BY content_hash""",
+    "st_distinct_users" ->
+      """WITH e AS (
+           SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, user_id
+           FROM events)
+         SELECT ts_sec - ts_sec % 3600 AS window_start_sec,
+                COUNT(DISTINCT user_id) AS n_users,
+                COUNT(*) AS n_events
+         FROM e GROUP BY 1 ORDER BY 1""",
     "st_windowed_agg" ->
       """WITH e AS (
            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value
@@ -383,6 +423,7 @@ object Windowed {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_windowed_agg"   -> (batch _),
+    "st_distinct_users" -> (distinctUsersBatch _),
     "st_dedup"          -> (dedupBatch _),
     "st_canonical_dedup" -> (canonicalDedupBatch _),
     "st_sliding_window" -> (slidingBatch _),

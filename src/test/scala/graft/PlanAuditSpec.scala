@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "d_temperature_mix",   // ONE-row (total, Z) scalar × per-lang aggregate
     "s_silhouette",        // embeds s_kmeans' centroid-assignment cross (k rows)
     "d_importance_weights", // ONE-row (N_target, N_raw) corpus-mass scalar × per-doc aggregate
-    "g_modularity"         // two ONE-row aggregates (m, E_in) × the community stats row
+    "g_modularity",        // two ONE-row aggregates (m, E_in) × the community stats row
+    "t_source_divergence"  // ONE-row corpus-token-total scalar × per-term frame
   )
 
   /** Build every registered plan ONCE, isolating per-key failures so a

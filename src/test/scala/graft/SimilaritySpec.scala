@@ -470,4 +470,29 @@ class SimilaritySpec extends SparkSpec {
       r.getLong(r.fieldIndex("n_members"))).sum / n
     assert(overall > 0.1, s"overall silhouette $overall should be decisively positive")
   }
+
+  test("dbscan: planted core fan, a one-neighbour border, and an orthogonal noise point") {
+    // 2-D directions embedded in 64-dim: cores at 0/20/40/60 degrees are
+    // pairwise within the eps angle (cos >= 0.5 > 0.3) so each has 3
+    // neighbours + self = minPts; the border at -55 degrees sees ONLY the
+    // 0-degree core (cos 55 ~= 0.574; cos 75 ~= 0.259 < 0.3); 135 degrees
+    // is outside eps of everything
+    def at(deg: Double): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat) ++ Seq.fill(62)(0.0f)
+    }
+    val rows = Seq(0, 20, 40, 60).map(a => at(a.toDouble)) ++
+      Seq(at(-55.0), at(135.0))
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "dbscan").toString
+    import spark.implicits._
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = rowsOf(Similarity.dbscan(spark, d))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    (0L to 3L).foreach(i => assert(out(i) == (("core", 0L)), s"vec $i: ${out(i)}"))
+    assert(out(4L) == (("border", 0L)))
+    assert(out(5L) == (("noise", -1L)))
+  }
 }

@@ -153,6 +153,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming distinct-users chain equals batch counts once windows close") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val q = Windowed.distinctUsersStreaming(stream.toDF.toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("distinct_users_sink")
+      .outputMode("append").start()
+    try {
+      // hour 0: users 1,1,2 (2 distinct / 3 events); hour 1: user 1 only
+      val data = Seq((ts(0, 5), 1L), (ts(0, 25), 1L), (ts(0, 45), 2L),
+        (ts(1, 10), 1L))
+      stream.addData(data: _*)
+      q.processAllAvailable()
+      stream.addData((ts(9, 0), 7L)) // watermark far past hours 0-1
+      q.processAllAvailable()
+      val got = spark.table("distinct_users_sink")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val h0 = ts(0, 0).getTime / 1000
+      assert(got(h0) == ((2L, 3L)))
+      assert(got(h0 + 3600) == ((1L, 1L)))
+      val expect = Windowed.distinctUsersAgg(data.toDF("ts", "user_id"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      expect.foreach { case (k, v) =>
+        assert(got.get(k).contains(v), s"window $k: stream=${got.get(k)} batch=$v")
+      }
+    } finally q.stop()
+  }
+
   test("windowed top-k: dense ranks per window, streaming sums match the batch kernel") {
     // batch entry: ranks dense 1..k, ordered by the exact sum
     val r = rowsOf(Windowed.topkBatch(spark, SF))

@@ -358,4 +358,42 @@ class TextPipelineSpec extends SparkSpec {
     assert(row.getDouble(row.fieldIndex("slope")) == -1.0)
     assert(row.getDouble(row.fieldIndex("intercept")) == 2.4849) // ln 12
   }
+
+  test("source divergence: zero for a single source, full-vocab brute force otherwise") {
+    val one = TestSession.docsFixture(Seq((0L, "a b a", "en", "s0", 5L)))
+    val r0 = rowsOf(Text.sourceDivergence(spark, one)).head
+    assert(r0.getDouble(r0.fieldIndex("jsd")) == 0.0) // P = Q exactly
+    // two sources with different mixes: compare against the NAIVE
+    // full-vocabulary JSD (this checks the closed-form absent-term
+    // collapse, not just self-consistency)
+    val d = TestSession.docsFixture(Seq(
+      (0L, "x x x x", "en", "A", 7L),
+      (1L, "y y x y", "en", "B", 7L)))
+    val rows = rowsOf(Text.sourceDivergence(spark, d))
+      .map(r => r.getString(r.fieldIndex("source")) ->
+        r.getDouble(r.fieldIndex("jsd"))).toMap
+    val corpus = Map("x" -> 5.0 / 8, "y" -> 3.0 / 8)
+    def jsd(p: Map[String, Double]): Double = corpus.keys.map { t =>
+      val pt = p.getOrElse(t, 0.0); val qt = corpus(t); val m = (pt + qt) / 2
+      (if (pt > 0) pt * math.log(pt / m) else 0.0) + qt * math.log(qt / m)
+    }.sum / 2
+    assert(math.abs(rows("A") - jsd(Map("x" -> 1.0))) < 1e-6)
+    assert(math.abs(rows("B") - jsd(Map("x" -> 0.25, "y" -> 0.75))) < 1e-6)
+    rows.values.foreach(v => assert(v >= 0.0 && v <= math.log(2) + 1e-9))
+  }
+
+  test("readability: hand-computed Flesch scores, sentence floor at 1") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "hello world. it is sunny!", "en", "s", 25L),
+      (1L, "no terminator here", "en", "s", 18L)))
+    val r = rowsOf(Text.readability(spark, d)).map(x => x.getLong(0) -> x).toMap
+    val a = r(0L)
+    assert(a.getLong(a.fieldIndex("n_words")) == 5L)
+    assert(a.getLong(a.fieldIndex("n_sents")) == 2L)
+    assert(a.getLong(a.fieldIndex("n_syllables")) == 7L)
+    assert(a.getDouble(a.fieldIndex("flesch_ease")) == 85.8575)
+    assert(a.getDouble(a.fieldIndex("fk_grade")) == 1.905)
+    val b = r(1L)
+    assert(b.getLong(b.fieldIndex("n_sents")) == 1L) // floored, no [.!?]
+  }
 }
