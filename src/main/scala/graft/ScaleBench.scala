@@ -168,6 +168,33 @@ object ScaleBench {
       df
     }
     trussBc.foreach(_.destroy())
+    var sqBc: Option[org.apache.spark.broadcast.Broadcast[_]] = None
+    timed("square_count") {
+      // the g_square_count image path: zero-exchange census over the
+      // broadcast CSR adjacency (Σdeg² cells as a narrow map)
+      val (df, bc) = Algorithms.squareCensusImg(
+        edges.select(col("src").as("u"), col("dst").as("v")))
+      sqBc = Some(bc)
+      df
+    }
+    sqBc.foreach(_.destroy()); sqBc = None
+    timed("neighbor_jaccard") {
+      // image-path pair emission, COUNTED not checkpointed: on the
+      // dense-blob synthetic every within-blob pair clears τ=0.3, so
+      // the qualifying-pair volume itself is the dominant term here
+      // (a real similarity graph's τ filter prunes far harder)
+      val (df, bc) = Algorithms.jaccardPairsImg(
+        edges.select(col("src").as("node"), col("dst").as("nbr"))
+          .unionByName(edges.select(col("dst").as("node"), col("src").as("nbr"))),
+        minSim = 0.3)
+      sqBc = Some(bc)
+      df
+    }
+    sqBc.foreach(_.destroy()); sqBc = None
+    timed("rich_club") {
+      graft.graph.Clouds.richClubOnCanon(spark,
+        edges.select(col("src").as("u"), col("dst").as("v")))
+    }
     timed("threshold_sweep") {
       // the g_threshold_sweep composition: one Borůvka forest, then
       // nested star-CC cuts contracted by the previous cut's components

@@ -130,6 +130,8 @@ object ScaleBenchC {
     timed("d_bloom_dedup") { pipeline.Dedup.bloomDedup(spark, dir) }
     timed("t_bigram_lm") { pipeline.Text.bigramLm(spark, dir) }
     timed("d_ppl_filter") { pipeline.Text.pplFilter(spark, dir) }
+    timed("t_source_divergence") { pipeline.Text.sourceDivergence(spark, dir) }
+    timed("t_readability") { pipeline.Text.readability(spark, dir) }
     // the incremental-ingest family (batch-probes-corpus screens) + the
     // two online screens' batch twins: their 25%-dup stress shape is
     // exactly this harness's planted duplication, and the r12-r13

@@ -530,6 +530,186 @@ object Algorithms {
     * for the ContextCleaner's GC-driven sweep — block-manager blocks
     * are not heap-collectable, so an r-round peel would otherwise hold
     * r images' worth of storage at worst. */
+  /** Collect a packed (node, sorted-adjacency) frame into a broadcast
+    * [[AdjImage]]. Two driver hops, both int-lean: (1) the sorted id
+    * dictionary (|V| longs), broadcast back so (2) each adjacency
+    * slice is translated long→index EXECUTOR-side and only int cells
+    * cross the driver — the long-cell single-collect variant held 2×
+    * the bytes and OOM'd the 8 GiB JVM at 150k/85M. The caller owns
+    * (and destroys) the returned broadcast. */
+  private[graft] def collectAdjImage(adj0: DataFrame)
+      : org.apache.spark.broadcast.Broadcast[AdjImage] = {
+    val spark = adj0.sparkSession
+    import spark.implicits._
+    val ids: Array[Long] = adj0.select(col("node").as("value"))
+      .as[Long].collect().sorted
+    val bcIds = spark.sparkContext.broadcast(ids)
+    val intRows: Array[(Int, Array[Int])] =
+      adj0.select(col("node").as("_1"), col("adj").as("_2"))
+        .as[(Long, Array[Long])]
+        .mapPartitions { it =>
+          val d = bcIds.value
+          it.map { case (node, nbrs) =>
+            val s = new Array[Int](nbrs.length)
+            var j = 0
+            while (j < nbrs.length) {
+              // neighbours are nodes of the same edge set ⇒ found
+              s(j) = java.util.Arrays.binarySearch(d, nbrs(j)); j += 1
+            }
+            (java.util.Arrays.binarySearch(d, node), s)
+          }
+        }.collect()
+    val img = packAdjImage(ids, intRows)
+    bcIds.destroy()
+    spark.sparkContext.broadcast(img)
+  }
+
+  /** Exact square (4-cycle) census over a canonical (u < v) edge set —
+    * the image-gated scale path of [[Clouds.squareCountOnCanon]].
+    *
+    * The wedge-join formulation ships Σ_m deg(m)² wedge ROWS through a
+    * (a, c) exchange — the movement [[edgeSupport]]'s doc rejects at
+    * 150k/85M (~770 GB). This kernel does the identical Σdeg² CELL
+    * work with ZERO exchanges: broadcast the [[AdjImage]] once, then
+    * for each node v (int index, range-partitioned) stream its
+    * neighbours' neighbour slices, accumulating co-neighbour counts
+    * n_vw for w > v in a per-thread |V|-int scratch array (reset via a
+    * touched-list, never re-allocated), and fold the three census sums
+    * locally. One tiny per-partition partial row reaches the driver.
+    * Identities (integer-exact, shared with the join path):
+    *   n_coneighbor_pairs = Σ_v |{w > v : n_vw ≥ 1}|
+    *   n_wedge_pairs      = Σ_{v<w} n_vw  (= Σ_m C(deg m, 2))
+    *   n_squares          = Σ_{v<w} C(n_vw, 2) / 2
+    * Skew note: range partitioning on the node index gives each task
+    * Σ_{u∈N(v)} deg(u) cell work per node — even on the dense-blob
+    * synthetic; a power-law corpus at cluster scale would deg²-weight
+    * the index ranges first. Above the [[AdjBroadcastMaxCells]] gate
+    * the caller falls back to the wedge join — Σdeg² movement is then
+    * the intrinsic exact-square cost, parallel per partition. */
+  private[graft] def squareCensusImg(surv: DataFrame)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[AdjImage]) = {
+    val spark = surv.sparkSession
+    import spark.implicits._
+    val adj0 = surv.select(col("u").as("node"), col("v").as("nbr"))
+      .union(surv.select(col("v").as("node"), col("u").as("nbr")))
+      .groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("adj"))
+    val bc = collectAdjImage(adj0)
+    val n = bc.value.ids.length
+    val partials = spark.range(0, n.toLong, 1,
+        spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { vs =>
+        val a = bc.value
+        val nn = a.ids.length
+        val counts = new Array[Int](nn)
+        val touched = new Array[Int](nn)
+        var pairs = 0L; var wedges = 0L; var squares2x = 0L
+        vs.foreach { vl =>
+          val v = vl.toInt
+          var nTouched = 0
+          var i = a.offs(v)
+          while (i < a.offs(v + 1)) {
+            val u = a.flat(i)
+            var j = a.offs(u)
+            while (j < a.offs(u + 1)) {
+              val w = a.flat(j)
+              if (w > v) {
+                if (counts(w) == 0) { touched(nTouched) = w; nTouched += 1 }
+                counts(w) += 1
+              }
+              j += 1
+            }
+            i += 1
+          }
+          pairs += nTouched
+          var t = 0
+          while (t < nTouched) {
+            val c = counts(touched(t)).toLong
+            wedges += c
+            squares2x += c * (c - 1) / 2
+            counts(touched(t)) = 0
+            t += 1
+          }
+        }
+        Iterator.single((pairs, wedges, squares2x))
+      }
+      .toDF("pairs", "wedges", "squares2x")
+    val out = partials.agg(
+      coalesce(sum(col("pairs")), lit(0L)).as("n_coneighbor_pairs"),
+      coalesce(sum(col("wedges")), lit(0L)).as("n_wedge_pairs"),
+      coalesce(expr("SUM(squares2x) DIV 2"), lit(0L)).as("n_squares"))
+    (out, bc)
+  }
+
+  /** Exact neighbour-Jaccard pairs over a (node, nbr) symmetric
+    * adjacency — the image-gated scale path of
+    * [[Clouds.neighborJaccard]]. Same zero-exchange scatter loop as
+    * [[squareCensusImg]] (per node v: co-neighbour counts n_vw for
+    * w > v in a reusable |V|-int scratch), but EMITTING the qualifying
+    * pairs instead of folding a census: degrees are image offset
+    * diffs, so jac = n/(deg a + deg b − n) and the τ filter evaluate
+    * entirely inside the map — only surviving rows exist at all
+    * (the wedge-join plan materializes every Σdeg² candidate into a
+    * shuffle first). The filter compares the UNROUNDED double and the
+    * emitted jaccard is HALF_UP round-6 — bit-identical to the join
+    * path's `filter(jac >= τ).select(round(jac, 6))`. */
+  private[graft] def jaccardPairsImg(nbrs: DataFrame, minSim: Double)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[AdjImage]) = {
+    val spark = nbrs.sparkSession
+    import spark.implicits._
+    val adj0 = nbrs.groupBy(col("node"))
+      .agg(sort_array(collect_list(col("nbr"))).as("adj"))
+    val bc = collectAdjImage(adj0)
+    val n = bc.value.ids.length
+    val out = spark.range(0, n.toLong, 1,
+        spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { vs =>
+        val a = bc.value
+        val nn = a.ids.length
+        val counts = new Array[Int](nn)
+        val touched = new Array[Int](nn)
+        vs.flatMap { vl =>
+          val v = vl.toInt
+          var nTouched = 0
+          var i = a.offs(v)
+          while (i < a.offs(v + 1)) {
+            val u = a.flat(i)
+            var j = a.offs(u)
+            while (j < a.offs(u + 1)) {
+              val w = a.flat(j)
+              if (w > v) {
+                if (counts(w) == 0) { touched(nTouched) = w; nTouched += 1 }
+                counts(w) += 1
+              }
+              j += 1
+            }
+            i += 1
+          }
+          val da = (a.offs(v + 1) - a.offs(v)).toLong
+          val hits = Array.newBuilder[(Long, Long, Long, Double)]
+          var t = 0
+          while (t < nTouched) {
+            val w = touched(t)
+            val inter = counts(w).toLong
+            val db = (a.offs(w + 1) - a.offs(w)).toLong
+            val jac = inter.toDouble / (da + db - inter).toDouble
+            if (jac >= minSim) {
+              hits += ((a.ids(v), a.ids(w), inter,
+                java.math.BigDecimal.valueOf(jac)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()))
+            }
+            counts(w) = 0
+            t += 1
+          }
+          hits.result()
+        }
+      }
+      .toDF("a", "b", "inter", "jaccard")
+    (out, bc)
+  }
+
   private[graft] def edgeSupportImg(surv: DataFrame, symCellsHint: Long)
       : (DataFrame, Option[org.apache.spark.broadcast.Broadcast[AdjImage]]) = {
     val adj0 = surv.select(col("u").as("node"), col("v").as("nbr"))
@@ -539,32 +719,7 @@ object Algorithms {
     if (symCellsHint >= 0 && symCellsHint <= AdjBroadcastMaxCells) {
       val spark = surv.sparkSession
       import spark.implicits._
-      // two driver hops, both int-lean: (1) the sorted id dictionary
-      // (|V| longs), broadcast back so (2) each adjacency slice is
-      // translated long→index EXECUTOR-side and only int cells cross
-      // the driver — the long-cell single-collect variant held 2× the
-      // bytes and OOM'd the 8 GiB JVM at 150k/85M
-      val ids: Array[Long] = adj0.select(col("node").as("value"))
-        .as[Long].collect().sorted
-      val bcIds = spark.sparkContext.broadcast(ids)
-      val intRows: Array[(Int, Array[Int])] =
-        adj0.select(col("node").as("_1"), col("adj").as("_2"))
-          .as[(Long, Array[Long])]
-          .mapPartitions { it =>
-            val d = bcIds.value
-            it.map { case (node, nbrs) =>
-              val s = new Array[Int](nbrs.length)
-              var j = 0
-              while (j < nbrs.length) {
-                // neighbours are nodes of the same edge set ⇒ found
-                s(j) = java.util.Arrays.binarySearch(d, nbrs(j)); j += 1
-              }
-              (java.util.Arrays.binarySearch(d, node), s)
-            }
-          }.collect()
-      val img = packAdjImage(ids, intRows)
-      bcIds.destroy()
-      val bc = spark.sparkContext.broadcast(img)
+      val bc = collectAdjImage(adj0)
       val out = surv.select(col("u").cast("long"), col("v").cast("long"))
         .as[(Long, Long)]
         .mapPartitions { rows =>

@@ -324,13 +324,38 @@ object Clouds {
     * Same bucket-join discipline as the n-gram dedup: candidate pairs
     * come from co-membership in some neighbour's adjacency list, never
     * an all-pairs product; integer intersection/degree counts make the
-    * division bit-exact cross-engine. `g_neighbor_jaccard`. */
+    * division bit-exact cross-engine. Below the
+    * [[Algorithms.AdjBroadcastMaxCells]] gate the candidates never even
+    * reach a shuffle: [[Algorithms.jaccardPairsImg]] scores and filters
+    * them inside one narrow map over the broadcast CSR image; above it
+    * the wedge self-join stands (and [[neighborJaccardCapped]] is the
+    * hub-safe variant). `g_neighbor_jaccard`. */
   def neighborJaccard(spark: SparkSession, dir: String,
                       minSim: Double = 0.3): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
     val nbrs = g.edges.select(col("src").as("node"), col("dst").as("nbr"))
       .union(g.edges.select(col("dst").as("node"), col("src").as("nbr")))
-      .localCheckpoint(true) // referenced three times below
+      .localCheckpoint(true) // referenced by every branch below
+    val cells = nbrs.count() // = 2|E|
+    if (cells <= Algorithms.AdjBroadcastMaxCells) {
+      // image path (the [[squareCount]] idiom): co-neighbour counts,
+      // degrees, the τ filter and the round-6 all evaluate inside ONE
+      // narrow map over the broadcast CSR adjacency — the wedge
+      // self-join below ships every Σdeg² candidate through a shuffle
+      // before the filter can drop it (measured at sf0.1, min-of-5:
+      // 8.96 → 2.12 s)
+      val (df, bc) = Algorithms.jaccardPairsImg(nbrs, minSim)
+      val r = df.localCheckpoint(true)
+      bc.destroy()
+      Algorithms.releaseIterate(nbrs)
+      r.orderBy(col("a"), col("b"))
+    } else neighborJaccardJoin(nbrs, minSim)
+  }
+
+  /** The wedge-self-join formulation of [[neighborJaccard]] — the
+    * above-gate plan, and the parity reference the image path is
+    * spec-asserted against. */
+  private[graft] def neighborJaccardJoin(nbrs: DataFrame, minSim: Double): DataFrame = {
     val deg = nbrs.groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val inter = nbrs.as("x")
       .join(nbrs.as("y"),
@@ -695,16 +720,31 @@ object Clouds {
     * {a,c} with n common neighbours, the pair closes C(n,2) squares,
     * and every square is counted by exactly TWO diagonal pairs, so
     * n_squares = Σ C(n,2) / 2 — all integer arithmetic, replayed
-    * unconditionally by the oracle. Plan shape: one wedge self-join
-    * keyed on the middle node (the Σdeg² cell movement that IS the
-    * intrinsic exact-square cost, same class as the triangle oracle's
-    * wedge table) + one (a,c) count + a single global fold. At 100 TB
-    * the wedge join shuffles on the middle id only; a skew-capped
-    * variant would sample high-degree middles the way
-    * [[neighborJaccardCapped]] caps adjacency — kept exact here
-    * because the census is a one-number audit. `g_square_count`. */
-  def squareCount(spark: SparkSession, dir: String): DataFrame =
-    squareCountOnCanon(canonQueryEdges(spark, dir))
+    * unconditionally by the oracle. Two plans, chosen by the
+    * [[Algorithms.AdjBroadcastMaxCells]] gate (the [[trussSupport]]
+    * idiom): below it, [[Algorithms.squareCensusImg]] broadcasts the
+    * flat CSR adjacency image once and folds the census in ONE narrow
+    * zero-exchange map (Σdeg² CELL work, never Σdeg² shuffled rows);
+    * above it, the wedge self-join keyed on the middle node + (a,c)
+    * count — Σdeg² row movement is then the intrinsic exact-square
+    * cost, parallel per partition on a cluster. Both compute identical
+    * integers (spec-asserted). `g_square_count`. */
+  def squareCount(spark: SparkSession, dir: String): DataFrame = {
+    val canon = canonQueryEdges(spark, dir).localCheckpoint(true)
+    val cells = 2L * canon.count()
+    val out =
+      if (cells <= Algorithms.AdjBroadcastMaxCells) {
+        // the trussSupport idiom: broadcast the CSR image once, run the
+        // census as one narrow map, materialize the 1-row result, then
+        // free the image + edge checkpoint immediately
+        val (df, bc) = Algorithms.squareCensusImg(canon)
+        val r = df.localCheckpoint(true)
+        bc.destroy()
+        r
+      } else squareCountOnCanon(canon).localCheckpoint(true)
+    Algorithms.releaseIterate(canon)
+    out
+  }
 
   /** Canonical (u < v, distinct) edge set of the query-thresholded
     * graph — the shared input of the census operators below. */

@@ -67,6 +67,38 @@ class CensusSpec extends SparkSpec {
     assert(total == expected)
   }
 
+  test("square census image path computes the identical integers as the wedge join") {
+    val g = canon((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), // C4
+      (5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L), // K4
+      (1L, 9L)) // pendant
+    val viaJoin = Clouds.squareCountOnCanon(g).collect().head
+    val (df, bc) = graft.graph.Algorithms.squareCensusImg(g)
+    val viaImg = df.collect().head
+    bc.destroy()
+    Seq("n_coneighbor_pairs", "n_wedge_pairs", "n_squares").foreach { c =>
+      assert(viaImg.getAs[Long](c) == viaJoin.getAs[Long](c),
+        s"$c: img=${viaImg.getAs[Long](c)} join=${viaJoin.getAs[Long](c)}")
+    }
+    assert(viaImg.getAs[Long]("n_squares") == 4L) // 1 (C4) + 3 (K4)
+  }
+
+  test("jaccard image path emits bit-identical pairs to the wedge join") {
+    // K4 + pendant + a disjoint triangle: mixed degrees, some pairs
+    // below the 0.3 cut, ids deliberately non-contiguous
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 9L), (20L, 21L), (20L, 22L), (21L, 22L))
+    val nbrs = (edges ++ edges.map(_.swap)).toDF("node", "nbr")
+    val viaJoin = Clouds.neighborJaccardJoin(nbrs, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (df, bc) = graft.graph.Algorithms.jaccardPairsImg(nbrs, 0.3)
+    val viaImg = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2))
+    bc.destroy()
+    assert(viaImg.toSeq == viaJoin.toSeq)
+    assert(viaImg.nonEmpty)
+  }
+
   test("square count on sf0.001 matches a brute-force recount") {
     val got = Clouds.squareCount(spark, SF).collect().head.getAs[Long]("n_squares")
     // brute force: materialize the small canonical edge set and count
