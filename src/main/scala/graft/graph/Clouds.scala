@@ -1361,6 +1361,76 @@ object Clouds {
       .orderBy(col("walk_id"), col("step"))
   }
 
+  /** node2vec BIASED walks (Grover & Leskovec 2016) — the SECOND-ORDER
+    * refinement of [[randomWalks]]: each step's neighbour weight
+    * depends on the graph distance between the candidate and the
+    * PREVIOUS node (1/p to return, 1 to a common neighbour — a
+    * triangle — and 1/q to leave the neighbourhood), interpolating
+    * BFS-like and DFS-like exploration. Determinism: weighted choice
+    * by exponential clocks — candidate key = −ln(U)/w with U a
+    * (walk, step, candidate)-salted md5 uniform in (0, 1]; the min key
+    * is distributed ∝ w, and BOTH engines replay the identical
+    * double sequence (p = 4 and q = 1/4 make the weights exact binary
+    * 0.25/1/4, so the division is exact scaling). Plan shape per step:
+    * one frontier⋈capped-adjacency join ([[WalkAdjCap]] bounds hub
+    * fan-out), one LEFT join against the canonical edge set for the
+    * is-triangle test (equi-join on the (min, max) pair — never a
+    * neighbourhood product), one struct-min argmin. Walk state carries
+    * (prev, node); step 1 has no prev and is the uniform
+    * [[randomWalks]] choice. `g_node2vec_walks`. */
+  val Node2vecP = 4.0
+  val Node2vecQ = 0.25
+
+  def node2vecWalks(spark: SparkSession, dir: String, len: Int = WalkLen,
+                    cap: Int = WalkAdjCap, p: Double = Node2vecP,
+                    q: Double = Node2vecQ): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val und = cappedAdjacency(
+        g.edges.select(col("src").as("u"), col("dst").as("v"))
+          .union(g.edges.select(col("dst").as("u"), col("src").as("v"))), cap)
+      .localCheckpoint(true) // one hop join per step
+    val canon = canonQueryEdges(spark, dir)
+      .select(col("u").as("eu"), col("v").as("ev"))
+      .localCheckpoint(true) // one triangle probe per step
+    val twoPow60 = math.pow(2.0, 60)
+    var cur = g.nodes
+      .select(col("id").as("walk_id"), lit(null).cast("long").as("prev"),
+        col("id").as("node"))
+      .localCheckpoint(true)
+    val steps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    steps += cur.withColumn("step", lit(0))
+    for (s <- 1 to len) {
+      val hkey = graft.Hashing.md5Hash60(
+        concat_ws("|", col("walk_id"), lit(s), col("v")))
+      val u01 = (hkey + lit(1L)).cast("double") / lit(twoPow60)
+      val w = when(col("v") === col("prev"), lit(1.0 / p))
+        .when(col("eu").isNotNull, lit(1.0))
+        .otherwise(lit(1.0 / q))
+      val key =
+        if (s == 1) col("hk") // uniform: no prev yet (randomWalks step)
+        else (-log(col("u01"))) / col("w")
+      cur = cur.join(und, col("node") === col("u"))
+        .join(canon,
+          least(col("prev"), col("v")) === col("eu") &&
+            greatest(col("prev"), col("v")) === col("ev"),
+          "left_outer")
+        .select(col("walk_id"), col("node").as("from_node"), col("v"),
+          hkey.as("hk"), u01.as("u01"), w.as("w"))
+        .select(col("walk_id"), col("from_node"), col("v"), key.as("key"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("key"), col("v"), col("from_node"))).as("best"))
+        .select(col("walk_id"), col("best.from_node").as("prev"),
+          col("best.v").as("node"))
+        .localCheckpoint(true) // referenced by output AND the next step
+      steps += cur.withColumn("step", lit(s))
+    }
+    val out = steps.result()
+      .map(_.select(col("walk_id"), col("step"), col("node")))
+      .reduce(_ unionByName _)
+      .orderBy(col("walk_id"), col("step"))
+    out
+  }
+
   def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val g = graph(spark, dir)
     val sym = g.copy(edges =
@@ -2569,6 +2639,58 @@ object Clouds {
          $selects
          ORDER BY walk_id, step"""
     },
+    "g_node2vec_walks" -> {
+      def stepCte(s: Int): String = {
+        val hash = graft.Hashing.hexFoldSql(
+          s"CAST(w.walk_id AS VARCHAR) || '|' || '$s' || '|' || CAST(e.v AS VARCHAR)")
+        if (s == 1)
+          // no prev yet: the uniform min-hash choice, carrying prev out
+          s"""w$s AS (
+             SELECT walk_id, from_node AS prev, node FROM (
+               SELECT w.walk_id, w.node AS from_node, e.v AS node,
+                      ROW_NUMBER() OVER (PARTITION BY w.walk_id
+                        ORDER BY $hash, e.v) AS rn
+               FROM w${s - 1} w JOIN undc e ON e.u = w.node) WHERE rn = 1)"""
+        else
+          s"""w$s AS (
+             SELECT walk_id, from_node AS prev, node FROM (
+               SELECT w.walk_id, w.node AS from_node, e.v AS node,
+                      ROW_NUMBER() OVER (PARTITION BY w.walk_id
+                        ORDER BY
+                          -LN(CAST($hash + 1 AS DOUBLE)
+                              / 1152921504606846976.0)
+                          / (CASE WHEN e.v = w.prev THEN 0.25
+                                  WHEN t.eu IS NOT NULL THEN 1.0
+                                  ELSE 4.0 END), e.v) AS rn
+               FROM w${s - 1} w
+               JOIN undc e ON e.u = w.node
+               LEFT JOIN te t ON t.eu = LEAST(w.prev, e.v)
+                             AND t.ev = GREATEST(w.prev, e.v)) WHERE rn = 1)"""
+      }
+      val selects = (0 to WalkLen)
+        .map(s => s"SELECT walk_id, $s AS step, node FROM w$s")
+        .mkString("\n UNION ALL ")
+      val adjHash = graft.Hashing.hexFoldSql(
+        "CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)")
+      s"""$OracleCte,
+         und AS (
+           SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+           UNION ALL
+           SELECT dst, src FROM edges WHERE distance <= 0.10),
+         undc AS (
+           SELECT u, v FROM (
+             SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+               ORDER BY $adjHash, v) AS rn
+             FROM und) WHERE rn <= $WalkAdjCap),
+         te AS (
+           SELECT DISTINCT LEAST(src, dst) AS eu, GREATEST(src, dst) AS ev
+           FROM edges WHERE distance <= 0.10 AND src <> dst),
+         w0 AS (SELECT id AS walk_id, CAST(NULL AS BIGINT) AS prev,
+                       id AS node FROM nodes),
+         ${(1 to WalkLen).map(stepCte).mkString(",\n")}
+         $selects
+         ORDER BY walk_id, step"""
+    },
     "g_cloud_stats" ->
       s"""${OracleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          und AS (
@@ -2706,6 +2828,7 @@ object Clouds {
     "g_closeness"             -> closeness _,
     "g_modularity"            -> modularity _,
     "g_random_walk"           -> ((s: SparkSession, d: String) => randomWalks(s, d)),
+    "g_node2vec_walks"        -> ((s: SparkSession, d: String) => node2vecWalks(s, d)),
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),
   )
 }

@@ -158,6 +158,75 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Single-linkage hierarchical-clustering CENSUS over the embedding
+    * eps-graph at a descending cosine-cut ladder — the dendrogram
+    * summary a curation run reads before picking a near-dup threshold
+    * (how fast do clusters merge as the cut loosens; when does a giant
+    * component appear). A single-linkage cut at cos ≥ t IS the
+    * connected components of the t-thresholded similarity graph, so
+    * the ladder composes the [[graft.graph.Clouds.thresholdSweepOn]]
+    * idiom one block over: the STRICTEST cut runs the O(log²)
+    * star-contraction CC kernel on its (smallest) edge set, and each
+    * looser cut contracts only its (t, prev] band edges on the
+    * previous cut's supernode set — never the full graph again.
+    * Census columns are label-invariant integers, so the oracle
+    * replays each cut with an independent recursive CC. Per-cut label
+    * checkpoints are released once the unioned census materializes
+    * (the r14 sweep-release lesson). The pair layer is
+    * [[embeddingNearDup]] — sf-bounded exact; at 100 TB swap the
+    * LSH-bucketed generator, everything downstream is already
+    * incremental. `s_linkage_census`. */
+  val LinkageCuts: Seq[Double] = Seq(0.40, 0.35, 0.30) // strict → loose
+
+  def linkageCensus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.graph.Algorithms
+    val pairs = embeddingNearDup(spark, dir, LinkageCuts.min)
+      .select(col("a"), col("b"), col("cos_sim"))
+      .localCheckpoint(true) // one band filter per cut below
+    val nodes = vectors(spark, dir).select(col("vec_id").as("id"))
+    var prev: DataFrame = null
+    var prevCut = 2.0 // above any cosine
+    val cutCks = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val perCut = LinkageCuts.map { cut =>
+      val cc =
+        if (prev == null)
+          Algorithms.connectedComponentsStar(nodes,
+            pairs.filter(col("cos_sim") >= cut)
+              .select(col("a").as("src"), col("b").as("dst")))
+        else {
+          val band = pairs
+            .filter(col("cos_sim") >= cut && col("cos_sim") < prevCut)
+            .join(prev.select(col("id").as("a"), col("comp").as("ca")), Seq("a"))
+            .join(prev.select(col("id").as("b"), col("comp").as("cb")), Seq("b"))
+            .select(col("ca").as("src"), col("cb").as("dst"))
+            .filter(col("src") =!= col("dst"))
+          val superCc = Algorithms.connectedComponentsStar(
+            prev.select(col("comp").as("id")).distinct(), band)
+          prev.select(col("id"), col("comp").as("pcomp"))
+            .join(superCc.select(col("id").as("pcomp"), col("comp").as("ncomp")),
+              Seq("pcomp"))
+            .select(col("id"), col("ncomp").as("comp"))
+        }
+      prev = Algorithms.freshStats(cc).localCheckpoint(true)
+      cutCks += prev
+      prevCut = cut
+      val sz = prev.groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+      sz.agg(
+        sum(when(col("sz") >= 2, 1L).otherwise(0L)).as("n_clusters"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        max(col("sz")).as("largest_size"),
+        sum(when(col("sz") >= 2, col("sz")).otherwise(0L)).as("n_clustered"))
+        .select(lit(cut).as("min_cos"), col("n_clusters"), col("n_singletons"),
+          col("largest_size"), col("n_clustered"))
+    }
+    val out = perCut.reduce(_ unionByName _)
+      .orderBy(col("min_cos"))
+      .localCheckpoint(true) // materialize BEFORE releasing the cut labels
+    cutCks.foreach(Algorithms.releaseIterate)
+    Algorithms.releaseIterate(pairs)
+    out
+  }
+
   /** Brute-force cosine top-k: for each query vector (vec_id < nQueries),
     * the k nearest other vectors. The query side is a fixed small set →
     * broadcast is size-safe by construction; the candidate side streams.
@@ -1660,6 +1729,34 @@ object Similarity {
                   ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
            FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT a, b, cos_sim FROM pairs WHERE cos_sim >= 0.4 ORDER BY a, b""",
+    "s_linkage_census" -> {
+      def cutCtes(tag: String, cos: String) =
+        s"""und$tag AS (
+             SELECT a AS u, b AS v FROM p WHERE cos >= $cos
+             UNION ALL SELECT b, a FROM p WHERE cos >= $cos),
+           r$tag(u, v) AS (
+             SELECT vec_id, vec_id FROM e
+             UNION
+             SELECT r.u, d.v FROM r$tag r JOIN und$tag d ON d.u = r.v),
+           c$tag AS (SELECT u AS id, MIN(v) AS comp FROM r$tag GROUP BY u),
+           s$tag AS (SELECT comp, COUNT(*) AS sz FROM c$tag GROUP BY comp)"""
+      def census(tag: String, cos: String) =
+        s"""SELECT CAST($cos AS DOUBLE) AS min_cos,
+              CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+              CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+              CAST(MAX(sz) AS BIGINT) AS largest_size,
+              CAST(SUM(CASE WHEN sz >= 2 THEN sz ELSE 0 END) AS BIGINT) AS n_clustered
+            FROM s$tag"""
+      val cuts = Seq("30" -> "0.30", "35" -> "0.35", "40" -> "0.40")
+      s"""${VecCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         p AS (
+           SELECT a.vec_id AS a, b.vec_id AS b,
+                  ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+           FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         ${cuts.map { case (t, c) => cutCtes(t, c) }.mkString(",\n")}
+         ${cuts.map { case (t, c) => census(t, c) }.mkString("\n UNION ALL ")}
+         ORDER BY min_cos"""
+    },
     "s_dbscan" ->
       s"""${VecCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          pairs AS (
@@ -1795,6 +1892,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_embedding_neardup" -> ((s: SparkSession, d: String) => embeddingNearDup(s, d)),
     "s_dbscan"            -> ((s: SparkSession, d: String) => dbscan(s, d)),
+    "s_linkage_census"    -> ((s: SparkSession, d: String) => linkageCensus(s, d)),
     "s_cosine_topk"       -> ((s: SparkSession, d: String) => cosineTopK(s, d)),
     "s_lsh_ann"           -> ((s: SparkSession, d: String) => lshAnn(s, d)),
     "s_range_search"      -> ((s: SparkSession, d: String) => rangeSearch(s, d)),

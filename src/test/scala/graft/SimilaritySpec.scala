@@ -471,6 +471,24 @@ class SimilaritySpec extends SparkSpec {
     assert(overall > 0.1, s"overall silhouette $overall should be decisively positive")
   }
 
+  test("linkage census: merges are monotone as the cosine cut loosens") {
+    val rows = rowsOf(Similarity.linkageCensus(spark, SF))
+      .sortBy(-_.getDouble(0)) // strict → loose
+    assert(rows.length == Similarity.LinkageCuts.length)
+    rows.sliding(2).foreach {
+      case Seq(strict, loose) =>
+        // loosening only ADDS edges: singletons can only be absorbed,
+        // the largest cluster can only grow, coverage can only grow
+        assert(loose.getAs[Long]("n_singletons") <= strict.getAs[Long]("n_singletons"))
+        assert(loose.getAs[Long]("largest_size") >= strict.getAs[Long]("largest_size"))
+        assert(loose.getAs[Long]("n_clustered") >= strict.getAs[Long]("n_clustered"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_clustered") >= 2 * r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("dbscan: planted core fan, a one-neighbour border, and an orthogonal noise point") {
     // 2-D directions embedded in 64-dim: cores at 0/20/40/60 degrees are
     // pairwise within the eps angle (cos >= 0.5 > 0.3) so each has 3
