@@ -21,6 +21,7 @@ object SparkEntry {
       (streaming.CdcCompact.queries, streaming.CdcCompact.oracle),
       (streaming.FingerprintScreen.queries, streaming.FingerprintScreen.oracle),
       (streaming.Anomaly.queries, streaming.Anomaly.oracle),
+      (streaming.Funnel.queries, streaming.Funnel.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

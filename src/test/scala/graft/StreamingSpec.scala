@@ -181,6 +181,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel emits final per-episode stages equal to the batch plan") {
+    import spark.implicits._
+    import graft.streaming.Funnel
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val q = Funnel.streamingFunnel(stream.toDF.toDF("ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append").start()
+    try {
+      // user 1 episode 1: full chain, delivered OUT OF ORDER;
+      // episode 2 (after a > 2 h gap): signup + late click (> 1 h → stage 1)
+      // user 2: click only (stage 0)
+      val evs = Seq(
+        (ts(0, 30), 1L, "click"), (ts(0, 5), 1L, "signup"),
+        (ts(1, 10), 1L, "purchase"), (ts(0, 50), 1L, "view"),
+        (ts(4, 0), 1L, "signup"), (ts(5, 30), 1L, "click"),
+        (ts(0, 10), 2L, "click"))
+      stream.addData(evs: _*)
+      q.processAllAvailable()
+      // watermark is 5:30 − 1 h = 4:30: user 2's lone episode (timeout
+      // 2:10) is already final, but user 1's buffer (timeout 7:30) is not
+      assert(spark.table("funnel_sink").filter("user_id = 1").count() == 0)
+      stream.addData((ts(12, 0), 99L, "view")) // watermark far past all gaps
+      q.processAllAvailable()
+      val got = spark.table("funnel_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      val h = (hh: Int, mm: Int) => ts(hh, mm).getTime / 1000
+      assert(got((1L, 1L)) == ((h(0, 5), 3L)))  // full chain
+      assert(got((1L, 2L)) == ((h(4, 0), 1L)))  // click 90 min late → signup only
+      assert(got((2L, 1L)) == ((h(0, 10), 0L))) // no signup
+      // and the batch plan over the same events agrees row for row
+      val batch = Funnel.episodeFunnelAgg(spark,
+        evs.zipWithIndex.map { case ((t, u, ty), i) => (t, u, ty, i.toLong) }
+          .toDF("ts", "user_id", "event_type", "event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      batch.foreach { case (k, v) =>
+        assert(got.get(k).contains(v), s"episode $k: stream=${got.get(k)} batch=$v")
+      }
+    } finally q.stop()
+  }
+
   test("windowed top-k: dense ranks per window, streaming sums match the batch kernel") {
     // batch entry: ranks dense 1..k, ordered by the exact sum
     val r = rowsOf(Windowed.topkBatch(spark, SF))
