@@ -1397,6 +1397,20 @@ object Clouds {
       .select(col("id").as("walk_id"), lit(null).cast("long").as("prev"),
         col("id").as("node"))
       .localCheckpoint(true)
+    // per-step join hints under the fleet's shared iterate ceiling (the
+    // CC/coreness idiom — scrubbed loop-iterate stats otherwise plan
+    // sort-merge joins every step). Measured at sf0.1 min-of-5: the
+    // |V|-row frontier hint alone is NEUTRAL (9.99 → 9.88 s — the
+    // adjacency side re-sort is not the bottleneck here), the |E|-row
+    // triangle-probe side is the one that pays: 9.99 → 8.23 s with the
+    // canonical edge set broadcast below the ceiling. Above the ceiling
+    // both joins stay shuffled — the probe is an equi-join on the
+    // (min, max) pair, co-partitionable at any scale.
+    val bcOk = cur.count() <= Algorithms.IterateBroadcastMaxRows
+    def hinted(d: DataFrame): DataFrame = if (bcOk) broadcast(d) else d
+    val canonBc =
+      if (canon.count() <= Algorithms.IterateBroadcastMaxRows) broadcast(canon)
+      else canon
     val steps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     steps += cur.withColumn("step", lit(0))
     for (s <- 1 to len) {
@@ -1409,8 +1423,8 @@ object Clouds {
       val key =
         if (s == 1) col("hk") // uniform: no prev yet (randomWalks step)
         else (-log(col("u01"))) / col("w")
-      cur = cur.join(und, col("node") === col("u"))
-        .join(canon,
+      cur = hinted(cur).join(und, col("node") === col("u"))
+        .join(canonBc,
           least(col("prev"), col("v")) === col("eu") &&
             greatest(col("prev"), col("v")) === col("ev"),
           "left_outer")
