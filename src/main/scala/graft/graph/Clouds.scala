@@ -814,6 +814,27 @@ object Clouds {
       .orderBy(col("k"))
   }
 
+  /** Log2-binned degree distribution of the thresholded graph — the
+    * first diagnostic plot of any graph analysis (is the similarity
+    * graph power-law or uniform-dense; where do the hubs start).
+    * Bucket = the largest power of two ≤ deg (0 for isolated nodes),
+    * computed by an EXPLICIT literal when-chain rather than
+    * floor(log2(deg)) — integer-exact in both engines, no FP-boundary
+    * risk at deg = 2^k. One degree aggregate + one |V|-row narrow map
+    * + a ≤33-row count. `g_degree_hist`. */
+  def degreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val deg = g.degrees.select(col("id"), col("deg"))
+    val bucket = (1 to 31).foldLeft(when(col("deg") === 0, lit(0L))) {
+      (acc, k) => acc.when(col("deg") < (1L << k), lit(1L << (k - 1)))
+    }.otherwise(lit(1L << 31))
+    deg.select(bucket.as("deg_bucket"), col("deg"))
+      .groupBy(col("deg_bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .orderBy(col("deg_bucket"))
+  }
+
   /** Inter-genus similarity matrix: the genus-level PROJECTION of the
     * thresholded sharesDNA graph — for every unordered pair of phage
     * genera, how many similarity edges connect them, the closest pair
@@ -2775,6 +2796,28 @@ object Clouds {
                      ELSE 0.0 END AS phi
          FROM ks LEFT JOIN nc ON nc.k = ks.k LEFT JOIN ec ON ec.k = ks.k
          ORDER BY ks.k""",
+    "g_degree_hist" -> {
+      val chain = (1 to 31)
+        .map(k => s"WHEN deg < ${1L << k} THEN ${1L << (k - 1)}")
+        .mkString(" ")
+      s"""$OracleCte,
+         und AS (
+           SELECT src AS u FROM edges WHERE distance <= 0.10
+           UNION ALL SELECT dst FROM edges WHERE distance <= 0.10),
+         dg0 AS (SELECT u AS id, COUNT(*) AS deg FROM und GROUP BY u),
+         dg AS (
+           SELECT n.id, COALESCE(dg0.deg, 0) AS deg
+           FROM nodes n LEFT JOIN dg0 ON dg0.id = n.id),
+         b AS (
+           SELECT CASE WHEN deg = 0 THEN 0 $chain
+                       ELSE ${1L << 31} END AS deg_bucket, deg
+           FROM dg)
+         SELECT CAST(deg_bucket AS BIGINT) AS deg_bucket,
+                COUNT(*) AS n_nodes,
+                CAST(MIN(deg) AS BIGINT) AS min_deg,
+                CAST(MAX(deg) AS BIGINT) AS max_deg
+         FROM b GROUP BY 1 ORDER BY 1"""
+    },
     "g_genus_projection" ->
       s"""$OracleCte,
          ge AS (
@@ -2835,6 +2878,7 @@ object Clouds {
     "g_square_count"          -> squareCount _,
     "g_rich_club"             -> richClub _,
     "g_genus_projection"      -> genusProjection _,
+    "g_degree_hist"           -> degreeHist _,
     "g_assortativity"         -> assortativity _,
     "g_eccentricity"          -> eccentricity _,
     "g_harmonic"              -> harmonic _,

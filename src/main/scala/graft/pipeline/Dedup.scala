@@ -880,6 +880,52 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** Epoch-factor clamp for [[epochSchedule]]: scarce sources repeat at
+    * most 4 epochs (past that, memorization beats coverage — the
+    * standard multi-epoch guidance), dominant ones subsample to ≥ 1/4. */
+  val EpochMaxFactor = 4.0
+  val EpochMinFactor = 0.25
+
+  /** Multi-epoch schedule MATERIALIZED: where [[mixWeights]] computes
+    * the per-source target weights, this operator turns them into the
+    * integer per-doc REPEAT counts a training-data writer actually
+    * emits — epoch factor f = (uniform target share / natural share)
+    * clamped to [[[EpochMinFactor]], [[EpochMaxFactor]]], and each doc
+    * repeats ⌊f⌋ + Bernoulli(frac f) times via DETERMINISTIC stochastic
+    * rounding (a (doc,"epoch")-salted md5 uniform — replayable on any
+    * cluster, any retry, and by the oracle), so the realized per-source
+    * epoch count is unbiased for f without a corpus-wide counter. Plan
+    * shape: one source dimension aggregate (broadcast), one narrow
+    * per-doc map, one re-aggregate — nothing corpus-quadratic, and the
+    * per-doc (doc_id, n_repeats) intermediate is exactly what a
+    * sequence-packing writer consumes. Emits the per-source audit.
+    * `d_epoch_schedule`. */
+  def epochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Docs.docs(spark, dir).select(col("doc_id"), col("source"))
+    val perSrc = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = perSrc.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_sources"))
+    val f = least(lit(EpochMaxFactor), greatest(lit(EpochMinFactor),
+      (col("n_total").cast("double") / col("n_sources").cast("double")) /
+        col("n_docs").cast("double")))
+    val withF = perSrc.join(broadcast(tot))
+      .select(col("source"), col("n_docs"), f.as("f"))
+    val u = graft.Hashing.md5Hash60(
+        concat_ws("|", col("doc_id"), lit("epoch"))).cast("double") /
+      lit(math.pow(2.0, 60))
+    docs.join(broadcast(withF), Seq("source"))
+      .select(col("source"), col("n_docs"), col("f"),
+        (floor(col("f")).cast("long") +
+          when(u < col("f") - floor(col("f")), 1L).otherwise(0L)).as("rep"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        round(first(col("f")), 6).as("epoch_factor"),
+        sum(col("rep")).as("n_repeats"))
+      .withColumn("realized_factor",
+        round(col("n_repeats").cast("double") / col("n_docs").cast("double"), 4))
+      .orderBy(col("source"))
+  }
+
   /** Sampling temperature for [[temperatureMix]] (the mC4 / XLM-R
     * multilingual value; Conneau et al. 2020 §3.1). */
   val MixTemperature = 0.3
@@ -1988,6 +2034,32 @@ object Dedup {
                 ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 4)
                   AS dup_rate
          FROM d GROUP BY lang, source ORDER BY lang, source""",
+    "d_epoch_schedule" -> {
+      val h = graft.Hashing.hexFoldSql(
+        "CAST(doc_id AS VARCHAR) || '|' || 'epoch'")
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         ps AS (SELECT source, COUNT(*) AS n_docs FROM d GROUP BY source),
+         t AS (SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM ps),
+         wf AS (
+           SELECT source, n_docs,
+                  LEAST($EpochMaxFactor, GREATEST($EpochMinFactor,
+                    (CAST(n_total AS DOUBLE) / CAST(n_sources AS DOUBLE))
+                      / CAST(n_docs AS DOUBLE))) AS f
+           FROM ps CROSS JOIN t),
+         r AS (
+           SELECT d.source, wf.n_docs, wf.f,
+                  CAST(FLOOR(wf.f) AS BIGINT) +
+                  CASE WHEN CAST($h AS DOUBLE) / 1152921504606846976.0
+                            < wf.f - FLOOR(wf.f)
+                       THEN 1 ELSE 0 END AS rep
+           FROM d JOIN wf USING (source))
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                ROUND(f, 6) AS epoch_factor,
+                CAST(SUM(rep) AS BIGINT) AS n_repeats,
+                ROUND(CAST(SUM(rep) AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+                  AS realized_factor
+         FROM r GROUP BY source, n_docs, f ORDER BY source"""
+    },
     "d_mix_weights" ->
       """WITH pl AS (
            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2438,6 +2510,7 @@ object Dedup {
     "d_curation_e2e"  -> ((s: SparkSession, d: String) => curationE2e(s, d)),
     "d_corpus_report" -> (corpusReport _),
     "d_mix_weights"   -> (mixWeights _),
+    "d_epoch_schedule" -> (epochSchedule _),
     "d_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "d_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "d_novelty"       -> (novelty _),

@@ -741,6 +741,40 @@ object Tpch {
     * (mergeable map-side sketch) is identical either way. */
   private val PctAccuracy = 1000000
 
+  /** Market-basket pair mining over the order → part incidence: which
+    * parts co-occur in the same order more often than chance (support
+    * ≥ 2 pairs with their lift = P(a,b)/(P(a)·P(b))). The bounded
+    * frequent-itemset shape: candidate pairs come from a self-join
+    * KEYED ON THE ORDER — per-basket fan-out is C(items, 2) with
+    * baskets bounded by the schema (≤ 7 lineitems), never a part ×
+    * part product — then one (a, b) count and two frequency joins.
+    * Support/counts are integers; the lift is one rounded double
+    * division from integer statistics, exact cross-engine.
+    * `q_basket_pairs`. */
+  def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val items = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .localCheckpoint(true) // pair join + both frequency sides share it
+    val nOrders = items.select($"l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("n_part"))
+    val pairs = items.as("x")
+      .join(items.as("y"),
+        $"x.l_orderkey" === $"y.l_orderkey" && $"x.l_partkey" < $"y.l_partkey")
+      .groupBy($"x.l_partkey".as("part_a"), $"y.l_partkey".as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= 2)
+    pairs
+      .join(freq.select($"l_partkey".as("part_a"), $"n_part".as("na")), Seq("part_a"))
+      .join(freq.select($"l_partkey".as("part_b"), $"n_part".as("nb")), Seq("part_b"))
+      .join(broadcast(nOrders))
+      .select($"part_a", $"part_b", $"support",
+        round($"support".cast("double") * $"n_orders".cast("double") /
+          ($"na".cast("double") * $"nb".cast("double")), 6).as("lift"))
+      .orderBy($"support".desc, $"part_a", $"part_b")
+  }
+
   /** Sketch-based approximate statistics per return flag: HyperLogLog++
     * distinct orders and Greenwald-Khanna price percentiles. These are
     * THE 100 TB summary operators — both sketches are bounded-size and
@@ -925,6 +959,25 @@ object Tpch {
   val oracle: Map[String, String] = Map(
     // percentiles are exact at gate SFs (accuracy > n, see PctAccuracy);
     // hll_sanity is pinned to 1 — any ≥50% HLL drift fails the hash
+    "q_basket_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM i),
+         f AS (SELECT l_partkey, COUNT(*) AS n_part FROM i GROUP BY 1),
+         p AS (
+           SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+                  COUNT(*) AS support
+           FROM i x JOIN i y ON x.l_orderkey = y.l_orderkey
+                            AND x.l_partkey < y.l_partkey
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+                ROUND(CAST(support AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                      / (CAST(fa.n_part AS DOUBLE) * CAST(fb.n_part AS DOUBLE)),
+                      6) AS lift
+         FROM p
+         JOIN f fa ON fa.l_partkey = p.part_a
+         JOIN f fb ON fb.l_partkey = p.part_b
+         CROSS JOIN n
+         ORDER BY support DESC, part_a, part_b""",
     "q_approx_stats" ->
       """SELECT l_returnflag,
                 CAST(1 AS BIGINT) AS hll_sanity,
@@ -1357,6 +1410,7 @@ object Tpch {
     "q_events_sessionize"  -> qEventsSessionize _,
     "q_events_props"       -> qEventsProps _,
     "q_approx_stats"       -> qApproxStats _,
+    "q_basket_pairs"       -> qBasketPairs _,
     "q_rollup"             -> qRollup _,
     "q4_priority_exists"   -> q4PriorityExists _,
     "q12_late_priority"    -> q12LatePriority _,

@@ -99,6 +99,53 @@ class CensusSpec extends SparkSpec {
     assert(viaImg.nonEmpty)
   }
 
+  test("degree histogram: power-of-two buckets, bounds respected, counts sum to |V|") {
+    val rows = Clouds.degreeHist(spark, SF).collect()
+    val nNodes = graft.graph.TestGraph.phageNodes(spark, SF).count()
+    assert(rows.map(_.getAs[Long]("n_nodes")).sum == nNodes)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("deg_bucket")
+      assert(b == 0L || (b & (b - 1)) == 0L, s"bucket $b is a power of two")
+      val lo = r.getAs[Long]("min_deg"); val hi = r.getAs[Long]("max_deg")
+      if (b == 0L) assert(lo == 0L && hi == 0L)
+      else { assert(lo >= b); assert(hi < 2 * b) }
+    }
+  }
+
+  test("epoch schedule: repeats bracket the factor, single-source corpus is exactly 1 epoch") {
+    val rows = graft.pipeline.Dedup.epochSchedule(spark, SF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("epoch_factor")
+      val n = r.getAs[Long]("n_docs"); val rep = r.getAs[Long]("n_repeats")
+      assert(f >= 0.25 && f <= 4.0)
+      assert(rep >= n * math.floor(f).toLong && rep <= n * math.ceil(f).toLong)
+    }
+    val one = TestSession.docsFixture(Seq(
+      (0L, "a b", "en", "s0", 3L), (1L, "c d", "en", "s0", 3L)))
+    val r1 = graft.pipeline.Dedup.epochSchedule(spark, one).collect()
+    assert(r1.length == 1 && r1.head.getAs[Long]("n_repeats") == 2L) // f = 1 exactly
+  }
+
+  test("basket pairs: canonical ordering, support floor, lift recomputed") {
+    val rows = graft.relational.Tpch.qBasketPairs(spark, SF).collect()
+    assert(rows.nonEmpty)
+    val items = graft.Tables.lineitem(spark, SF)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val freq = items.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    rows.foreach { r =>
+      val (a, b, s) = (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+        r.getAs[Long]("support"))
+      assert(a < b && s >= 2)
+      val lift = java.math.BigDecimal.valueOf(
+          s.toDouble * nOrders.toDouble / (freq(a).toDouble * freq(b).toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(r.getAs[Double]("lift") == lift)
+    }
+  }
+
   test("square count on sf0.001 matches a brute-force recount") {
     val got = Clouds.squareCount(spark, SF).collect().head.getAs[Long]("n_squares")
     // brute force: materialize the small canonical edge set and count

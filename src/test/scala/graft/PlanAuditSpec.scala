@@ -28,7 +28,9 @@ class PlanAuditSpec extends SparkSpec {
     "s_silhouette",        // embeds s_kmeans' centroid-assignment cross (k rows)
     "d_importance_weights", // ONE-row (N_target, N_raw) corpus-mass scalar × per-doc aggregate
     "g_modularity",        // two ONE-row aggregates (m, E_in) × the community stats row
-    "t_source_divergence"  // ONE-row corpus-token-total scalar × per-term frame
+    "t_source_divergence", // ONE-row corpus-token-total scalar × per-term frame
+    "d_epoch_schedule",    // ONE-row (n_total, n_sources) scalar × source dimension
+    "q_basket_pairs"       // ONE-row basket-universe count × the support pairs
   )
 
   /** Build every registered plan ONCE, isolating per-key failures so a
