@@ -195,6 +195,12 @@ object ScaleBench {
       graft.graph.Clouds.richClubOnCanon(spark,
         edges.select(col("src").as("u"), col("dst").as("v")))
     }
+    timed("node2vec") {
+      // the g_node2vec_walks step loop over the synthetic shape:
+      // capped adjacency + per-step biased choice + triangle probe
+      graft.graph.Clouds.node2vecOnEdges(spark,
+        nodes, edges.select(col("src"), col("dst")))
+    }
     timed("threshold_sweep") {
       // the g_threshold_sweep composition: one Borůvka forest, then
       // nested star-CC cuts contracted by the previous cut's components

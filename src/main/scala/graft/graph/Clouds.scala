@@ -1406,15 +1406,32 @@ object Clouds {
                     cap: Int = WalkAdjCap, p: Double = Node2vecP,
                     q: Double = Node2vecQ): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    node2vecOnEdges(spark, g.nodes,
+      g.edges.select(col("src"), col("dst")), len, cap, p, q)
+  }
+
+  /** [[node2vecWalks]] kernel over any (id) node / (src, dst) edge
+    * frame — the ScaleBench entry point. */
+  private[graft] def node2vecOnEdges(spark: SparkSession, nodesIn: DataFrame,
+                    edgesIn: DataFrame, len: Int = WalkLen,
+                    cap: Int = WalkAdjCap, p: Double = Node2vecP,
+                    q: Double = Node2vecQ): DataFrame = {
     val und = cappedAdjacency(
-        g.edges.select(col("src").as("u"), col("dst").as("v"))
-          .union(g.edges.select(col("dst").as("u"), col("src").as("v"))), cap)
+        edgesIn.select(col("src").as("u"), col("dst").as("v"))
+          .union(edgesIn.select(col("dst").as("u"), col("src").as("v"))), cap)
       .localCheckpoint(true) // one hop join per step
-    val canon = canonQueryEdges(spark, dir)
-      .select(col("u").as("eu"), col("v").as("ev"))
-      .localCheckpoint(true) // one triangle probe per step
+    // SERIALIZED checkpoint: the probe table is EDGE-scale and scanned
+    // once per step by all cores — a deserialized cache pins ~3× the
+    // bytes and OOM'd the 150k/85M ScaleBench point at 12 g (the §4.13
+    // r13 reader-pinned-cache mechanism)
+    val canon = edgesIn
+      .select(least(col("src"), col("dst")).as("eu"),
+        greatest(col("src"), col("dst")).as("ev"))
+      .filter(col("eu") =!= col("ev")).distinct()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val twoPow60 = math.pow(2.0, 60)
-    var cur = g.nodes
+    var cur = nodesIn
       .select(col("id").as("walk_id"), lit(null).cast("long").as("prev"),
         col("id").as("node"))
       .localCheckpoint(true)

@@ -52,6 +52,58 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-label audit: the declared-vs-predicted confusion matrix
+    * over the [[langId]] classifier — the first check a multilingual
+    * corpus gets (mislabeled shards show up as off-diagonal mass long
+    * before a downstream model does). One classifier pass + one
+    * (declared, predicted) count + a 5-row margin join; the share is
+    * one rounded division from integers. `t_lang_confusion`. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val counts = langId(spark, dir)
+      .select(col("lang").as("declared"), col("pred_lang"))
+      .groupBy(col("declared"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val margins = counts.groupBy(col("declared"))
+      .agg(sum(col("n_docs")).as("n_declared"))
+    counts.join(broadcast(margins), Seq("declared"))
+      .select(col("declared"), col("pred_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_declared").cast("double"), 4)
+          .as("share"),
+        (col("declared") === col("pred_lang")).as("agree"))
+      .orderBy(col("declared"), col("pred_lang"))
+  }
+
+  /** T5-style span-corruption SCHEDULE (Raffel 2020 §3.1.4 shape):
+    * deterministic non-overlapping mask spans at a 15% token rate —
+    * each full 20-token chunk masks one 3-token span at a
+    * (doc, chunk)-salted offset, so spans never overlap BY
+    * CONSTRUCTION, every cluster/retry (and the oracle) derives the
+    * identical schedule, and the masked targets ride along for the
+    * denoising writer. Pure narrow map: no shuffle before the
+    * presentation sort. `d_span_mask`. */
+  val SpanChunk = 20
+  val SpanLen = 3
+
+  def spanMask(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = (size(col("toks")) / SpanChunk).cast("long")
+    toksOf(Docs.docs(spark, dir))
+      .select(col("doc_id"), col("toks"), nChunks.as("n_chunks"))
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("span_id"))
+      .select(col("doc_id"), col("span_id"),
+        (col("span_id") * SpanChunk +
+          pmod(graft.Hashing.md5Hash60(
+            concat_ws("|", col("doc_id"), col("span_id"), lit("mask"))),
+            lit((SpanChunk - SpanLen + 1).toLong))).as("start_tok"),
+        col("toks"))
+      .select(col("doc_id"), col("span_id"), col("start_tok"),
+        lit(SpanLen.toLong).as("span_len"),
+        concat_ws(" ", slice(col("toks"), (col("start_tok") + 1).cast("int"),
+          lit(SpanLen))).as("masked"))
+      .orderBy(col("doc_id"), col("span_id"))
+  }
+
   /** Document quality score from length / type-token ratio / stopword
     * ratio. `t_quality`. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
@@ -1098,6 +1150,50 @@ object Text {
                 ELSE 'zh' END AS pred_lang
          FROM scored ORDER BY doc_id"""
     },
+    "t_lang_confusion" -> {
+      val hs = Stopwords.map { case (l, ws) => s"${hitsSql(ws)} AS ${l}_hits" }.mkString(",\n ")
+      s"""$ToksCte,
+         scored AS (SELECT doc_id, lang, $hs FROM t),
+         pred AS (
+           SELECT lang AS declared,
+             CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+                  WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+                  WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+                  WHEN fr_hits >= zh_hits THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+           FROM scored),
+         c AS (
+           SELECT declared, pred_lang, COUNT(*) AS n_docs
+           FROM pred GROUP BY 1, 2),
+         m AS (SELECT declared, SUM(n_docs) AS n_declared FROM c GROUP BY 1)
+         SELECT c.declared, c.pred_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+                ROUND(CAST(c.n_docs AS DOUBLE) / CAST(m.n_declared AS DOUBLE), 4)
+                  AS share,
+                c.declared = c.pred_lang AS agree
+         FROM c JOIN m USING (declared)
+         ORDER BY declared, pred_lang"""
+    },
+    "d_span_mask" -> {
+      val h = graft.Hashing.hexFoldSql(
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(span_id AS VARCHAR) || '|' || 'mask'")
+      s"""$ToksCte,
+         c AS (
+           SELECT doc_id, toks, CAST(len(toks) // $SpanChunk AS BIGINT) AS n_chunks
+           FROM t WHERE len(toks) // $SpanChunk > 0),
+         s AS (
+           SELECT doc_id, toks, unnest(range(0, n_chunks)) AS span_id FROM c),
+         m AS (
+           SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+                  CAST(span_id * $SpanChunk
+                       + ($h % ${SpanChunk - SpanLen + 1}) AS BIGINT) AS start_tok,
+                  toks
+           FROM s)
+         SELECT doc_id, span_id, start_tok,
+                CAST($SpanLen AS BIGINT) AS span_len,
+                array_to_string(toks[start_tok + 1 : start_tok + $SpanLen], ' ')
+                  AS masked
+         FROM m ORDER BY doc_id, span_id"""
+    },
     "t_quality" ->
       s"""$ToksCte,
          counted AS (
@@ -1259,5 +1355,7 @@ object Text {
     "t_zipf_slope"  -> ((s: SparkSession, d: String) => zipfSlope(s, d)),
     "t_source_divergence" -> (sourceDivergence _),
     "t_readability" -> (readability _),
+    "t_lang_confusion" -> (langConfusion _),
+    "d_span_mask"   -> (spanMask _),
   )
 }

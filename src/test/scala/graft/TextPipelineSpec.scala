@@ -382,6 +382,44 @@ class TextPipelineSpec extends SparkSpec {
     rows.values.foreach(v => assert(v >= 0.0 && v <= math.log(2) + 1e-9))
   }
 
+  test("lang confusion: planted mislabel lands off-diagonal, shares sum to 1 per declared") {
+    val d = TestSession.docsFixture(Seq(
+      (0L, "the cat of the house is a thing", "en", "s", 30L),
+      (1L, "le chat et la maison est une chose", "en", "s", 34L), // French text declared en
+      (2L, "der hund und die katze ist ein tier", "de", "s", 36L)))
+    val rows = rowsOf(Text.langConfusion(spark, d))
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rows(("en", "en")) == ((1L, 0.5, true)))
+    assert(rows(("en", "fr")) == ((1L, 0.5, false))) // the planted mislabel
+    assert(rows(("de", "de")) == ((1L, 1.0, true)))
+    val perDeclared = rows.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2._2).sum).toMap
+    perDeclared.values.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("span mask: one non-overlapping 3-token span per full 20-token chunk") {
+    val toks45 = (0 until 45).map(i => s"w$i").mkString(" ")
+    val short = (0 until 19).map(i => s"s$i").mkString(" ")
+    val d = TestSession.docsFixture(Seq(
+      (0L, toks45, "en", "s", toks45.length.toLong),
+      (1L, short, "en", "s", short.length.toLong)))
+    val rows = rowsOf(Text.spanMask(spark, d))
+    assert(rows.forall(_.getLong(0) == 0L), "sub-chunk doc yields no spans")
+    assert(rows.length == 2) // floor(45/20) chunks
+    rows.foreach { r =>
+      val span = r.getLong(r.fieldIndex("span_id"))
+      val start = r.getLong(r.fieldIndex("start_tok"))
+      assert(start >= span * 20 && start <= span * 20 + 17, "offset in [0,17]")
+      assert(r.getLong(r.fieldIndex("span_len")) == 3L)
+      val expect = (start until start + 3).map(i => s"w$i").mkString(" ")
+      assert(r.getString(r.fieldIndex("masked")) == expect)
+    }
+    val starts = rows.map(_.getLong(rows.head.fieldIndex("start_tok"))).sorted
+    assert(starts.sliding(2).forall { case Seq(a, b) => b >= a + 3; case _ => true },
+      "spans never overlap")
+  }
+
   test("readability: hand-computed Flesch scores, sentence floor at 1") {
     val d = TestSession.docsFixture(Seq(
       (0L, "hello world. it is sunny!", "en", "s", 25L),
