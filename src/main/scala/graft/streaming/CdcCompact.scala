@@ -14,6 +14,13 @@ final case class CompactedRow(
     user_id: Long, last_sec: Long, last_event_id: Long,
     last_type: String, last_value: Double, n_updates: Long)
 
+/** Pending (not yet closed) versions for one key: (sec, event_id, value). */
+final case class Scd2State(versions: Seq[(Long, Long, Double)])
+
+/** One closed SCD2 validity interval. */
+final case class Scd2Row(user_id: Long, valid_from_sec: Long,
+    valid_to_sec: Long, event_id: Long, value: Double)
+
 /** CDC / upsert compaction: collapse a change stream to the LATEST
   * version per key — the materialize step between an event log and a
   * serving table (warehouse upsert, Kafka log compaction, Delta MERGE
@@ -105,7 +112,92 @@ object CdcCompact {
       }
   }
 
+  /** SCD2 interval emission — the HISTORY complement of the
+    * [[latestBatch]] snapshot: every version of a key becomes a
+    * validity interval [its ts, the next version's ts), the
+    * slowly-changing-dimension type-2 table a warehouse keeps beside
+    * the compacted serving table.
+    *
+    *   - [[scd2Batch]]: one LEAD window per key on the (sec, event_id)
+    *     total version order; only CLOSED intervals emit (the open
+    *     tail has no valid_to yet) — the oracle-checked `st_cdc_scd2`
+    *     entry.
+    *   - [[streamingScd2]]: per-key state holds the PENDING versions
+    *     (sorted on flush, so in-horizon disorder costs nothing); an
+    *     interval (vᵢ → vᵢ₊₁) emits exactly when the watermark passes
+    *     vᵢ₊₁'s event time — the proof no late version can still slot
+    *     between them — and the closed head is dropped from state.
+    *     The open tail persists (state is |keys| + in-flight versions
+    *     — the SCD2 contract: a dimension's key space is bounded);
+    *     the event-time timeout re-arms at the earliest pending
+    *     boundary so intervals close even when the key goes quiet. */
+  def scd2Batch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("value"))
+      .withColumn("valid_to_sec", lead(col("sec"), 1).over(w))
+      .filter(col("valid_to_sec").isNotNull)
+      .select(col("user_id"), col("sec").as("valid_from_sec"),
+        col("valid_to_sec"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("valid_from_sec"), col("event_id"))
+  }
+
+  /** Streaming SCD2. `events` must carry (ts: timestamp, user_id,
+    * event_id, value). */
+  def streamingScd2(events: DataFrame): Dataset[Scd2Row] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id").cast("long").as("user_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        col("event_id").cast("long").as("event_id"),
+        col("value").cast("double").as("value"))
+      .as[(java.sql.Timestamp, Long, Long, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Double)],
+         state: GroupState[Scd2State]) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val pending = state.getOption.map(_.versions).getOrElse(Seq.empty) ++
+            rows.map(r => (r._3, r._4, r._5))
+          val sorted = pending.sortBy(v => (v._1, v._2))
+          // close every interval whose SUCCESSOR the watermark has passed
+          var cut = 0
+          while (cut + 1 < sorted.length && sorted(cut + 1)._1 <= wmSec) cut += 1
+          val closed = (0 until cut).map { i =>
+            Scd2Row(user, sorted(i)._1, sorted(i + 1)._1,
+              sorted(i)._2, sorted(i)._3)
+          }
+          val keep = sorted.drop(cut)
+          if (keep.nonEmpty) {
+            state.update(Scd2State(keep))
+            // re-arm at the earliest still-open boundary (> wm by
+            // construction — an older boundary would have closed above)
+            if (keep.length >= 2) state.setTimeoutTimestamp(keep(1)._1 * 1000L)
+          } else state.remove()
+          closed.iterator
+      }
+  }
+
   val oracle: Map[String, String] = Map(
+    "st_cdc_scd2" ->
+      """WITH e AS (
+           SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+                  event_id, value
+           FROM events),
+         w AS (
+           SELECT user_id, sec AS valid_from_sec, event_id, value,
+                  LEAD(sec) OVER (PARTITION BY user_id
+                    ORDER BY sec, event_id) AS valid_to_sec
+           FROM e)
+         SELECT user_id, valid_from_sec, valid_to_sec, event_id, value
+         FROM w WHERE valid_to_sec IS NOT NULL
+         ORDER BY user_id, valid_from_sec, event_id""",
     "st_cdc_latest" ->
       """WITH e AS (
            SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
@@ -125,5 +217,6 @@ object CdcCompact {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_cdc_latest" -> (latestBatch _),
+    "st_cdc_scd2"   -> (scd2Batch _),
   )
 }

@@ -181,6 +181,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closes intervals exactly when the watermark passes the successor") {
+    import spark.implicits._
+    import graft.streaming.CdcCompact
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, Long, Double)]
+    val q = CdcCompact.streamingScd2(
+        stream.toDF.toDF("ts", "user_id", "event_id", "value"))
+      .writeStream.format("memory").queryName("scd2_sink")
+      .outputMode("append").start()
+    try {
+      // three versions, delivered OUT OF ORDER
+      stream.addData((ts(0, 40), 1L, 2L, 20.0), (ts(0, 10), 1L, 1L, 10.0))
+      q.processAllAvailable()
+      assert(spark.table("scd2_sink").count() == 0) // wm < t2, nothing closes
+      stream.addData((ts(1, 20), 1L, 3L, 30.0), (ts(2, 0), 99L, 90L, 0.0))
+      q.processAllAvailable() // wm = 2:00 - 1h = 1:00 ≥ t2 → first closes
+      stream.addData((ts(9, 0), 99L, 91L, 0.0)) // wm far past t3
+      q.processAllAvailable()
+      val h = (hh: Int, mm: Int) => ts(hh, mm).getTime / 1000
+      val got = spark.table("scd2_sink").filter("user_id = 1")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(got == Set(
+        (h(0, 10), h(0, 40), 1L, 10.0),
+        (h(0, 40), h(1, 20), 2L, 20.0))) // t3 stays open — never emitted
+      // equality with the batch plan's CLOSED intervals on the same rows
+      val batchEvents = Seq(
+        (ts(0, 10), 1L, 1L, 10.0), (ts(0, 40), 1L, 2L, 20.0), (ts(1, 20), 1L, 3L, 30.0))
+        .toDF("ts", "user_id", "event_id", "value")
+      val expect = batchEvents
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("valid_to_sec", lead(col("sec"), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("sec"), col("event_id"))))
+        .filter(col("valid_to_sec").isNotNull)
+        .select(col("sec"), col("valid_to_sec"), col("event_id"), col("value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("streaming funnel emits final per-episode stages equal to the batch plan") {
     import spark.implicits._
     import graft.streaming.Funnel
