@@ -22,6 +22,7 @@ object SparkEntry {
       (streaming.FingerprintScreen.queries, streaming.FingerprintScreen.oracle),
       (streaming.Anomaly.queries, streaming.Anomaly.oracle),
       (streaming.Funnel.queries, streaming.Funnel.oracle),
+      (streaming.ContributionCap.queries, streaming.ContributionCap.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -926,6 +926,49 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Max events one user may contribute under [[contribCap]]. */
+  val ContribCapK = 5
+
+  /** Per-user contribution capping — the DP-style pre-processing step
+    * a telemetry/interaction corpus goes through before training or
+    * release: each user contributes at most [[ContribCapK]] events
+    * (their EARLIEST, by (ts, event_id) — a total order, so the kept
+    * set is deterministic), and the audit reports, per event type, the
+    * uncapped vs capped counts and exact value sums — i.e. how much
+    * mass the cap clips, which bounds any one user's influence on
+    * downstream aggregates.
+    *
+    * Scale shape: the kept side runs through the prune-or-degrade
+    * top-k idiom ([[graft.plans.TopKPerGroup.rankTopK]]) — bounded
+    * per-user heaps with map-side partials, NOT a full per-user sort,
+    * so a power user with millions of events costs O(k) state instead
+    * of a sort spill; the uncapped side is a plain hash aggregate.
+    * Both shuffle once; the final per-type join is |event_types|-sized
+    * and broadcast. Value sums ride DECIMAL(12,2) (exact, order-free).
+    * A type whose every event ranks past the cap survives via the
+    * left-outer + zero fill. `d_contrib_cap`. */
+  def contribCap(spark: SparkSession, dir: String): DataFrame = {
+    val d12 = org.apache.spark.sql.types.DecimalType(12, 2)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value").cast(d12).as("v"), unix_micros(col("ts")).as("us"))
+    val kept = graft.plans.TopKPerGroup.rankTopK(
+      ev, Seq("user_id"), Seq(("us", false), ("event_id", false)), ContribCapK)
+    val keptAgg = kept.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("v")).as("kept_sum"))
+    val allAgg = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("all_sum"))
+    allAgg.join(broadcast(keptAgg), Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n_events"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(col("all_sum"), 2).cast("double").as("sum_value"),
+        coalesce(round(col("kept_sum"), 2).cast("double"), lit(0.0))
+          .as("kept_sum_value"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("n_events").cast("double"), 6).as("kept_share"))
+      .orderBy(col("event_type"))
+  }
+
   /** Sampling temperature for [[temperatureMix]] (the mC4 / XLM-R
     * multilingual value; Conneau et al. 2020 §3.1). */
   val MixTemperature = 0.3
@@ -2060,6 +2103,23 @@ object Dedup {
                   AS realized_factor
          FROM r GROUP BY source, n_docs, f ORDER BY source"""
     },
+    "d_contrib_cap" ->
+      s"""WITH r AS (
+           SELECT event_type, CAST(value AS DECIMAL(12,2)) AS v,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS rnk
+           FROM events)
+         SELECT event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CASE WHEN rnk <= $ContribCapK THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept,
+                CAST(ROUND(SUM(v), 2) AS DOUBLE) AS sum_value,
+                CAST(ROUND(SUM(CASE WHEN rnk <= $ContribCapK THEN v
+                                    ELSE CAST(0 AS DECIMAL(12,2)) END), 2)
+                     AS DOUBLE) AS kept_sum_value,
+                ROUND(CAST(SUM(CASE WHEN rnk <= $ContribCapK THEN 1 ELSE 0 END)
+                             AS DOUBLE) / COUNT(*), 6) AS kept_share
+         FROM r GROUP BY event_type ORDER BY event_type""",
     "d_mix_weights" ->
       """WITH pl AS (
            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2511,6 +2571,7 @@ object Dedup {
     "d_corpus_report" -> (corpusReport _),
     "d_mix_weights"   -> (mixWeights _),
     "d_epoch_schedule" -> (epochSchedule _),
+    "d_contrib_cap"   -> (contribCap _),
     "d_temperature_mix" -> ((s: SparkSession, d: String) => temperatureMix(s, d)),
     "d_source_overlap" -> ((s: SparkSession, d: String) => sourceOverlap(s, d)),
     "d_novelty"       -> (novelty _),

@@ -134,6 +134,41 @@ object Text {
           lit(0L), (acc, x) => acc + x).as("n_subword_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Per-language tokenizer-fertility audit — the "how many subword
+    * pieces does a word cost in each language" table every
+    * multilingual-tokenizer evaluation publishes (high fertility marks
+    * languages the vocabulary underserves, which inflates their
+    * effective sequence lengths and training cost). Reuses
+    * [[tokens]]'s exact whitespace/⌈len/4⌉-subword counts, grouped by
+    * the declared `lang`: doc/token/char totals plus
+    * fertility = subword/word and chars-per-subword ratios.
+    *
+    * Plan shape: one narrow per-doc map (the same codegen'd array fold
+    * `t_tokens` uses — no explode, no UDF) into one |langs|-key hash
+    * aggregate with map-side partials — a single bounded shuffle, flat
+    * at any corpus size. All sums are integers; the two emitted ratios
+    * are single round-6 divisions of those integers, so the oracle
+    * replays them bit-for-bit. `t_fertility`. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    toksOf(Docs.docs(spark, dir))
+      .select(col("lang"), col("n_chars"),
+        size(col("toks")).cast("long").as("ws"),
+        aggregate(
+          transform(col("toks"), t => ceil(length(t) / lit(4.0)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("sub"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("sub")).as("n_subword_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_ws_tokens"),
+        col("n_subword_tokens"), col("n_chars"),
+        round(col("n_subword_tokens").cast("double") /
+          col("n_ws_tokens").cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("n_subword_tokens").cast("double"), 6).as("chars_per_subword"))
+      .orderBy(col("lang"))
+
   /** Lexical-diversity profile — the type/token signals a pretraining
     * quality filter cuts on (template-generated and keyword-stuffed
     * text shows an anomalously LOW type-token ratio; a high hapax share
@@ -1216,6 +1251,23 @@ object Text {
            CAST(list_sum(list_transform(toks,
                 w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_tokens
          FROM t ORDER BY doc_id""",
+    "t_fertility" ->
+      s"""$ToksCte,
+         per AS (
+           SELECT lang, n_chars,
+             CAST(len(toks) AS BIGINT) AS ws,
+             CAST(list_sum(list_transform(toks,
+                  w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS sub
+           FROM t)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+                CAST(SUM(sub) AS BIGINT) AS n_subword_tokens,
+                CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                ROUND(CAST(SUM(sub) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 6)
+                  AS fertility,
+                ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(sub) AS DOUBLE), 6)
+                  AS chars_per_subword
+         FROM per GROUP BY lang ORDER BY lang""",
     "t_ttr" ->
       s"""$ToksCte,
          tf AS (
@@ -1335,6 +1387,7 @@ object Text {
     "t_langid"      -> (langId _),
     "t_quality"     -> (quality _),
     "t_tokens"      -> (tokens _),
+    "t_fertility"   -> (fertility _),
     "t_fingerprint" -> (fingerprint _),
     "t_entropy"     -> (entropy _),
     "t_vocab_topk"  -> ((s: SparkSession, d: String) => vocabTopK(s, d)),

@@ -108,7 +108,60 @@ object Joins {
       .orderBy($"stage")
   }
 
+  /** Cohort retention matrix: users are grouped by the calendar month
+    * of their FIRST event (the cohort), and for each later month the
+    * query reports how many of them were still active — the classic
+    * product-analytics triangle.
+    *
+    * Scale shape: active-months dedup and the first-event argmin both
+    * shuffle on `user_id`, and Catalyst reuses that one exchange for
+    * the cohort join (same key); the month offset is pure integer
+    * arithmetic (year·12+month deltas — no fractional months_between,
+    * which would be calendar-ambiguous cross-engine). The final
+    * cohort-size join is months-count-sized, so it's an explicit
+    * broadcast. Session tz is pinned UTC, so `date_trunc('month')`
+    * agrees with the oracle's naive-timestamp truncation.
+    * `q_cohort_retention`. */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val am = Tables.events(spark, dir)
+      .select($"user_id", to_date(date_trunc("month", $"ts")).as("em"))
+      .distinct()
+    val first = am.groupBy($"user_id").agg(min($"em").as("cohort_month"))
+    val cohortSizes = first.groupBy($"cohort_month")
+      .agg(count(lit(1)).as("n_cohort"))
+    am.join(first, Seq("user_id"))
+      .withColumn("month_offset",
+        ((year($"em") * 12 + month($"em")) -
+          (year($"cohort_month") * 12 + month($"cohort_month"))).cast("long"))
+      .groupBy($"cohort_month", $"month_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSizes), Seq("cohort_month"))
+      .select($"cohort_month", $"month_offset", $"n_active", $"n_cohort",
+        round($"n_active".cast("double") / $"n_cohort".cast("double"), 6)
+          .as("retention"))
+      .orderBy($"cohort_month", $"month_offset")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH am AS (
+           SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS em
+           FROM events),
+         f AS (SELECT user_id, MIN(em) AS cohort_month FROM am GROUP BY user_id),
+         coh AS (SELECT cohort_month, COUNT(*) AS n_cohort FROM f GROUP BY cohort_month),
+         act AS (
+           SELECT f.cohort_month,
+                  CAST((year(em) * 12 + month(em)) -
+                       (year(cohort_month) * 12 + month(cohort_month)) AS BIGINT)
+                    AS month_offset,
+                  COUNT(*) AS n_active
+           FROM am JOIN f USING (user_id) GROUP BY 1, 2)
+         SELECT act.cohort_month, month_offset, n_active, n_cohort,
+                ROUND(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE), 6)
+                  AS retention
+         FROM act JOIN coh USING (cohort_month)
+         ORDER BY cohort_month, month_offset""",
     "q_events_funnel" ->
       """WITH e AS (
            SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
@@ -163,5 +216,6 @@ object Joins {
     "q_asof_join"     -> qAsofJoin _,
     "q_range_join"    -> qRangeJoin _,
     "q_events_funnel" -> qEventsFunnel _,
+    "q_cohort_retention" -> qCohortRetention _,
   )
 }

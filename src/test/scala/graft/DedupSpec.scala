@@ -744,4 +744,30 @@ class DedupSpec extends SparkSpec {
     assert(crossMean > diagMean * 0.5 && crossMean <= 1.0)
     assert(!r.contains(("src1", "src1")), "no within-src1 pair exists")
   }
+
+  test("contrib cap: kept counts equal sum of min(K, per-user events) and match a brute-force earliest-K walk") {
+    import org.apache.spark.sql.functions.unix_micros
+    val ev = rowsOf(Tables.events(spark, SF)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")))
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val k = Dedup.ContribCapK
+    val keptTypes = ev.groupBy(_._1).values.toSeq.flatMap { rows =>
+      rows.sortBy(e => (e._4, e._2)).take(k).map(_._3)
+    }
+    val expectKept = keptTypes.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expectAll = ev.map(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r = rowsOf(Dedup.contribCap(spark, SF))
+    assert(r.map(_.getString(0)).toSet == expectAll.keySet)
+    r.foreach { row =>
+      val t = row.getString(row.fieldIndex("event_type"))
+      assert(row.getLong(row.fieldIndex("n_events")) == expectAll(t))
+      assert(row.getLong(row.fieldIndex("n_kept")) == expectKept.getOrElse(t, 0L))
+      assert(row.getLong(row.fieldIndex("n_kept")) <=
+        row.getLong(row.fieldIndex("n_events")))
+    }
+    val totKept = r.map(_.getLong(r.head.fieldIndex("n_kept"))).sum
+    val expectTot = ev.groupBy(_._1).values.map(rows => math.min(k, rows.size).toLong).sum
+    assert(totKept == expectTot)
+  }
 }

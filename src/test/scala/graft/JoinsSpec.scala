@@ -85,4 +85,37 @@ class JoinsSpec extends SparkSpec {
     assert(byGid(1L).map(_.getLong(iN)).sum == total.head.getLong(iN))
     assert(math.abs(byGid(1L).map(_.getDouble(iQty)).sum - total.head.getDouble(iQty)) < 1e-6)
   }
+
+  test("cohort retention matches a brute-force per-user walk; offset 0 is always 1.0") {
+    val ev = rowsOf(Tables.events(spark, SF)
+      .select(col("user_id"),
+        year(col("ts")) * 12 + month(col("ts")).as("mi")))
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val months = ev.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val cohort = months.view.mapValues(_.min).toMap
+    val expect = months.toSeq
+      .flatMap { case (u, ms) => ms.map(m => (cohort(u), m - cohort(u))) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val r = rowsOf(Joins.qCohortRetention(spark, SF))
+    val iCm = r.head.fieldIndex("cohort_month")
+    val iOff = r.head.fieldIndex("month_offset")
+    val iAct = r.head.fieldIndex("n_active")
+    val iCoh = r.head.fieldIndex("n_cohort")
+    val iRet = r.head.fieldIndex("retention")
+    val got = r.map { row =>
+      val d = row.getDate(iCm).toLocalDate
+      ((d.getYear * 12 + d.getMonthValue, row.getLong(iOff).toInt),
+        row.getLong(iAct))
+    }.toMap
+    assert(got == expect)
+    r.filter(_.getLong(iOff) == 0L).foreach { row =>
+      assert(row.getLong(iAct) == row.getLong(iCoh))
+      assert(row.getDouble(iRet) == 1.0)
+    }
+    val cohortSizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    r.foreach { row =>
+      val d = row.getDate(iCm).toLocalDate
+      assert(row.getLong(iCoh) == cohortSizes(d.getYear * 12 + d.getMonthValue))
+    }
+  }
 }

@@ -672,6 +672,40 @@ class StreamingSpec extends SparkSpec {
         s"arrival $d matches exactly the capped witnesses") }
     assert(hits.forall(_.hamming == 0L))
   }
+
+  test("streaming contribution cap admits exactly the batch earliest-K despite out-of-order arrival") {
+    import spark.implicits._
+    import graft.streaming.ContributionCap
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, Long)]
+    val q = ContributionCap.capStreaming(
+        stream.toDF.toDF("ts", "user_id", "event_id"))
+      .writeStream.format("memory").queryName("cap_sink")
+      .outputMode("append").start()
+    try {
+      // user 1: seven events delivered OUT OF ORDER — only the five
+      // EARLIEST (by event time, not arrival) may admit, in rank order
+      stream.addData((ts(0, 30), 1L, 3L), (ts(0, 10), 1L, 1L), (ts(0, 20), 1L, 2L))
+      q.processAllAvailable()
+      assert(spark.table("cap_sink").count() == 0, "wm has not passed anything yet")
+      stream.addData((ts(0, 50), 1L, 5L), (ts(0, 40), 1L, 4L),
+        (ts(1, 0), 1L, 6L), (ts(1, 10), 1L, 7L), (ts(3, 0), 2L, 90L))
+      q.processAllAvailable() // wm → 2:00: all user-1 events ready
+      val got1 = spark.table("cap_sink").filter("user_id = 1").collect()
+        .map(r => (r.getLong(1), r.getLong(3))).toSet
+      assert(got1 == Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L)),
+        "earliest five admit with batch-identical ranks; 6 and 7 are dropped")
+      // a capped user's late re-arrival must NOT re-open the budget
+      stream.addData((ts(1, 30), 1L, 8L), (ts(9, 0), 3L, 99L))
+      q.processAllAvailable() // wm → 8:00: user 2's held event admits
+      assert(spark.table("cap_sink").filter("user_id = 1").count() == 5)
+      val got2 = spark.table("cap_sink").filter("user_id = 2").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got2 == Seq((90L, ts(3, 0).getTime / 1000, 1L)))
+      assert(spark.table("cap_sink").filter("user_id = 3").count() == 0,
+        "user 3's event is still inside the watermark horizon")
+    } finally q.stop()
+  }
 }
 
 /** Minimal GroupState stub for driving a state function directly. */

@@ -434,4 +434,29 @@ class TextPipelineSpec extends SparkSpec {
     val b = r(1L)
     assert(b.getLong(b.fieldIndex("n_sents")) == 1L) // floored, no [.!?]
   }
+
+  test("fertility reconciles with t_tokens per-doc counts grouped by lang") {
+    val perDoc = rowsOf(Text.tokens(spark, SF))
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val langOf = rowsOf(graft.pipeline.Docs.docs(spark, SF)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang")))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = perDoc.toSeq.groupBy { case (id, _) => langOf(id) }
+      .view.mapValues { xs =>
+        (xs.size.toLong, xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+      }.toMap
+    val r = rowsOf(Text.fertility(spark, SF))
+    assert(r.map(_.getString(0)).toSet == expect.keySet)
+    r.foreach { row =>
+      val (nDocs, ws, sub) = expect(row.getString(row.fieldIndex("lang")))
+      assert(row.getLong(row.fieldIndex("n_docs")) == nDocs)
+      assert(row.getLong(row.fieldIndex("n_ws_tokens")) == ws)
+      assert(row.getLong(row.fieldIndex("n_subword_tokens")) == sub)
+      val fert = row.getDouble(row.fieldIndex("fertility"))
+      assert(fert == BigDecimal(sub.toDouble / ws)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(fert >= 1.0, "a word is at least one subword piece")
+    }
+  }
 }
