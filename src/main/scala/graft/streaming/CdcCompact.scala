@@ -79,9 +79,14 @@ object CdcCompact {
       .as[(java.sql.Timestamp, Long, Long, Long, String, Double)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[KeyVersion, CompactedRow](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(java.sql.Timestamp, Long, Long, Long, String, Double)],
-         state: GroupState[KeyVersion]) =>
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(compactUpdate)
+  }
+
+  /** The per-key state transition — named so the spec can drive it
+    * against a watermark-enforcing [[GroupState]] directly. */
+  private[graft] def compactUpdate(
+      user: Long, rows: Iterator[(java.sql.Timestamp, Long, Long, Long, String, Double)],
+      state: GroupState[KeyVersion]): Iterator[CompactedRow] =
           if (state.hasTimedOut) {
             val v = state.get
             state.remove()
@@ -105,12 +110,17 @@ object CdcCompact {
             }
             v.foreach { cur =>
               state.update(cur)
-              state.setTimeoutTimestamp((cur.sec + QuiesceSec) * 1000L)
+              // clamp ahead of the watermark: a straggler arriving
+              // > QuiesceSec past the watermark for an evicted key
+              // would otherwise set a timeout <= wm, which throws (the
+              // funnel-family lesson); firing one trigger later emits
+              // the same compacted version
+              state.setTimeoutTimestamp(
+                math.max((cur.sec + QuiesceSec) * 1000L,
+                  state.getCurrentWatermarkMs() + 1000L))
             }
             Iterator.empty
           }
-      }
-  }
 
   /** SCD2 interval emission — the HISTORY complement of the
     * [[latestBatch]] snapshot: every version of a key becomes a
@@ -130,7 +140,11 @@ object CdcCompact {
     *     The open tail persists (state is |keys| + in-flight versions
     *     — the SCD2 contract: a dimension's key space is bounded);
     *     the event-time timeout re-arms at the earliest pending
-    *     boundary so intervals close even when the key goes quiet. */
+    *     boundary so intervals close even when the key goes quiet.
+    *     Versions arriving with event time at or below the watermark
+    *     are dropped on entry — the stream/batch divergence bound:
+    *     emitted history never overlaps, and equality with
+    *     [[scd2Batch]] holds for reordering within the 1 h horizon. */
   def scd2Batch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
@@ -159,12 +173,25 @@ object CdcCompact {
       .as[(java.sql.Timestamp, Long, Long, Long, Double)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Scd2State, Scd2Row](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Double)],
-         state: GroupState[Scd2State]) =>
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(scd2Update)
+  }
+
+  /** The per-key state transition — named so the spec can drive it
+    * against a watermark-enforcing [[GroupState]] directly. */
+  private[graft] def scd2Update(
+      user: Long, rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Double)],
+      state: GroupState[Scd2State]): Iterator[Scd2Row] = {
           val wmSec = state.getCurrentWatermarkMs() / 1000L
+          // beyond-watermark versions are DROPPED on entry
+          // (flatMapGroupsWithState does not auto-filter late rows): a
+          // version arriving after its successors were closed would
+          // re-sort ahead of the open tail and emit an interval
+          // overlapping history already written to the sink. The drop
+          // is the stream/batch divergence bound — within the 1 h
+          // horizon the emitted intervals equal the batch LEAD plan;
+          // later data is discarded, never emitted inconsistently
           val pending = state.getOption.map(_.versions).getOrElse(Seq.empty) ++
-            rows.map(r => (r._3, r._4, r._5))
+            rows.map(r => (r._3, r._4, r._5)).filter(_._1 > wmSec)
           val sorted = pending.sortBy(v => (v._1, v._2))
           // close every interval whose SUCCESSOR the watermark has passed
           var cut = 0
@@ -181,7 +208,6 @@ object CdcCompact {
             if (keep.length >= 2) state.setTimeoutTimestamp(keep(1)._1 * 1000L)
           } else state.remove()
           closed.iterator
-      }
   }
 
   val oracle: Map[String, String] = Map(

@@ -119,6 +119,34 @@ object Funnel {
     }
   }
 
+  /** The per-key state transition — named so the spec can drive it
+    * against a watermark-enforcing [[GroupState]] directly. */
+  private[graft] def funnelUpdate(
+      user: Long, rows: Iterator[(java.sql.Timestamp, Long, String, Long)],
+      state: GroupState[FunnelState]): Iterator[FunnelEpisode] =
+    if (state.hasTimedOut) {
+      val evs = state.get.events
+      state.remove()
+      episodesOf(user, evs).iterator
+    } else {
+      val buf = state.getOption.map(_.events).getOrElse(Seq.empty) ++
+        rows.map(r => (r._4, r._3))
+      state.update(FunnelState(buf))
+      // flush once the watermark proves no event can extend the newest
+      // buffered episode. The operator drops rows below the LATE-EVENTS
+      // watermark, but a row between the late-events and EVICTION
+      // watermarks (they differ across consecutive non-idle batches)
+      // still reaches here with event time below getCurrentWatermarkMs —
+      // unclamped, max+gap can land at/below the eviction watermark and
+      // setTimeoutTimestamp(<= wm) throws, killing the query. Clamp
+      // forward: the buffer is re-sorted at flush, so firing one
+      // trigger later never changes the emitted episodes.
+      state.setTimeoutTimestamp(
+        math.max((buf.map(_._1).max + EpisodeGapSec) * 1000L,
+          state.getCurrentWatermarkMs() + 1000L))
+      Iterator.empty
+    }
+
   /** Streaming path: buffer per user until the watermark proves the
     * episode gap elapsed, then emit every buffered episode and evict.
     * `events` must carry (ts: timestamp, user_id, event_type). */
@@ -132,24 +160,7 @@ object Funnel {
       .as[(java.sql.Timestamp, Long, String, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[FunnelState, FunnelEpisode](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(java.sql.Timestamp, Long, String, Long)],
-         state: GroupState[FunnelState]) =>
-          if (state.hasTimedOut) {
-            val evs = state.get.events
-            state.remove()
-            episodesOf(user, evs).iterator
-          } else {
-            val buf = state.getOption.map(_.events).getOrElse(Seq.empty) ++
-              rows.map(r => (r._4, r._3))
-            state.update(FunnelState(buf))
-            // flush once the watermark proves no event can extend the
-            // newest buffered episode (timeout ≥ watermark holds: every
-            // accepted event has ts ≥ watermark − lateness)
-            state.setTimeoutTimestamp((buf.map(_._1).max + EpisodeGapSec) * 1000L)
-            Iterator.empty
-          }
-      }
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(funnelUpdate)
   }
 
   val oracle: Map[String, String] = Map(

@@ -83,9 +83,14 @@ object Sessionize {
       .as[(java.sql.Timestamp, Long, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(java.sql.Timestamp, Long, Long)],
-         state: GroupState[OpenSession]) =>
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionUpdate)
+  }
+
+  /** The per-key state transition — named so the spec can drive it
+    * against a watermark-enforcing [[GroupState]] directly. */
+  private[graft] def sessionUpdate(
+      user: Long, rows: Iterator[(java.sql.Timestamp, Long, Long)],
+      state: GroupState[OpenSession]): Iterator[ClosedSession] =
           if (state.hasTimedOut) {
             // watermark passed start-of-gap + 30 min: flush and evict
             val s = state.get
@@ -139,13 +144,18 @@ object Sessionize {
             flushStrag()
             open.foreach { s =>
               state.update(s)
-              // flush when the watermark proves the gap elapsed
-              state.setTimeoutTimestamp((s.last_sec + GapSec) * 1000L)
+              // flush when the watermark proves the gap elapsed; clamp
+              // the timeout ahead of the watermark — a straggler inside
+              // the open session's gap can leave last_sec + gap at or
+              // below the current watermark, and setTimeoutTimestamp(<=
+              // wm) throws (the funnel-family lesson); firing one
+              // trigger later flushes the same session bounds
+              state.setTimeoutTimestamp(
+                math.max((s.last_sec + GapSec) * 1000L,
+                  state.getCurrentWatermarkMs() + 1000L))
             }
             closed.result().iterator
           }
-      }
-  }
 
   val oracle: Map[String, String] = Map(
     // µs-precision gap sessionization; session end = last event + gap

@@ -206,6 +206,13 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set(
         (h(0, 10), h(0, 40), 1L, 10.0),
         (h(0, 40), h(1, 20), 2L, 20.0))) // t3 stays open — never emitted
+      // regression (r15 ADVICE): a version arriving BELOW the watermark
+      // (wm is 8:00 here) used to re-sort ahead of the open tail and
+      // emit an interval overlapping the history above — it must drop
+      stream.addData((ts(0, 20), 1L, 10L, 99.0), (ts(10, 0), 99L, 92L, 0.0))
+      q.processAllAvailable()
+      assert(spark.table("scd2_sink").filter("user_id = 1").count() == 2,
+        "beyond-watermark version is dropped, history never overlaps")
       // equality with the batch plan's CLOSED intervals on the same rows
       val batchEvents = Seq(
         (ts(0, 10), 1L, 1L, 10.0), (ts(0, 40), 1L, 2L, 20.0), (ts(1, 20), 1L, 3L, 30.0))
@@ -264,6 +271,54 @@ class StreamingSpec extends SparkSpec {
         assert(got.get(k).contains(v), s"episode $k: stream=${got.get(k)} batch=$v")
       }
     } finally q.stop()
+  }
+
+  test("stateful timeouts clamp ahead of the eviction watermark (r15 ADVICE)") {
+    // The operator drops rows below the LATE-EVENTS watermark, but a row
+    // between the late-events and EVICTION watermarks (consecutive
+    // non-idle batches) reaches the state function with event time below
+    // getCurrentWatermarkMs. Unclamped, last+gap lands at/below the
+    // watermark and GroupStateImpl.setTimeoutTimestamp throws, killing
+    // the whole query. Drive each named state function directly against
+    // a GroupState that enforces the real timeout contract.
+    import graft.streaming.{Funnel, FunnelState, Sessionize, OpenSession,
+      CdcCompact, KeyVersion}
+    val wm = ts(11, 0).getTime // eviction watermark: 11:00
+    val sec5 = ts(5, 0).getTime / 1000
+    val stF = new WatermarkedGroupState[FunnelState](wm)
+    assert(Funnel.funnelUpdate(5L,
+      Iterator((ts(5, 0), 5L, "view", sec5)), stF).isEmpty)
+    assert(stF.timeoutMs > wm, "funnel timeout clamps ahead of the watermark")
+    val stS = new WatermarkedGroupState[OpenSession](wm)
+    assert(Sessionize.sessionUpdate(5L,
+      Iterator((ts(5, 0), 5L, sec5)), stS).isEmpty)
+    assert(stS.timeoutMs > wm, "session timeout clamps ahead of the watermark")
+    val stC = new WatermarkedGroupState[KeyVersion](wm)
+    assert(CdcCompact.compactUpdate(5L,
+      Iterator((ts(5, 0), 5L, sec5, 7L, "click", 1.0)), stC).isEmpty)
+    assert(stC.timeoutMs > wm, "compactor timeout clamps ahead of the watermark")
+  }
+
+  test("SCD2 and contribution-cap state functions drop beyond-watermark rows (r15 ADVICE)") {
+    import graft.streaming.{CdcCompact, Scd2State, ContributionCap, CapState}
+    val wm = ts(11, 0).getTime
+    // a version below the watermark used to re-sort ahead of the open
+    // tail and emit an interval overlapping already-written history
+    val open = Seq((ts(7, 0).getTime / 1000, 1L, 1.0))
+    val stV = new WatermarkedGroupState[Scd2State](wm)
+    stV.update(Scd2State(open))
+    val outV = CdcCompact.scd2Update(1L,
+      Iterator((ts(0, 20), 1L, ts(0, 20).getTime / 1000, 10L, 99.0)), stV).toSeq
+    assert(outV.isEmpty, "no overlapping interval is emitted")
+    assert(stV.value.versions == open, "the open tail is untouched")
+    // a beyond-horizon event for a not-yet-capped user used to be
+    // admitted immediately with the next rank, out of event-time order
+    val stK = new WatermarkedGroupState[CapState](wm)
+    stK.update(CapState(1L, Seq.empty))
+    val outK = ContributionCap.capUpdate(2L,
+      Iterator((ts(1, 0), 2L, ts(1, 0).getTime * 1000L, 91L)), stK).toSeq
+    assert(outK.isEmpty, "beyond-watermark event is dropped, not admitted")
+    assert(stK.value.nAdmitted == 1L && stK.value.pending.isEmpty)
   }
 
   test("windowed top-k: dense ranks per window, streaming sums match the batch kernel") {
@@ -701,9 +756,17 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("cap_sink").filter("user_id = 1").count() == 5)
       val got2 = spark.table("cap_sink").filter("user_id = 2").collect()
         .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-      assert(got2 == Seq((90L, ts(3, 0).getTime / 1000, 1L)))
+      assert(got2 == Seq((90L, ts(3, 0).getTime * 1000L, 1L)))
       assert(spark.table("cap_sink").filter("user_id = 3").count() == 0,
         "user 3's event is still inside the watermark horizon")
+      // regression (r15 ADVICE): a beyond-horizon arrival for a
+      // NOT-yet-capped user (user 2 has 1 of 5 admitted) must be
+      // dropped, not admitted with the next rank out of event-time
+      // order — the earliest-K invariant is scoped to the horizon
+      stream.addData((ts(1, 0), 2L, 91L))
+      q.processAllAvailable() // wm is 8:00; 1:00 is beyond the horizon
+      assert(spark.table("cap_sink").filter("user_id = 2").count() == 1,
+        "beyond-watermark event is dropped on entry")
     } finally q.stop()
   }
 }
@@ -726,4 +789,18 @@ class TestGroupState[S] extends org.apache.spark.sql.streaming.GroupState[S] {
   override def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
   override def getCurrentWatermarkMs(): Long = 0L
   override def getCurrentProcessingTimeMs(): Long = 0L
+}
+
+/** [[TestGroupState]] that simulates GroupStateImpl's event-time
+  * contract: the current watermark is `wmMs`, and a timeout set at or
+  * below it throws IllegalArgumentException (the real operator's
+  * behavior — the clamp-regression tests rely on it). */
+class WatermarkedGroupState[S](wmMs: Long) extends TestGroupState[S] {
+  var timeoutMs: Long = Long.MinValue
+  override def getCurrentWatermarkMs(): Long = wmMs
+  override def setTimeoutTimestamp(ms: Long): Unit = {
+    require(ms > wmMs,
+      s"Timeout timestamp ($ms) cannot be earlier than the current watermark ($wmMs)")
+    timeoutMs = ms
+  }
 }
