@@ -69,6 +69,32 @@ object ScaleBenchC {
         pmod(col("id"), lit(25L)).cast("int").as("label"))
   }
 
+  /** Deterministic synthetic `events` at `n` rows (sf0.1 = 100 000) —
+    * the stress shape of the event-keyed family: user 0 is a planted
+    * POWER USER holding 5% of ALL events (the skew the contribution
+    * cap's bounded heap and the cohort matrix's user shuffle must
+    * absorb); everyone else spreads hash-uniform over n/50 users;
+    * timestamps spread hash-uniform over six months of 2024 at
+    * microsecond grain (so month-cohorting and µs tie-breaks both get
+    * exercised). */
+  def syntheticEvents(spark: SparkSession, n: Long): DataFrame = {
+    val user = when(col("id") % 20 === 0, lit(0L))
+      .otherwise(pmod(md5Hash60(concat_ws("|", col("id"), lit("u"))),
+        lit(math.max(1L, n / 50))))
+    val us = lit(1704067200000000L) + // 2024-01-01T00:00Z in micros
+      pmod(md5Hash60(concat_ws("|", col("id"), lit("t"))),
+        lit(15552000000000L)) // 180 days
+    val tBucket = pmod(md5Hash60(concat_ws("|", col("id"), lit("e"))), lit(4L))
+    spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_micros(us).as("ts"),
+      user.as("user_id"),
+      when(tBucket === 0, "click").when(tBucket === 1, "view")
+        .when(tBucket === 2, "signup").otherwise("purchase").as("event_type"),
+      (pmod(md5Hash60(concat_ws("|", col("id"), lit("v"))), lit(10000L))
+        .cast("double") / 100.0).as("value"))
+  }
+
   private val Dim = pipeline.Similarity.Dim
 
   def main(args: Array[String]): Unit = {
@@ -86,11 +112,14 @@ object ScaleBenchC {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val nEvents = 100000L * factor
     val dir = s"target/scale_c_$factor"
     syntheticDocs(spark, nDocs).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     syntheticEmbeddings(spark, nVecs).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    syntheticEvents(spark, nEvents).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     // optional comma-separated operator filter (validated like
     // [[ScaleBench]]'s — a misspelled name fails loudly), so one
@@ -141,6 +170,15 @@ object ScaleBenchC {
     timed("d_incremental_simhash") { pipeline.Dedup.incrementalSimhash(spark, dir) }
     timed("st_simhash_screen") { streaming.FingerprintScreen.screenBatch(spark, dir) }
     timed("st_minhash_screen") { streaming.FingerprintScreen.minhashScreenBatch(spark, dir) }
+    // r16: the event-keyed family under the planted power-user skew,
+    // the doc-keyed epoch schedule, and the FORCED bucketed eps-graph
+    // path of dbscan (maxExact = 0 — the branch a >MaxExactVectors
+    // corpus takes; the registered default stays exact at test SF)
+    timed("d_contrib_cap") { pipeline.Dedup.contribCap(spark, dir) }
+    timed("st_contrib_cap") { streaming.ContributionCap.capBatch(spark, dir) }
+    timed("q_cohort_retention") { relational.Joins.qCohortRetention(spark, dir) }
+    timed("d_epoch_schedule") { pipeline.Dedup.epochSchedule(spark, dir) }
+    timed("s_dbscan") { pipeline.Similarity.dbscan(spark, dir, maxExact = 0L) }
 
     only.foreach { names =>
       val unknown = names -- allOps

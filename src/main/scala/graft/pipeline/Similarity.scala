@@ -104,6 +104,124 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  // ---- gated eps-pair layer (dbscan / linkage census) -----------------
+
+  /** Eps-index shape — dedicated sign-LSH planes for the LOW-threshold
+    * pair generation the density operators need, deliberately SHALLOWER
+    * and WIDER than the top-k ANN index ([[BitsPerTable]]×[[NumTables]]
+    * = 8×6): per-table collision probability of a cos-τ pair is
+    * (1 − θ/π)^bits with θ = acos τ, and at τ = 0.3 that is 0.597^bits —
+    * the 8-bit ANN tables collapse to a measured 0.13 eps-pair recall,
+    * while 4 bits × 16 tables lands at 0.73 (τ=0.3) / 0.80 (τ=0.4) on
+    * the driver corpus. The trade is candidate volume: 4-bit tables
+    * have 16 buckets each, so the per-bucket membership cap
+    * ([[EpsBucketCap]]) is what keeps the self-join bounded under any
+    * skew. At 100 TB this is the knob pair a deployment re-tunes per
+    * corpus: bits up as |bucket| grows (≈ log₂(n / targetBucket)),
+    * tables up to recover recall (L ≈ ln(1/missRate) / p^bits) — the
+    * standard (ρ = ln p₁ / ln p₂) sign-LSH budget; a low-τ eps-graph at
+    * corpus scale is APPROXIMATE by nature, and the measured-recall
+    * contract (the `s_range_search` / `d_lsh_recall` family convention)
+    * is the honest one. */
+  private val EpsBitsPerTable = 4
+  private val EpsNumTables = 16
+
+  /** Disjoint LCG stream offset for the eps-index hyperplanes (the
+    * [[MipsSeedBase]] convention — shared planes would correlate the
+    * indexes and void the independent-trials recall math). */
+  private val EpsSeedBase = 200000L
+
+  /** Per-(table, bucket) membership cap for the eps-pair self-join —
+    * the [[KnnBucketCap]] idiom at the wider-bucket shape: a collapsed
+    * bucket degrades recall gracefully instead of going quadratic
+    * (≤ C(cap, 2) pairs per key). The occupancy-targeted bits
+    * ([[epsBitsFor]]) keep the MEAN bucket at ≈ this size, so the cap
+    * only clips skew tails (near-dup pile-ups), never the typical
+    * bucket. */
+  val EpsBucketCap = 256
+
+  /** Occupancy-targeted table depth: bits ≈ log₂(n / [[EpsBucketCap]]),
+    * floored at [[EpsBitsPerTable]]. Fixed-depth tables die at scale in
+    * one of two ways — too few bits and every bucket exceeds the cap
+    * (the hash-sample then discards almost all members, recall → 0 even
+    * for cos-0.99 twins); too many and low-cos recall vanishes at ANY
+    * size. Growing depth with n keeps buckets at the cap's size, which
+    * preserves recall where the density mass lives (a cos-0.98 pair
+    * collides per-table at 0.98^bits ≈ 0.8 even at 10 bits) while
+    * boundary-cos recall decays on the published sign-LSH budget — the
+    * approximate-DBSCAN trade, documented and spec-measured. */
+  private[graft] def epsBitsFor(n: Long): Int =
+    math.max(EpsBitsPerTable,
+      math.ceil(math.log(math.max(1L, n / EpsBucketCap).toDouble) /
+        math.log(2.0)).toInt)
+
+  /** [[hpComponent]]'s LCG on the eps-index stream; the stride carries
+    * the table depth so every (bits, t, j, d) is deterministic. */
+  private def epsHpComponent(bits: Int, t: Int, j: Int, d: Int): Double = {
+    val i = EpsSeedBase + ((t.toLong * bits + j) * Dim + d) + 1L
+    ((1103515245L * i + 12345L) % HpMod).toDouble / HpMod.toDouble - 0.5
+  }
+
+  private def epsPlanes(bits: Int): IndexedSeq[IndexedSeq[Array[Double]]] =
+    IndexedSeq.tabulate(EpsNumTables)(t => IndexedSeq.tabulate(bits)(j =>
+      Array.tabulate(Dim)(d => epsHpComponent(bits, t, j, d))))
+
+  /** Per-vector eps-index buckets — [[buckets]] on the eps planes. */
+  private def epsBuckets(v: DataFrame, bits: Int): DataFrame = {
+    val planes = epsPlanes(bits)
+    val tableBuckets = (0 until EpsNumTables).map { t =>
+      val bitCols = (0 until bits).map { j =>
+        val h = array(planes(t)(j).toIndexedSeq.map(lit): _*)
+        when(arrayDot(col("v"), h) > 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("table"), bitCols.reduce(_ + _).as("bucket"))
+    }
+    v.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** LSH-bucketed eps-pair generation — the 100 TB path of the
+    * [[epsPairs]] gate: candidates meet only in a shared eps-index
+    * (table, bucket) key (bucket-local shuffle, membership hash-capped
+    * at `cap` via the fleet [[cappedBuckets]] idiom — NEVER all-pairs),
+    * then every candidate is EXACTLY rescored and thresholded, so
+    * precision is 1.0 by construction (output ⊆ the exact pair set,
+    * with identical rounded cosines) and recall is the measured,
+    * spec-pinned quantity of the index shape above. Output contract
+    * matches [[embeddingNearDup]]: canonical (a < b, cos_sim). */
+  private[graft] def epsPairsBucketed(spark: SparkSession, dir: String,
+      minCos: Double, cap: Int = EpsBucketCap,
+      bits: Int = EpsBitsPerTable): DataFrame = {
+    val v = vectors(spark, dir).localCheckpoint(true)
+    val b = epsBuckets(v, bits).localCheckpoint(true)
+    val out = knnCandidates(b, cap)
+      .join(v.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na")), Seq("a"))
+      .join(v.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(arrayDot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+      .localCheckpoint(true)
+    graft.graph.Algorithms.releaseIterate(v)
+    graft.graph.Algorithms.releaseIterate(b)
+    out
+  }
+
+  /** The gated eps-pair layer feeding [[dbscan]] and [[linkageCensus]]
+    * — the CSR-image-gate idiom (squareCount / neighborJaccard) applied
+    * to the pair generator: at or below `maxExact` vectors the exact
+    * sf-bounded baseline ([[embeddingNearDup]]) supplies ALL pairs ≥
+    * `minCos`; above it the plan DEGRADES GRACEFULLY to the
+    * LSH-bucketed generator ([[epsPairsBucketed]]) instead of refusing
+    * to run — approximate DBSCAN / single-linkage, the published
+    * corpus-scale practice, with precision 1.0 and spec-measured
+    * recall. One metadata-cheap count decides the branch. */
+  private[graft] def epsPairs(spark: SparkSession, dir: String, minCos: Double,
+      maxExact: Long = MaxExactVectors): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    if (n <= maxExact) embeddingNearDup(spark, dir, minCos)
+    else epsPairsBucketed(spark, dir, minCos, bits = epsBitsFor(n))
+  }
+
   /** DBSCAN over the embedding set, with the eps-neighbourhood defined
     * on rounded cosine similarity (cos ≥ `epsCos`) — the density
     * clustering a curation pipeline runs where k-means' fixed k and
@@ -118,21 +236,24 @@ object Similarity {
     * scan-order-dependent — min is the order-free choice the oracle
     * can replay); everything else is noise (cluster −1).
     *
-    * Scale shape: the eps-graph comes from [[embeddingNearDup]] — the
-    * sf-bounded exact baseline; at 100 TB swap in the LSH-bucketed
-    * pair generator ([[lshAnn]]'s candidate join + exact rescore,
-    * i.e. approximate DBSCAN) — everything downstream of `pairs` is
-    * already distributed: one degree count, two semi-joins, the CC
-    * kernel, one border min-agg. The pair list is checkpointed once
+    * Scale shape: the eps-graph comes from the [[epsPairs]] gate —
+    * exact below `maxExact` vectors, LSH-bucketed + exact-rescore
+    * above it (approximate DBSCAN with precision-1.0 edges and
+    * spec-measured recall) — and everything downstream of `pairs` is
+    * distributed at any scale: one degree count, two semi-joins, the
+    * CC kernel, one border min-agg. The pair list is checkpointed once
     * and feeds all three consumers. `s_dbscan`. */
   val DbscanEpsCos = 0.3
   val DbscanMinPts = 4
 
   def dbscan(spark: SparkSession, dir: String, epsCos: Double = DbscanEpsCos,
-             minPts: Int = DbscanMinPts): DataFrame = {
-    val pairs = embeddingNearDup(spark, dir, epsCos)
+             minPts: Int = DbscanMinPts,
+             maxExact: Long = MaxExactVectors): DataFrame = {
+    val eps = epsPairs(spark, dir, epsCos, maxExact)
+    val pairs = eps
       .select(col("a"), col("b"))
       .localCheckpoint(true) // three consumers: degrees, core edges, borders
+    graft.graph.Algorithms.releaseIterate(eps) // bucketed-path inner checkpoint
     val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("n_nbrs"))
     val cores = deg.filter(col("n_nbrs") + 1 >= minPts).select(col("id"))
@@ -172,17 +293,21 @@ object Similarity {
     * Census columns are label-invariant integers, so the oracle
     * replays each cut with an independent recursive CC. Per-cut label
     * checkpoints are released once the unioned census materializes
-    * (the r14 sweep-release lesson). The pair layer is
-    * [[embeddingNearDup]] — sf-bounded exact; at 100 TB swap the
-    * LSH-bucketed generator, everything downstream is already
-    * incremental. `s_linkage_census`. */
+    * (the r14 sweep-release lesson). The pair layer is the
+    * [[epsPairs]] gate — exact below `maxExact` vectors, LSH-bucketed
+    * + exact-rescore above it (each cut's census then summarizes the
+    * recalled eps-graph; precision of every edge is 1.0); everything
+    * downstream is already incremental. `s_linkage_census`. */
   val LinkageCuts: Seq[Double] = Seq(0.40, 0.35, 0.30) // strict → loose
 
-  def linkageCensus(spark: SparkSession, dir: String): DataFrame = {
+  def linkageCensus(spark: SparkSession, dir: String,
+                    maxExact: Long = MaxExactVectors): DataFrame = {
     import graft.graph.Algorithms
-    val pairs = embeddingNearDup(spark, dir, LinkageCuts.min)
+    val eps = epsPairs(spark, dir, LinkageCuts.min, maxExact)
+    val pairs = eps
       .select(col("a"), col("b"), col("cos_sim"))
       .localCheckpoint(true) // one band filter per cut below
+    Algorithms.releaseIterate(eps) // bucketed-path inner checkpoint
     val nodes = vectors(spark, dir).select(col("vec_id").as("id"))
     var prev: DataFrame = null
     var prevCut = 2.0 // above any cosine

@@ -513,4 +513,54 @@ class SimilaritySpec extends SparkSpec {
     assert(out(4L) == (("border", 0L)))
     assert(out(5L) == (("noise", -1L)))
   }
+
+  test("eps-pair gate: bucketed pairs are a subset of exact with identical cosines, recall pinned") {
+    // parity below the bound: the bucketed generator's every pair must
+    // appear in the exact set with the SAME rounded cosine (precision
+    // 1.0 by construction — candidates are exactly rescored), and the
+    // eps-index shape must clear its measured recall floor at both the
+    // dbscan eps and the strictest linkage cut
+    val exact = rowsOf(Similarity.embeddingNearDup(spark, SF, Similarity.DbscanEpsCos))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bucketed = rowsOf(Similarity.epsPairsBucketed(spark, SF, Similarity.DbscanEpsCos))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    bucketed.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos),
+        s"bucketed pair $pair cos $cos must match exact ${exact.get(pair)}")
+    }
+    val recall03 = bucketed.size.toDouble / exact.size
+    assert(recall03 >= 0.6, s"eps recall at τ=0.3: $recall03 (measured 0.73 at the 16×4 shape)")
+    val exact04 = exact.filter(_._2 >= 0.4)
+    val recall04 = bucketed.count(_._2 >= 0.4).toDouble / exact04.size
+    assert(recall04 >= 0.7, s"eps recall at τ=0.4: $recall04 (measured 0.80 at the 16×4 shape)")
+  }
+
+  test("dbscan above the gate degrades to the bucketed eps-graph instead of refusing") {
+    // force the bucketed branch (maxExact = 0) on the full sf0.001
+    // corpus: the operator must RUN (no driver collect, no require) and
+    // agree with the exact plan on the overwhelming share of role
+    // assignments — the recalled eps-graph only loses boundary pairs
+    val exact = rowsOf(Similarity.dbscan(spark, SF))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val approx = rowsOf(Similarity.dbscan(spark, SF, maxExact = 0L))
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(approx.size == exact.size, "every vector is labeled")
+    assert(approx.values.forall(Set("core", "border", "noise")))
+    val agree = exact.count { case (id, role) => approx(id) == role }
+    assert(agree.toDouble / exact.size >= 0.7,
+      s"role agreement $agree/${exact.size} under the recalled eps-graph")
+  }
+
+  test("linkage census above the gate emits the same ladder shape from the bucketed eps-graph") {
+    val rows = rowsOf(Similarity.linkageCensus(spark, SF, maxExact = 0L))
+      .sortBy(-_.getDouble(0))
+    assert(rows.length == Similarity.LinkageCuts.length)
+    rows.sliding(2).foreach {
+      case Seq(strict, loose) =>
+        assert(loose.getAs[Long]("n_singletons") <= strict.getAs[Long]("n_singletons"))
+        assert(loose.getAs[Long]("largest_size") >= strict.getAs[Long]("largest_size"))
+        assert(loose.getAs[Long]("n_clustered") >= strict.getAs[Long]("n_clustered"))
+      case _ =>
+    }
+  }
 }
