@@ -95,6 +95,22 @@ object ScaleBenchC {
         .cast("double") / 100.0).as("value"))
   }
 
+  /** Deterministic synthetic `lineitem` at `n` rows (sf0.1 = 60 000) —
+    * just the two columns [[relational.Tpch.qBasketPairs]] reads.
+    * Order 0 is a planted MEGA-BASKET of 5 000 distinct items
+    * (uncapped, that one key alone is ~12.5 M candidate pairs — the
+    * skew bomb the per-basket cap defuses to C(64, 2)); every other
+    * order carries ~6 hash-uniform items from a 20 k-part catalog. */
+  def syntheticLineitem(spark: SparkSession, n: Long): DataFrame = {
+    val mega = spark.range(5000)
+      .select(lit(0L).as("l_orderkey"), (col("id") + 1000000L).as("l_partkey"))
+    val normal = spark.range(n)
+      .select((pmod(col("id"), lit(math.max(1L, n / 6))) + 1L).as("l_orderkey"),
+        pmod(md5Hash60(concat_ws("|", col("id"), lit("p"))), lit(20000L))
+          .as("l_partkey"))
+    normal.union(mega)
+  }
+
   private val Dim = pipeline.Similarity.Dim
 
   def main(args: Array[String]): Unit = {
@@ -120,6 +136,8 @@ object ScaleBenchC {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     syntheticEvents(spark, nEvents).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    syntheticLineitem(spark, 60000L * factor).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
 
     // optional comma-separated operator filter (validated like
     // [[ScaleBench]]'s — a misspelled name fails loudly), so one
@@ -179,6 +197,7 @@ object ScaleBenchC {
     timed("q_cohort_retention") { relational.Joins.qCohortRetention(spark, dir) }
     timed("d_epoch_schedule") { pipeline.Dedup.epochSchedule(spark, dir) }
     timed("s_dbscan") { pipeline.Similarity.dbscan(spark, dir, maxExact = 0L) }
+    timed("q_basket_pairs") { relational.Tpch.qBasketPairs(spark, dir) }
 
     only.foreach { names =>
       val unknown = names -- allOps

@@ -137,6 +137,28 @@ object Algorithms {
       case _ => ()
     }
 
+  /** Unpersist every persisted RDD in the frame's FULL RDD lineage —
+    * the release for [[freshStats]]-wrapped checkpoints, whose plan's
+    * LogicalRDD holds a derived (unpersisted) RDD with the pinned
+    * checkpoint one or two parents up, where [[releaseIterate]]'s
+    * plan-local walk cannot see it. Only for frames the caller owns
+    * OUTRIGHT (a shared upstream checkpoint would be yanked from other
+    * consumers); [[releaseIterate]] stays the default. */
+  private[graft] def releaseLineage(df: DataFrame): Unit =
+    if (df != null) {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      def walk(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+        if (seen.add(rdd.id)) {
+          if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+            rdd.unpersist(blocking = false)
+          rdd.dependencies.foreach(d => walk(d.rdd))
+        }
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => walk(lr.rdd)
+        case _ => ()
+      }
+    }
+
   /** Connected components on an undirected view of `edges` (src,dst).
     * Returns (id, component) where component = min node id of the
     * component. Hash-to-min + pointer doubling: each round takes the min
@@ -1546,8 +1568,12 @@ object Algorithms {
         .select(col("cc"), col("e.w").as("w"), col("e.u").as("u"),
           col("e.v").as("v"), col("e.o").as("o"))
         .localCheckpoint(true)
-      if (pick.isEmpty) live = false
-      else {
+      if (pick.isEmpty) {
+        // the terminal probe's checkpoint never joins the forest union
+        // — release it or every run leaves one pinned empty iterate
+        releaseIterate(pick)
+        live = false
+      } else {
         forest = forest.union(
           pick.select(col("u"), col("v"), col("w")).distinct())
         val mp = pick.select(least(col("cc"), col("o")).as("src"),

@@ -331,13 +331,14 @@ object Clouds {
     * the wedge self-join stands (and [[neighborJaccardCapped]] is the
     * hub-safe variant). `g_neighbor_jaccard`. */
   def neighborJaccard(spark: SparkSession, dir: String,
-                      minSim: Double = 0.3): DataFrame = {
+                      minSim: Double = 0.3,
+                      maxCells: Long = Algorithms.AdjBroadcastMaxCells): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
     val nbrs = g.edges.select(col("src").as("node"), col("dst").as("nbr"))
       .union(g.edges.select(col("dst").as("node"), col("src").as("nbr")))
       .localCheckpoint(true) // referenced by every branch below
     val cells = nbrs.count() // = 2|E|
-    if (cells <= Algorithms.AdjBroadcastMaxCells) {
+    if (cells <= maxCells) {
       // image path (the [[squareCount]] idiom): co-neighbour counts,
       // degrees, the τ filter and the round-6 all evaluate inside ONE
       // narrow map over the broadcast CSR adjacency — the wedge
@@ -349,7 +350,14 @@ object Clouds {
       bc.destroy()
       Algorithms.releaseIterate(nbrs)
       r.orderBy(col("a"), col("b"))
-    } else neighborJaccardJoin(nbrs, minSim)
+    } else {
+      // mirror the image branch's lifecycle: materialize the join-path
+      // result eagerly, then release the 2|E|-row input checkpoint
+      // (returned lazily, it pinned nbrs for the session)
+      val r = neighborJaccardJoin(nbrs, minSim).localCheckpoint(true)
+      Algorithms.releaseIterate(nbrs)
+      r
+    }
   }
 
   /** The wedge-self-join formulation of [[neighborJaccard]] — the
@@ -458,7 +466,7 @@ object Clouds {
     val adj = nbrs.groupBy(col("node")).agg(sort_array(collect_list(col("nbr"))).as("adj"))
     val jac = col("inter").cast("double") /
       (col("da") + col("db") - col("inter")).cast("double")
-    cand
+    val out = cand
       .join(adj.select(col("node").as("a"), col("adj").as("adj_a")), Seq("a"))
       .join(adj.select(col("node").as("b"), col("adj").as("adj_b")), Seq("b"))
       .select(col("a"), col("b"),
@@ -469,6 +477,9 @@ object Clouds {
       .filter(col("inter") > 0 && jac >= minSim)
       .select(col("a"), col("b"), col("inter"), round(jac, 6).as("jaccard"))
       .orderBy(col("a"), col("b"))
+      .localCheckpoint(true) // materialize, then drop the 2|E| input pin
+    Algorithms.releaseIterate(nbrs)
+    out
   }
 
   /** Link prediction over the thresholded graph: score NON-adjacent
@@ -491,6 +502,18 @@ object Clouds {
       .union(g.edges.select(col("dst").as("node"), col("src").as("nbr")))
       .localCheckpoint(true) // candidate sampling + adjacency pack
     val existing = g.edges.select(col("src").as("a"), col("dst").as("b"))
+    val out = linkPredictionOn(nbrs, existing, minCommon, cap)
+      .localCheckpoint(true) // materialize, then drop the 2|E| input pin
+    Algorithms.releaseIterate(nbrs)
+    out
+  }
+
+  /** [[linkPrediction]]'s lazy composition over a materialized
+    * adjacency — separated so the plan audit can inspect the heap +
+    * native-intersect stages the public entry hides behind its eager
+    * output checkpoint. */
+  private[graft] def linkPredictionOn(nbrs: DataFrame, existing: DataFrame,
+      minCommon: Long, cap: Int): DataFrame = {
     val cand = cappedCandidates(nbrs, cap)
       .join(existing, Seq("a", "b"), "left_anti")
     val adj = nbrs.groupBy(col("node"))
@@ -873,7 +896,7 @@ object Clouds {
     * via [[Algorithms.boruvkaMst]]; emits the forest edge list
     * (u, v, distance). `g_mst`. */
   def mst(spark: SparkSession, dir: String): DataFrame =
-    mstOn(forestLayer(spark, dir))
+    overForestLayer(spark, dir)(mstOn)
 
   /** Materialized Borůvka LAYER — the shared substrate of the forest
     * family. [[mst]], [[mstWeight]] and [[thresholdSweep]] are all
@@ -896,7 +919,29 @@ object Clouds {
       col("distance").as("w")).localCheckpoint(true)
     val nodes = g.nodes.select(col("id")).localCheckpoint(true)
     val (forest, comp) = Algorithms.boruvkaMst(nodes, ew)
+    // forest and comp leave the kernel eagerly materialized, so the
+    // edge checkpoint has served its purpose for EVERY consumer — the
+    // layer's reports only read (nodes, forest, comp)
+    Algorithms.releaseIterate(ew)
     (nodes, forest, comp)
+  }
+
+  /** Single-consumer forest-layer lifecycle: build a private layer,
+    * materialize the report, release the layer's three checkpoints
+    * (nodes plus the [[Algorithms.freshStats]]-wrapped forest and
+    * component tables — hence the lineage walk). The `*On` variants
+    * keep the caller-owned contract for shared fan-out. */
+  private def overForestLayer(spark: SparkSession, dir: String)(
+      f: ((DataFrame, DataFrame, DataFrame)) => DataFrame): DataFrame = {
+    val layer = forestLayer(spark, dir)
+    val raw = f(layer)
+    val out = raw.localCheckpoint(true)
+    // raw's plan still sees any intermediate checkpoint f pinned (its
+    // own root included — superseded by `out` now); the layer pieces
+    // are freshStats-wrapped, hence the lineage walk
+    Algorithms.releaseLineage(raw)
+    Seq(layer._1, layer._2, layer._3).foreach(Algorithms.releaseLineage)
+    out
   }
 
   /** [[mst]] over a caller-materialized [[forestLayer]]. */
@@ -912,7 +957,7 @@ object Clouds {
     * report rides the kernel's own state — no second CC run.
     * `g_mst_weight`. */
   def mstWeight(spark: SparkSession, dir: String): DataFrame =
-    mstWeightOn(forestLayer(spark, dir))
+    overForestLayer(spark, dir)(mstWeightOn)
 
   /** [[mstWeight]] over a caller-materialized [[forestLayer]]. */
   def mstWeightOn(layer: (DataFrame, DataFrame, DataFrame)): DataFrame = {
@@ -950,7 +995,7 @@ object Clouds {
     * is the difference between k passes over the edge corpus and one.
     * `g_threshold_sweep`. */
   def thresholdSweep(spark: SparkSession, dir: String): DataFrame =
-    thresholdSweepOn(forestLayer(spark, dir))
+    overForestLayer(spark, dir)(thresholdSweepOn)
 
   /** [[thresholdSweep]] over a caller-materialized [[forestLayer]].
     *
@@ -1364,6 +1409,7 @@ object Clouds {
       .localCheckpoint(true) // one hop join per step
     var cur = g.nodes.select(col("id").as("walk_id"), col("id").as("node"))
       .localCheckpoint(true)
+    val stepCks = scala.collection.mutable.ListBuffer[DataFrame](cur)
     val steps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     steps += cur.withColumn("step", lit(0))
     for (s <- 1 to len) {
@@ -1375,11 +1421,20 @@ object Clouds {
         .agg(min(struct(col("hk"), col("v"))).as("best"))
         .select(col("walk_id"), col("best.v").as("node"))
         .localCheckpoint(true) // referenced by output AND the next step
+      stepCks += cur
       steps += cur.withColumn("step", lit(s))
     }
-    steps.result().reduce(_ unionByName _)
+    // materialize the unioned walk table eagerly, then release the
+    // len+1 per-step checkpoints plus the capped adjacency — the
+    // thresholdSweep release discipline; without it every walk call
+    // pinned (len+2) |V|-to-|E|-row block sets for the session
+    val out = steps.result().reduce(_ unionByName _)
       .select(col("walk_id"), col("step"), col("node"))
       .orderBy(col("walk_id"), col("step"))
+      .localCheckpoint(true)
+    stepCks.foreach(Algorithms.releaseIterate)
+    Algorithms.releaseIterate(und)
+    out
   }
 
   /** node2vec BIASED walks (Grover & Leskovec 2016) — the SECOND-ORDER
@@ -1435,6 +1490,7 @@ object Clouds {
       .select(col("id").as("walk_id"), lit(null).cast("long").as("prev"),
         col("id").as("node"))
       .localCheckpoint(true)
+    val stepCks = scala.collection.mutable.ListBuffer[DataFrame](cur)
     // per-step join hints under the fleet's shared iterate ceiling (the
     // CC/coreness idiom — scrubbed loop-iterate stats otherwise plan
     // sort-merge joins every step). Measured at sf0.1 min-of-5: the
@@ -1474,13 +1530,50 @@ object Clouds {
         .select(col("walk_id"), col("best.from_node").as("prev"),
           col("best.v").as("node"))
         .localCheckpoint(true) // referenced by output AND the next step
+      stepCks += cur
       steps += cur.withColumn("step", lit(s))
     }
+    // eager final walk table, then release every per-step checkpoint
+    // plus the adjacency and the canonical edge probe (the
+    // thresholdSweep release discipline — node2vec's probe is
+    // EDGE-scale, the costliest pin of the loop family)
     val out = steps.result()
       .map(_.select(col("walk_id"), col("step"), col("node")))
       .reduce(_ unionByName _)
       .orderBy(col("walk_id"), col("step"))
+      .localCheckpoint(true)
+    stepCks.foreach(Algorithms.releaseIterate)
+    Algorithms.releaseIterate(und)
+    Algorithms.releaseIterate(canon)
     out
+  }
+
+  /** Adjacency-cap QUALITY audit for the walk family — the analogue of
+    * `d_lsh_recall` for [[WalkAdjCap]], the one sampling cap that had
+    * no measured quality row: the production walk runs on the ≤cap
+    * hash-sampled adjacency; this audit replays the SAME deterministic
+    * walk UNCAPPED (sf-bounded, the exact-truth convention — the
+    * uncapped twin exists only at audit scale) and reports per-step
+    * agreement: how many walks sit on the identical node at step s.
+    * Dead-end divergence is visible too (a capped walk can reach a
+    * sink the uncapped one avoids), hence the full-outer join and the
+    * separate n_capped / n_uncapped counts. The DuckDB oracle replays
+    * BOTH walks step-for-step. `g_walk_cap_audit`. */
+  def walkCapAudit(spark: SparkSession, dir: String, len: Int = WalkLen,
+                   cap: Int = WalkAdjCap): DataFrame = {
+    val capped = randomWalks(spark, dir, len, cap)
+    val full = randomWalks(spark, dir, len, Int.MaxValue)
+    capped.select(col("walk_id"), col("step"), col("node").as("c_node"))
+      .join(full.select(col("walk_id"), col("step"), col("node").as("f_node")),
+        Seq("walk_id", "step"), "full_outer")
+      .groupBy(col("step"))
+      .agg(count(col("c_node")).as("n_capped"),
+        count(col("f_node")).as("n_uncapped"),
+        sum(when(col("c_node") === col("f_node"), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("step"), col("n_capped"), col("n_uncapped"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_uncapped").cast("double"), 6)
+          .as("agreement"))
+      .orderBy(col("step"))
   }
 
   def shortestPaths(spark: SparkSession, dir: String): DataFrame = {
@@ -2691,6 +2784,53 @@ object Clouds {
          $selects
          ORDER BY walk_id, step"""
     },
+    "g_walk_cap_audit" -> {
+      def stepCte(prefix: String, adj: String)(s: Int): String = {
+        val hash = graft.Hashing.hexFoldSql(
+          s"CAST(w.walk_id AS VARCHAR) || '|' || '$s' || '|' || CAST(e.v AS VARCHAR)")
+        s"""$prefix$s AS (
+           SELECT walk_id, node FROM (
+             SELECT w.walk_id, e.v AS node,
+                    ROW_NUMBER() OVER (PARTITION BY w.walk_id
+                      ORDER BY $hash, e.v) AS rn
+             FROM $prefix${s - 1} w JOIN $adj e ON e.u = w.node) WHERE rn = 1)"""
+      }
+      val adjHash = graft.Hashing.hexFoldSql(
+        "CAST(u AS VARCHAR) || '|' || CAST(v AS VARCHAR)")
+      val cSel = (0 to WalkLen)
+        .map(s => s"SELECT walk_id, $s AS step, node FROM w$s")
+        .mkString("\n UNION ALL ")
+      val fSel = (0 to WalkLen)
+        .map(s => s"SELECT walk_id, $s AS step, node FROM f$s")
+        .mkString("\n UNION ALL ")
+      s"""$OracleCte,
+         und AS (
+           SELECT src AS u, dst AS v FROM edges WHERE distance <= 0.10
+           UNION ALL
+           SELECT dst, src FROM edges WHERE distance <= 0.10),
+         undc AS (
+           SELECT u, v FROM (
+             SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u
+               ORDER BY $adjHash, v) AS rn
+             FROM und) WHERE rn <= $WalkAdjCap),
+         w0 AS (SELECT id AS walk_id, id AS node FROM nodes),
+         f0 AS (SELECT id AS walk_id, id AS node FROM nodes),
+         ${(1 to WalkLen).map(stepCte("w", "undc")).mkString(",\n")},
+         ${(1 to WalkLen).map(stepCte("f", "und")).mkString(",\n")},
+         cw AS ($cSel),
+         fw AS ($fSel)
+         SELECT COALESCE(cw.step, fw.step) AS step,
+                COUNT(cw.node) AS n_capped,
+                COUNT(fw.node) AS n_uncapped,
+                CAST(SUM(CASE WHEN cw.node = fw.node THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree,
+                ROUND(CAST(SUM(CASE WHEN cw.node = fw.node THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(fw.node) AS DOUBLE), 6)
+                  AS agreement
+         FROM cw FULL JOIN fw
+           ON cw.walk_id = fw.walk_id AND cw.step = fw.step
+         GROUP BY 1 ORDER BY 1"""
+    },
     "g_node2vec_walks" -> {
       def stepCte(s: Int): String = {
         val hash = graft.Hashing.hexFoldSql(
@@ -2903,6 +3043,7 @@ object Clouds {
     "g_closeness"             -> closeness _,
     "g_modularity"            -> modularity _,
     "g_random_walk"           -> ((s: SparkSession, d: String) => randomWalks(s, d)),
+    "g_walk_cap_audit"        -> ((s: SparkSession, d: String) => walkCapAudit(s, d)),
     "g_node2vec_walks"        -> ((s: SparkSession, d: String) => node2vecWalks(s, d)),
     "g_viz_export"            -> ((s: SparkSession, d: String) => vizExport(s, d)),
   )

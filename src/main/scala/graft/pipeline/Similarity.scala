@@ -131,28 +131,34 @@ object Similarity {
     * indexes and void the independent-trials recall math). */
   private val EpsSeedBase = 200000L
 
+  /** Mean bucket occupancy the eps-index DEPTH targets ([[epsBitsFor]])
+    * — the knob that keeps the capped self-join's candidate volume
+    * LINEAR in n: per table ≈ n·target/2 pairs, ×[[EpsNumTables]]
+    * ≈ 512·n candidates total at any corpus size. */
+  val EpsTargetBucket = 64
+
   /** Per-(table, bucket) membership cap for the eps-pair self-join —
     * the [[KnnBucketCap]] idiom at the wider-bucket shape: a collapsed
     * bucket degrades recall gracefully instead of going quadratic
-    * (≤ C(cap, 2) pairs per key). The occupancy-targeted bits
-    * ([[epsBitsFor]]) keep the MEAN bucket at ≈ this size, so the cap
-    * only clips skew tails (near-dup pile-ups), never the typical
-    * bucket. */
+    * (≤ C(cap, 2) pairs per key). With depth targeting a mean bucket
+    * of [[EpsTargetBucket]], the 4× cap only clips skew tails
+    * (near-dup pile-ups), never the typical bucket. */
   val EpsBucketCap = 256
 
-  /** Occupancy-targeted table depth: bits ≈ log₂(n / [[EpsBucketCap]]),
-    * floored at [[EpsBitsPerTable]]. Fixed-depth tables die at scale in
-    * one of two ways — too few bits and every bucket exceeds the cap
-    * (the hash-sample then discards almost all members, recall → 0 even
-    * for cos-0.99 twins); too many and low-cos recall vanishes at ANY
-    * size. Growing depth with n keeps buckets at the cap's size, which
-    * preserves recall where the density mass lives (a cos-0.98 pair
-    * collides per-table at 0.98^bits ≈ 0.8 even at 10 bits) while
+  /** Occupancy-targeted table depth: bits ≈ log₂(n /
+    * [[EpsTargetBucket]]), floored at [[EpsBitsPerTable]]. Fixed-depth
+    * tables die at scale in one of two ways — too few bits and every
+    * bucket exceeds the cap (the hash-sample then discards almost all
+    * members, recall → 0 even for cos-0.99 twins); too many and
+    * low-cos recall vanishes at ANY size. Growing depth with n keeps
+    * buckets at the target size, which preserves recall where the
+    * density mass lives (a cos-0.98 pair collides per-table at
+    * 0.98^bits ≈ 0.78 even at 12 bits, ≈ 1.0 over 16 tables) while
     * boundary-cos recall decays on the published sign-LSH budget — the
     * approximate-DBSCAN trade, documented and spec-measured. */
   private[graft] def epsBitsFor(n: Long): Int =
     math.max(EpsBitsPerTable,
-      math.ceil(math.log(math.max(1L, n / EpsBucketCap).toDouble) /
+      math.ceil(math.log(math.max(1L, n / EpsTargetBucket).toDouble) /
         math.log(2.0)).toInt)
 
   /** [[hpComponent]]'s LCG on the eps-index stream; the stride carries

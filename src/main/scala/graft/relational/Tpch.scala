@@ -741,20 +741,38 @@ object Tpch {
     * (mergeable map-side sketch) is identical either way. */
   private val PctAccuracy = 1000000
 
+  /** Per-basket item cap for [[qBasketPairs]] — one pathological
+    * mega-cart of k items is C(k, 2) pairs from a SINGLE join key (AQE
+    * skew-split subdivides the partition, the pair count stays
+    * quadratic), so baskets are hash-sampled to ≤ cap items via the
+    * fleet [[graft.plans.TopKPerGroup]] idiom and the DuckDB oracle
+    * replays the cap. 64 is ~10× the TPC-H schema bound (≤ 7 lineitems
+    * per order), so test-SF results are cap-invariant; on a real-cart
+    * corpus the cap bounds the worst basket at C(64, 2) = 2016 pairs
+    * while the hash-rank keeps the kept subset deterministic. */
+  val BasketItemCap = 64
+
   /** Market-basket pair mining over the order → part incidence: which
     * parts co-occur in the same order more often than chance (support
     * ≥ 2 pairs with their lift = P(a,b)/(P(a)·P(b))). The bounded
     * frequent-itemset shape: candidate pairs come from a self-join
     * KEYED ON THE ORDER — per-basket fan-out is C(items, 2) with
-    * baskets bounded by the schema (≤ 7 lineitems), never a part ×
-    * part product — then one (a, b) count and two frequency joins.
-    * Support/counts are integers; the lift is one rounded double
-    * division from integer statistics, exact cross-engine.
+    * baskets capped at [[BasketItemCap]] hash-ranked items, never a
+    * part × part product — then one (a, b) count and two frequency
+    * joins (all statistics over the capped item set, replayed by the
+    * oracle). Support/counts are integers; the lift is one rounded
+    * double division from integer statistics, exact cross-engine.
     * `q_basket_pairs`. */
-  def qBasketPairs(spark: SparkSession, dir: String): DataFrame = {
+  def qBasketPairs(spark: SparkSession, dir: String,
+                   cap: Int = BasketItemCap): DataFrame = {
     import spark.implicits._
-    val items = Tables.lineitem(spark, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
+    val items = graft.plans.TopKPerGroup.rankTopK(
+        Tables.lineitem(spark, dir)
+          .select($"l_orderkey", $"l_partkey").distinct()
+          .withColumn("hkey", graft.Hashing.md5Hash60(
+            concat_ws("|", $"l_orderkey", $"l_partkey"))),
+        Seq("l_orderkey"), Seq("hkey" -> false, "l_partkey" -> false), cap)
+      .select($"l_orderkey", $"l_partkey")
       .localCheckpoint(true) // pair join + both frequency sides share it
     val nOrders = items.select($"l_orderkey").distinct()
       .agg(count(lit(1)).as("n_orders"))
@@ -960,7 +978,16 @@ object Tpch {
     // percentiles are exact at gate SFs (accuracy > n, see PctAccuracy);
     // hll_sanity is pinned to 1 — any ≥50% HLL drift fails the hash
     "q_basket_pairs" ->
-      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH i0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         i AS (
+           SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY
+                      ${graft.Hashing.hexFoldSql(
+                        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)")},
+                      l_partkey) AS rn
+             FROM i0)
+           WHERE rn <= $BasketItemCap),
          n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM i),
          f AS (SELECT l_partkey, COUNT(*) AS n_part FROM i GROUP BY 1),
          p AS (
@@ -1410,7 +1437,7 @@ object Tpch {
     "q_events_sessionize"  -> qEventsSessionize _,
     "q_events_props"       -> qEventsProps _,
     "q_approx_stats"       -> qApproxStats _,
-    "q_basket_pairs"       -> qBasketPairs _,
+    "q_basket_pairs"       -> ((s: SparkSession, d: String) => qBasketPairs(s, d)),
     "q_rollup"             -> qRollup _,
     "q4_priority_exists"   -> q4PriorityExists _,
     "q12_late_priority"    -> q12LatePriority _,

@@ -542,6 +542,33 @@ class GraphSpec extends SparkSpec {
     assert(again == r.map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet)
   }
 
+  test("walk cap audit: full agreement under the cap, visible divergence on a planted hub") {
+    // registered shape at test SF: every degree sits under WalkAdjCap,
+    // so capped and uncapped walks are identical step for step
+    val base = rowsOf(Clouds.walkCapAudit(spark, SF))
+    assert(base.length == Clouds.WalkLen + 1)
+    base.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "same walk population")
+      assert(r.getDouble(4) == 1.0, s"step ${r.getInt(0)}: cap never binds at test SF")
+    }
+    // planted hub: 200 same-nation customers at equal balance form a
+    // complete graph (degree 199 > WalkAdjCap = 64) — the capped walk
+    // samples 64 of 199 neighbours per step, so the global hash-argmin
+    // survives the sample only ~1/3 of the time and the audit must see
+    // the divergence (that detection is the key's whole purpose)
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "hubwalk").toString
+    (1 to 200).map(i => (i.toLong, s"Customer#$i", 1000.0, 0L, TestGraph.Ncbi))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/customer.parquet")
+    val hub = rowsOf(Clouds.walkCapAudit(spark, d))
+    val byStep = hub.map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(byStep(0) == 1.0, "step 0 is the start node in both runs")
+    assert((1 to Clouds.WalkLen).exists(byStep(_) < 1.0),
+      s"a >cap hub must show capped/uncapped divergence: $byStep")
+  }
+
   test("viz export round-trips as JSON with the cloud node attributes") {
     val export = Clouds.vizExport(spark, SF)
     val schema = StructType(Seq(

@@ -152,8 +152,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(q22o.contains("o_orderdate"),
       s"q22 window filter must reach the orders scan: $q22o")
     // the capped candidate paths run through the native two-phase heap,
-    // and the rescore through the codegen'd two-pointer intersect
-    val lp = planOf("g_link_pred")
+    // and the rescore through the codegen'd two-pointer intersect.
+    // g_link_pred's full query hides both behind its eager output
+    // checkpoint (the r16 release lifecycle), so audit the lazy
+    // composition directly (the knn-candidates precedent below)
+    val lp = {
+      import spark.implicits._
+      graft.graph.Clouds.linkPredictionOn(
+        Seq((0L, 1L)).toDF("node", "nbr"),
+        Seq((0L, 1L)).toDF("a", "b"), 3L, 4)
+        .queryExecution.executedPlan.toString
+    }
     assert(lp.contains("TopKPerGroup"),
       "link prediction candidates must use the native heap operator")
     assert(lp.contains("sorted_intersect_count"),

@@ -1,0 +1,72 @@
+package graft
+
+import graft.graph.Clouds
+import org.apache.spark.sql.DataFrame
+
+/** Checkpoint-LIFECYCLE audit for the loop/adjacency kernels: every
+  * eager `localCheckpoint(true)` pins executor blocks until explicitly
+  * released, and a kernel that returns with internal checkpoints still
+  * pinned leaks them for the session (harmless at fixture scale, an
+  * eviction-thrash source at 100 TB — the r13/r15 ADVICE class). The
+  * contract asserted here: after a kernel's output is materialized,
+  * the ONLY persistent RDDs it may leave behind are the ones its own
+  * returned plan references (its final eager checkpoint); every
+  * internal per-step / adjacency / index checkpoint must be gone. */
+class ReleaseAuditSpec extends SparkSpec {
+
+  /** RDD ids the frame's own plan pins (its output checkpoints). */
+  private def ckIds(df: DataFrame): Set[Int] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+
+  private def assertReleased(label: String)(op: => DataFrame): Unit = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = op
+    out.count() // materialize through the caller's action
+    def leakedNow(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- before -- ckIds(out)
+    var leaked = leakedNow()
+    // a pin with no live reference (e.g. a kernel-internal checkpoint
+    // whose frame went out of scope) is collected by Spark's
+    // ContextCleaner on GC — give it a few cycles so the audit fails
+    // only on LIVE pins, the actual session-lifetime leak class
+    var tries = 0
+    while (leaked.nonEmpty && tries < 75) { // cleaner lag scales with
+      System.gc()                           // suite-wide heap pressure
+      Thread.sleep(200)
+      leaked = leakedNow()
+      tries += 1
+    }
+    assert(leaked.isEmpty,
+      s"$label leaves ${leaked.size} LIVE persistent RDDs beyond its own " +
+        s"output (survived GC + ContextCleaner): " +
+        leaked.toSeq.sorted.mkString(", "))
+    graph.Algorithms.releaseIterate(out) // keep the suite itself clean
+  }
+
+  test("walk kernels release every per-step checkpoint and the adjacency") {
+    assertReleased("g_random_walk")(Clouds.randomWalks(spark, SF))
+    assertReleased("g_node2vec_walks")(Clouds.node2vecWalks(spark, SF))
+  }
+
+  test("the jaccard family releases its 2|E| adjacency input on every branch") {
+    assertReleased("g_neighbor_jaccard (image branch)")(
+      Clouds.neighborJaccard(spark, SF))
+    assertReleased("g_neighbor_jaccard (join branch)")(
+      Clouds.neighborJaccard(spark, SF, maxCells = 0L))
+    assertReleased("g_neighbor_jaccard_capped")(
+      Clouds.neighborJaccardCapped(spark, SF))
+    assertReleased("g_link_pred")(Clouds.linkPrediction(spark, SF))
+  }
+
+  test("the bucketed eps-pair generator releases its vector and index checkpoints") {
+    assertReleased("epsPairsBucketed")(
+      pipeline.Similarity.epsPairsBucketed(spark, SF, 0.3))
+  }
+
+  test("the threshold sweep and linkage census stay release-clean (regression)") {
+    assertReleased("g_threshold_sweep")(Clouds.thresholdSweep(spark, SF))
+    assertReleased("s_linkage_census")(pipeline.Similarity.linkageCensus(spark, SF))
+  }
+}
