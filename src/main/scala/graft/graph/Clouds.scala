@@ -353,10 +353,13 @@ object Clouds {
     } else {
       // mirror the image branch's lifecycle: materialize the join-path
       // result eagerly, then release the 2|E|-row input checkpoint
-      // (returned lazily, it pinned nbrs for the session)
+      // (returned lazily, it pinned nbrs for the session); the sort
+      // rides lazily on TOP of the checkpoint — the image-branch idiom
+      // — so a consumer that doesn't need order (count, re-agg)
+      // doesn't pay it
       val r = neighborJaccardJoin(nbrs, minSim).localCheckpoint(true)
       Algorithms.releaseIterate(nbrs)
-      r
+      r.orderBy(col("a"), col("b"))
     }
   }
 
@@ -377,7 +380,6 @@ object Clouds {
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
       .filter(jac >= minSim)
       .select(col("a"), col("b"), col("inter"), round(jac, 6).as("jaccard"))
-      .orderBy(col("a"), col("b"))
   }
 
   /** Shared-neighbour bucket cap for [[neighborJaccardCapped]]: each
@@ -476,10 +478,9 @@ object Clouds {
         size(col("adj_b")).cast("long").as("db"))
       .filter(col("inter") > 0 && jac >= minSim)
       .select(col("a"), col("b"), col("inter"), round(jac, 6).as("jaccard"))
-      .orderBy(col("a"), col("b"))
       .localCheckpoint(true) // materialize, then drop the 2|E| input pin
     Algorithms.releaseIterate(nbrs)
-    out
+    out.orderBy(col("a"), col("b")) // lazy sort atop the checkpoint
   }
 
   /** Link prediction over the thresholded graph: score NON-adjacent
@@ -505,7 +506,7 @@ object Clouds {
     val out = linkPredictionOn(nbrs, existing, minCommon, cap)
       .localCheckpoint(true) // materialize, then drop the 2|E| input pin
     Algorithms.releaseIterate(nbrs)
-    out
+    out.orderBy(col("a"), col("b")) // lazy sort atop the checkpoint
   }
 
   /** [[linkPrediction]]'s lazy composition over a materialized
@@ -527,7 +528,6 @@ object Clouds {
         (size(col("adj_a")).cast("long") * size(col("adj_b")).cast("long"))
           .as("pref_attachment"))
       .filter(col("common_neighbors") >= minCommon)
-      .orderBy(col("a"), col("b"))
   }
 
   /** Communities inside the thresholded graph — a finer view than the
@@ -1403,9 +1403,12 @@ object Clouds {
   def randomWalks(spark: SparkSession, dir: String, len: Int = WalkLen,
                   cap: Int = WalkAdjCap): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
-    val und = cappedAdjacency(
-        g.edges.select(col("src").as("u"), col("dst").as("v"))
-          .union(g.edges.select(col("dst").as("u"), col("src").as("v"))), cap)
+    val baseAdj = g.edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(g.edges.select(col("dst").as("u"), col("src").as("v")))
+    // cap = MaxValue is the audit's exact twin — skip the no-op
+    // hash-heap pass rather than rank every adjacency row for nothing
+    val und = (if (cap == Int.MaxValue) baseAdj
+               else cappedAdjacency(baseAdj, cap))
       .localCheckpoint(true) // one hop join per step
     var cur = g.nodes.select(col("id").as("walk_id"), col("id").as("node"))
       .localCheckpoint(true)
@@ -1427,14 +1430,15 @@ object Clouds {
     // materialize the unioned walk table eagerly, then release the
     // len+1 per-step checkpoints plus the capped adjacency — the
     // thresholdSweep release discipline; without it every walk call
-    // pinned (len+2) |V|-to-|E|-row block sets for the session
+    // pinned (len+2) |V|-to-|E|-row block sets for the session. The
+    // sort rides lazily ON TOP of the checkpoint so order-insensitive
+    // consumers (counts, re-aggregations) skip it.
     val out = steps.result().reduce(_ unionByName _)
       .select(col("walk_id"), col("step"), col("node"))
-      .orderBy(col("walk_id"), col("step"))
       .localCheckpoint(true)
     stepCks.foreach(Algorithms.releaseIterate)
     Algorithms.releaseIterate(und)
-    out
+    out.orderBy(col("walk_id"), col("step"))
   }
 
   /** node2vec BIASED walks (Grover & Leskovec 2016) — the SECOND-ORDER
@@ -1536,16 +1540,16 @@ object Clouds {
     // eager final walk table, then release every per-step checkpoint
     // plus the adjacency and the canonical edge probe (the
     // thresholdSweep release discipline — node2vec's probe is
-    // EDGE-scale, the costliest pin of the loop family)
+    // EDGE-scale, the costliest pin of the loop family); lazy sort
+    // atop the checkpoint
     val out = steps.result()
       .map(_.select(col("walk_id"), col("step"), col("node")))
       .reduce(_ unionByName _)
-      .orderBy(col("walk_id"), col("step"))
       .localCheckpoint(true)
     stepCks.foreach(Algorithms.releaseIterate)
     Algorithms.releaseIterate(und)
     Algorithms.releaseIterate(canon)
-    out
+    out.orderBy(col("walk_id"), col("step"))
   }
 
   /** Adjacency-cap QUALITY audit for the walk family — the analogue of

@@ -90,6 +90,7 @@ class CensusSpec extends SparkSpec {
     val nbrs = (edges ++ edges.map(_.swap)).toDF("node", "nbr")
     val viaJoin = Clouds.neighborJaccardJoin(nbrs, 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1, r._2)) // the join path sorts lazily at its caller now
     val (df, bc) = graft.graph.Algorithms.jaccardPairsImg(nbrs, 0.3)
     val viaImg = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
