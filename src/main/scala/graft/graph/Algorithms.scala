@@ -2053,6 +2053,7 @@ object Algorithms {
         .join(seedIds.select(col("id"), lit(0.0).as("dist0")), Seq("id"), "left_outer")
         .select(col("id"), col("dist0").as("dist")) // null = unreachable (yet)
         .localCheckpoint(true))
+    val initDist = dist // round 1 has no prevChk; released at exit
     var frontier = dist.filter(col("dist").isNotNull)
     var roundChk: DataFrame = null // the live iterate's checkpoint
     var iter = 0
@@ -2107,6 +2108,10 @@ object Algorithms {
     // not the loop's pinned width
     val result = dist.select(col("id"), col("dist")).localCheckpoint(true)
     releaseIterate(roundChk) // the result is its own copy; the iterate is dead
+    // round 1's prevChk was null, so the seed-dist checkpoint was never
+    // released; it sits behind a rebase, hence the lineage walk
+    releaseLineage(initDist)
+    releaseIterate(e) // the loop's repartitioned edge copy is dead too
     rebase(spark, result)
   }
 }

@@ -772,6 +772,9 @@ object Similarity {
     * one canonical src < dst row per surviving edge. */
   private def mutualize(topkIn: DataFrame): DataFrame = {
     val topk = topkIn.localCheckpoint(true) // semi-join probe + build
+    // the input's plan roots in scoreAndRank's internal `scored`
+    // checkpoint — superseded by the eager copy above, release it
+    graft.graph.Algorithms.releaseIterate(topkIn)
     topk
       .join(topk.select(col("src").as("m_dst"), col("dst").as("m_src")),
         col("src") === col("m_src") && col("dst") === col("m_dst"), "left_semi")
@@ -782,8 +785,13 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
                cap: Int = KnnBucketCap): DataFrame = {
     val v = vectors(spark, dir).localCheckpoint(true)
-    val cand = knnCandidates(buckets(v).localCheckpoint(true), cap)
-    mutualize(scoreAndRank(v, cand, k))
+    val b = buckets(v).localCheckpoint(true)
+    val out = mutualize(scoreAndRank(v, knnCandidates(b, cap), k))
+    // the mutual edge set is checkpoint-rooted: the vector and index
+    // pins are dead
+    graft.graph.Algorithms.releaseIterate(v)
+    graft.graph.Algorithms.releaseIterate(b)
+    out
   }
 
   /** One NN-DESCENT refinement round over the capped kNN graph (Dong
@@ -806,8 +814,10 @@ object Similarity {
   def nnDescentGraph(spark: SparkSession, dir: String, k: Int = 5,
                      cap: Int = KnnBucketCap): DataFrame = {
     val v = vectors(spark, dir).localCheckpoint(true)
-    val base = scoreAndRank(v, knnCandidates(buckets(v).localCheckpoint(true), cap), k)
-      .localCheckpoint(true) // und (twice) + base pair carry-over
+    val b = buckets(v).localCheckpoint(true)
+    val baseRaw = scoreAndRank(v, knnCandidates(b, cap), k)
+    val base = baseRaw.localCheckpoint(true) // und (×2) + pair carry-over
+    graft.graph.Algorithms.releaseIterate(baseRaw) // scored pin superseded
     val und = base.select(col("src").as("u"), col("dst").as("nb"))
       .union(base.select(col("dst").as("u"), col("src").as("nb"))).distinct()
       .localCheckpoint(true) // both sides of the wedge join
@@ -819,7 +829,11 @@ object Similarity {
       .union(base.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")))
       .distinct()
-    mutualize(scoreAndRank(v, cand, k))
+    val out = mutualize(scoreAndRank(v, cand, k))
+    // out is checkpoint-rooted (mutualize) — every intermediate pin of
+    // the seed round and the wedge pass is dead
+    Seq(v, b, base, und).foreach(graft.graph.Algorithms.releaseIterate)
+    out
   }
 
   // ---- product quantization (PQ-ADC) ---------------------------------

@@ -464,6 +464,10 @@ object Text {
       }
       r += 1
     }
+    // the merge table is driver-local — the final corpus iterate has
+    // nothing left to serve; release it or every train call pins one
+    // corpus-sized block set for the session
+    graft.graph.Algorithms.releaseIterate(corpus)
     merges.toSeq.toDF("round", "merge_left", "merge_right", "freq")
       .orderBy(col("round"))
   }

@@ -14,11 +14,19 @@ import org.apache.spark.sql.DataFrame
   * internal per-step / adjacency / index checkpoint must be gone. */
 class ReleaseAuditSpec extends SparkSpec {
 
-  /** RDD ids the frame's own plan pins (its output checkpoints). */
-  private def ckIds(df: DataFrame): Set[Int] =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-    }.toSet
+  /** RDD ids the frame's own plan pins — the output's checkpoints,
+    * including any sitting behind a rebase/freshStats wrapper (hence
+    * the full lineage walk, not just the LogicalRDD roots). */
+  private def ckIds(df: DataFrame): Set[Int] = {
+    val ids = scala.collection.mutable.Set.empty[Int]
+    def walk(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      if (ids.add(rdd.id)) rdd.dependencies.foreach(d => walk(d.rdd))
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => walk(lr.rdd)
+      case _ => ()
+    }
+    ids.toSet
+  }
 
   private def assertReleased(label: String)(op: => DataFrame): Unit = {
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
@@ -68,5 +76,15 @@ class ReleaseAuditSpec extends SparkSpec {
   test("the threshold sweep and linkage census stay release-clean (regression)") {
     assertReleased("g_threshold_sweep")(Clouds.thresholdSweep(spark, SF))
     assertReleased("s_linkage_census")(pipeline.Similarity.linkageCensus(spark, SF))
+  }
+
+  test("the r16 fleet-sweep offenders stay release-clean") {
+    // a one-time sweep of all 196 registry keys (r16) found live pins
+    // in exactly these four; each got an explicit release — keep them
+    // pinned clean here
+    assertReleased("g_shortest_paths")(Clouds.shortestPaths(spark, SF))
+    assertReleased("s_knn_graph")(pipeline.Similarity.knnGraph(spark, SF))
+    assertReleased("s_nn_descent")(pipeline.Similarity.nnDescentGraph(spark, SF))
+    assertReleased("t_bpe_encode")(pipeline.Text.bpeEncode(spark, SF))
   }
 }
