@@ -51,17 +51,22 @@ object ScaleBenchC {
       .withColumn("n_chars", length(col("text")))
   }
 
-  /** Deterministic synthetic `embeddings` at `n` rows (sf0.1 = 2000). */
-  def syntheticEmbeddings(spark: SparkSession, n: Long): DataFrame = {
-    // 10% of ids sit 0.002-noise away from their successor: near-dups
-    val base = when(col("id") % 10 === 0, col("id") + 1).otherwise(col("id"))
+  /** Deterministic synthetic `embeddings` at `n` rows (sf0.1 = 2000).
+    * `nearDupMod` sets the planted near-dup rate (1/mod of ids sit
+    * 0.002-noise from their successor; default 10 → 10%) — the knob the
+    * r16 verdict's task-2 low-density point turns
+    * (SPARK_GRAFT_SCALE_NEARDUP_MOD). */
+  def syntheticEmbeddings(spark: SparkSession, n: Long,
+                          nearDupMod: Long = 10L): DataFrame = {
+    // 1/mod of ids sit 0.002-noise away from their successor: near-dups
+    val base = when(col("id") % nearDupMod === 0, col("id") + 1).otherwise(col("id"))
     val comp = (d: org.apache.spark.sql.Column) =>
       md5Hash60(concat_ws("|", base, d)).cast("double") /
         lit(math.pow(2.0, 60)) - lit(0.5)
     val noise = (d: org.apache.spark.sql.Column) =>
       (md5Hash60(concat_ws("|", col("id"), d, lit("p"))).cast("double") /
         lit(math.pow(2.0, 60)) - lit(0.5)) *
-        when(col("id") % 10 === 0, lit(0.002)).otherwise(lit(0.0))
+        when(col("id") % nearDupMod === 0, lit(0.002)).otherwise(lit(0.0))
     val vec = transform(sequence(lit(0), lit(Dim - 1)),
       d => (comp(d) + noise(d)).cast("float"))
     spark.range(n)
@@ -129,10 +134,12 @@ object ScaleBenchC {
     spark.sparkContext.setLogLevel("WARN")
 
     val nEvents = 100000L * factor
-    val dir = s"target/scale_c_$factor"
+    val nearDupMod = sys.env.getOrElse("SPARK_GRAFT_SCALE_NEARDUP_MOD", "10").toLong
+    val dir = if (nearDupMod == 10L) s"target/scale_c_$factor"
+      else s"target/scale_c_${factor}_nd$nearDupMod"
     syntheticDocs(spark, nDocs).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    syntheticEmbeddings(spark, nVecs).repartition(32)
+    syntheticEmbeddings(spark, nVecs, nearDupMod).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     syntheticEvents(spark, nEvents).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -197,7 +204,26 @@ object ScaleBenchC {
     timed("q_cohort_retention") { relational.Joins.qCohortRetention(spark, dir) }
     timed("d_epoch_schedule") { pipeline.Dedup.epochSchedule(spark, dir) }
     timed("s_dbscan") { pipeline.Similarity.dbscan(spark, dir, maxExact = 0L) }
+    // r17: forced-bucketed census (shares the eps layer with dbscan but
+    // adds per-cut band contraction on supernodes — verdict task 4)
+    timed("s_linkage_census") {
+      pipeline.Similarity.linkageCensus(spark, dir, maxExact = 0L)
+    }
     timed("q_basket_pairs") { relational.Tpch.qBasketPairs(spark, dir) }
+
+    // per-stage split of the forced-bucketed dbscan (verdict task 2) —
+    // opt-in via the kernel filter, since it re-runs the whole operator
+    allOps += "s_dbscan_stages"
+    if (only.exists(_.contains("s_dbscan_stages"))) {
+      pipeline.Similarity.dbscanStagedTimings(spark, dir).foreach {
+        case (nm, sec, n) =>
+          times(s"s_dbscan_stage_$nm") = sec
+          rows(s"s_dbscan_stage_$nm") = n
+          System.err.println(f"[scale-c] s_dbscan_stage_$nm: $sec%.1f s ($n rows)")
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
 
     only.foreach { names =>
       val unknown = names -- allOps

@@ -1401,7 +1401,7 @@ object Clouds {
     * ([[cappedAdjacency]]) so hub degree never multiplies the step
     * join; the DuckDB oracle replays the cap. `g_random_walk`. */
   def randomWalks(spark: SparkSession, dir: String, len: Int = WalkLen,
-                  cap: Int = WalkAdjCap): DataFrame = {
+                  cap: Int = WalkAdjCap, sampleMod: Long = 1L): DataFrame = {
     val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
     val baseAdj = g.edges.select(col("src").as("u"), col("dst").as("v"))
       .union(g.edges.select(col("dst").as("u"), col("src").as("v")))
@@ -1410,7 +1410,14 @@ object Clouds {
     val und = (if (cap == Int.MaxValue) baseAdj
                else cappedAdjacency(baseAdj, cap))
       .localCheckpoint(true) // one hop join per step
-    var cur = g.nodes.select(col("id").as("walk_id"), col("id").as("node"))
+    // sampleMod > 1 restricts walk STARTS to a deterministic hash
+    // subset (≈ |V| / mod walks) — the audit's above-bound replay;
+    // mod = 1 leaves the production plan byte-identical
+    val starts =
+      if (sampleMod <= 1L) g.nodes
+      else g.nodes.filter(pmod(graft.Hashing.md5Hash60(
+        concat_ws("|", col("id"), lit("wsample"))), lit(sampleMod)) === 0)
+    var cur = starts.select(col("id").as("walk_id"), col("id").as("node"))
       .localCheckpoint(true)
     val stepCks = scala.collection.mutable.ListBuffer[DataFrame](cur)
     val steps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
@@ -1562,11 +1569,30 @@ object Clouds {
     * Dead-end divergence is visible too (a capped walk can reach a
     * sink the uncapped one avoids), hence the full-outer join and the
     * separate n_capped / n_uncapped counts. The DuckDB oracle replays
-    * BOTH walks step-for-step. `g_walk_cap_audit`. */
+    * BOTH walks step-for-step.
+    *
+    * Scale bound (r16 verdict): the uncapped twin's per-step
+    * frontier⋈adjacency join fans out by TRUE hub degree — exactly the
+    * skew bomb [[WalkAdjCap]] exists to prevent — so above
+    * [[WalkAuditMaxEdges]] directed edges BOTH walks replay over a
+    * deterministic hash-sampled walk-id subset (≈
+    * [[WalkAuditSampleWalks]] starts, the d_lsh_recall sampling
+    * convention): the per-step agreement stays an unbiased estimate at
+    * any corpus size, and the uncapped join is bounded by |sample| ×
+    * max-degree instead of |V| × max-degree. At or below the bound the
+    * plan is byte-identical to r16's (the oracle replays it). */
+  val WalkAuditMaxEdges = 20000000L
+  val WalkAuditSampleWalks = 4096L
+
   def walkCapAudit(spark: SparkSession, dir: String, len: Int = WalkLen,
-                   cap: Int = WalkAdjCap): DataFrame = {
-    val capped = randomWalks(spark, dir, len, cap)
-    val full = randomWalks(spark, dir, len, Int.MaxValue)
+                   cap: Int = WalkAdjCap,
+                   maxEdges: Long = WalkAuditMaxEdges): DataFrame = {
+    val g = graph(spark, dir).filterEdges(col("distance") <= QueryThreshold)
+    val sampleMod =
+      if (g.edges.count() <= maxEdges) 1L
+      else math.max(2L, g.nodes.count() / WalkAuditSampleWalks)
+    val capped = randomWalks(spark, dir, len, cap, sampleMod)
+    val full = randomWalks(spark, dir, len, Int.MaxValue, sampleMod)
     capped.select(col("walk_id"), col("step"), col("node").as("c_node"))
       .join(full.select(col("walk_id"), col("step"), col("node").as("f_node")),
         Seq("walk_id", "step"), "full_outer")

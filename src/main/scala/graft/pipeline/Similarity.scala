@@ -73,10 +73,13 @@ object Similarity {
   val MaxExactVectors = 500000L
 
   def embeddingNearDup(spark: SparkSession, dir: String, minCos: Double = 0.4,
-                       maxVectors: Long = MaxExactVectors): DataFrame = {
+                       maxVectors: Long = MaxExactVectors,
+                       nKnown: Long = -1L): DataFrame = {
     import spark.implicits._
     val v = vectors(spark, dir).select(col("vec_id"), col("v"), col("norm"))
-    val nVec = v.count()
+    // nKnown ≥ 0: the caller already counted the table ([[epsPairs]]'s
+    // branch decision) — don't re-scan it just to re-check the guard
+    val nVec = if (nKnown >= 0L) nKnown else v.count()
     require(nVec <= maxVectors,
       s"embeddingNearDup is the exact sf-bounded baseline and materializes " +
         s"all $nVec vectors on the driver (limit $maxVectors). At this scale " +
@@ -224,7 +227,7 @@ object Similarity {
   private[graft] def epsPairs(spark: SparkSession, dir: String, minCos: Double,
       maxExact: Long = MaxExactVectors): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
-    if (n <= maxExact) embeddingNearDup(spark, dir, minCos)
+    if (n <= maxExact) embeddingNearDup(spark, dir, minCos, nKnown = n)
     else epsPairsBucketed(spark, dir, minCos, bits = epsBitsFor(n))
   }
 
@@ -283,6 +286,74 @@ object Similarity {
           .otherwise("noise").as("role"),
         coalesce(col("core_cluster"), col("border_cluster"), lit(-1L)).as("cluster"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Bench-only PER-STAGE instrumentation of the FORCED-bucketed
+    * [[dbscan]] (r16 verdict task 2: attribute the last-decade §4.14
+    * growth between index build / candidate generation / exact rescore
+    * / CC over the eps-graph / label assembly). Replays [[dbscan]]'s
+    * exact plan but materializes each stage eagerly and reports
+    * (stage, wall sec, output rows); `candidates` is the PRE-rescore
+    * candidate volume — the ≈512·n linearity claim's direct measure.
+    * Stage walls sum to an upper bound of the fused plan (extra
+    * checkpoint materializations); driven by [[graft.ScaleBenchC]],
+    * never registered. */
+  private[graft] def dbscanStagedTimings(spark: SparkSession, dir: String,
+      epsCos: Double = DbscanEpsCos, minPts: Int = DbscanMinPts)
+      : Seq[(String, Double, Long)] = {
+    import graft.graph.Algorithms.releaseIterate
+    val buf = scala.collection.mutable.ListBuffer.empty[(String, Double, Long)]
+    def timed(name: String)(df: => DataFrame): DataFrame = {
+      val s = System.nanoTime()
+      val out = df.localCheckpoint(true)
+      val n = out.count()
+      buf += ((name, (System.nanoTime() - s) / 1e9, n))
+      out
+    }
+    val n = Tables.embeddings(spark, dir).count()
+    val bits = epsBitsFor(n)
+    val v = timed("vectors")(vectors(spark, dir))
+    val b = timed("eps_index")(epsBuckets(v, bits))
+    val cand = timed("candidates")(knnCandidates(b, EpsBucketCap))
+    val pairs = timed("rescore")(
+      cand
+        .join(v.select(col("vec_id").as("a"), col("v").as("va"),
+          col("norm").as("na")), Seq("a"))
+        .join(v.select(col("vec_id").as("b"), col("v").as("vb"),
+          col("norm").as("nb")), Seq("b"))
+        .select(col("a"), col("b"),
+          round(arrayDot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= epsCos)
+        .select(col("a"), col("b")))
+    val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("n_nbrs"))
+    val cores = timed("core_select")(
+      deg.filter(col("n_nbrs") + 1 >= minPts).select(col("id")))
+    val coreEdges = pairs
+      .join(cores.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+      .join(cores.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+    val comp = timed("cc_core_graph")(graft.graph.Algorithms.connectedComponents(
+      cores, coreEdges.select(col("a").as("src"), col("b").as("dst"))))
+    val out = timed("label_assembly") {
+      val borders = sym
+        .join(comp.select(col("id").as("b"), col("comp")), Seq("b"))
+        .join(comp.select(col("id").as("a")), Seq("a"), "left_anti")
+        .groupBy(col("a")).agg(min(col("comp")).as("border_cluster"))
+      v.select(col("vec_id"))
+        .join(comp.select(col("id").as("vec_id"), col("comp").as("core_cluster")),
+          Seq("vec_id"), "left_outer")
+        .join(borders.select(col("a").as("vec_id"), col("border_cluster")),
+          Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          when(col("core_cluster").isNotNull, "core")
+            .when(col("border_cluster").isNotNull, "border")
+            .otherwise("noise").as("role"),
+          coalesce(col("core_cluster"), col("border_cluster"), lit(-1L))
+            .as("cluster"))
+    }
+    Seq(v, b, cand, pairs, cores, comp, out).foreach(releaseIterate)
+    buf.toSeq
   }
 
   /** Single-linkage hierarchical-clustering CENSUS over the embedding

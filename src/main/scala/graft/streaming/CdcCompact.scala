@@ -65,8 +65,15 @@ object CdcCompact {
 
   /** Streaming compactor. `events` must carry (ts: timestamp, user_id,
     * event_id, event_type, value); emits one [[CompactedRow]] per key
-    * per quiesce epoch. */
-  def streamingCompact(events: DataFrame): Dataset[CompactedRow] = {
+    * per quiesce epoch. Late drops are counted on a named accumulator
+    * (`graft.drops.cdc_compact`) unless the caller supplies its own
+    * [[StreamDrops.Counter]]. */
+  def streamingCompact(events: DataFrame): Dataset[CompactedRow] =
+    streamingCompact(events,
+      StreamDrops.accumulator(events.sparkSession, "cdc_compact"))
+
+  def streamingCompact(events: DataFrame, drops: StreamDrops.Counter)
+      : Dataset[CompactedRow] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -79,12 +86,12 @@ object CdcCompact {
       .as[(java.sql.Timestamp, Long, Long, Long, String, Double)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[KeyVersion, CompactedRow](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(compactUpdate)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(compactUpdate(drops))
   }
 
   /** The per-key state transition — named so the spec can drive it
     * against a watermark-enforcing [[GroupState]] directly. */
-  private[graft] def compactUpdate(
+  private[graft] def compactUpdate(drops: StreamDrops.Counter)(
       user: Long, rows: Iterator[(java.sql.Timestamp, Long, Long, Long, String, Double)],
       state: GroupState[KeyVersion]): Iterator[CompactedRow] =
           if (state.hasTimedOut) {
@@ -93,13 +100,24 @@ object CdcCompact {
             Iterator.single(CompactedRow(
               user, v.sec, v.event_id, v.event_type, v.value, v.n_updates))
           } else {
+            // beyond-watermark updates are DROPPED on entry (the
+            // scd2/cap divergence-bound discipline, r16 ADVICE): a
+            // straggler for an already-quiesced (EVICTED) key would
+            // otherwise re-create state from its stale version and, one
+            // trigger later, emit a CompactedRow OLDER than the one
+            // already written — a downstream latest-view regresses. The
+            // drop is counted, and n_updates counts in-horizon updates
+            // only — the stated stream/batch divergence bound
+            val wmSec = state.getCurrentWatermarkMs() / 1000L
+            var nLate = 0L
             // micro-batch arrival order is not version order: fold to the
             // max (sec, event_id) — the same total order the batch plan's
             // struct-max uses, so out-of-order updates can never regress
             // the materialized version
             var v = state.getOption
             rows.foreach { case (_, _, sec, id, tpe, value) =>
-              v = v match {
+              if (sec <= wmSec) nLate += 1L
+              else v = v match {
                 case Some(cur)
                   if cur.sec > sec || (cur.sec == sec && cur.event_id >= id) =>
                   Some(cur.copy(n_updates = cur.n_updates + 1))
@@ -108,13 +126,14 @@ object CdcCompact {
                 case None => Some(KeyVersion(sec, id, tpe, value, 1L))
               }
             }
+            drops.add(nLate)
             v.foreach { cur =>
               state.update(cur)
-              // clamp ahead of the watermark: a straggler arriving
-              // > QuiesceSec past the watermark for an evicted key
-              // would otherwise set a timeout <= wm, which throws (the
-              // funnel-family lesson); firing one trigger later emits
-              // the same compacted version
+              // clamp ahead of the watermark: a LIVE key whose stored
+              // version predates the current watermark (the entry drop
+              // only filters arrivals, not state) would otherwise set a
+              // timeout <= wm, which throws (the funnel-family lesson);
+              // firing one trigger later emits the same compacted version
               state.setTimeoutTimestamp(
                 math.max((cur.sec + QuiesceSec) * 1000L,
                   state.getCurrentWatermarkMs() + 1000L))
@@ -144,7 +163,13 @@ object CdcCompact {
     *     Versions arriving with event time at or below the watermark
     *     are dropped on entry — the stream/batch divergence bound:
     *     emitted history never overlaps, and equality with
-    *     [[scd2Batch]] holds for reordering within the 1 h horizon. */
+    *     [[scd2Batch]] holds for rows arriving at or above each
+    *     batch's EVICTION watermark. (That is slightly stricter than
+    *     the 1 h lateness allowance: across consecutive non-idle
+    *     batches the eviction watermark runs ahead of the late-events
+    *     one, so a row in that gap is dropped even though the source
+    *     admitted it.) Drops are counted on
+    *     `graft.drops.cdc_scd2`. */
   def scd2Batch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
@@ -160,8 +185,15 @@ object CdcCompact {
   }
 
   /** Streaming SCD2. `events` must carry (ts: timestamp, user_id,
-    * event_id, value). */
-  def streamingScd2(events: DataFrame): Dataset[Scd2Row] = {
+    * event_id, value). Late drops are counted on a named accumulator
+    * (`graft.drops.cdc_scd2`) unless the caller supplies its own
+    * [[StreamDrops.Counter]]. */
+  def streamingScd2(events: DataFrame): Dataset[Scd2Row] =
+    streamingScd2(events,
+      StreamDrops.accumulator(events.sparkSession, "cdc_scd2"))
+
+  def streamingScd2(events: DataFrame, drops: StreamDrops.Counter)
+      : Dataset[Scd2Row] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -173,12 +205,12 @@ object CdcCompact {
       .as[(java.sql.Timestamp, Long, Long, Long, Double)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Scd2State, Scd2Row](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(scd2Update)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(scd2Update(drops))
   }
 
   /** The per-key state transition — named so the spec can drive it
     * against a watermark-enforcing [[GroupState]] directly. */
-  private[graft] def scd2Update(
+  private[graft] def scd2Update(drops: StreamDrops.Counter)(
       user: Long, rows: Iterator[(java.sql.Timestamp, Long, Long, Long, Double)],
       state: GroupState[Scd2State]): Iterator[Scd2Row] = {
           val wmSec = state.getCurrentWatermarkMs() / 1000L
@@ -186,12 +218,20 @@ object CdcCompact {
           // (flatMapGroupsWithState does not auto-filter late rows): a
           // version arriving after its successors were closed would
           // re-sort ahead of the open tail and emit an interval
-          // overlapping history already written to the sink. The drop
-          // is the stream/batch divergence bound — within the 1 h
-          // horizon the emitted intervals equal the batch LEAD plan;
-          // later data is discarded, never emitted inconsistently
-          val pending = state.getOption.map(_.versions).getOrElse(Seq.empty) ++
-            rows.map(r => (r._3, r._4, r._5)).filter(_._1 > wmSec)
+          // overlapping history already written to the sink. The drop —
+          // counted on `drops` — is the stream/batch divergence bound:
+          // rows at/above the batch's eviction watermark close exactly
+          // the batch LEAD plan's intervals; later data is discarded,
+          // never emitted inconsistently
+          var nLate = 0L
+          val fresh = rows.map(r => (r._3, r._4, r._5)).filter { v =>
+            val ok = v._1 > wmSec
+            if (!ok) nLate += 1L
+            ok
+          }.toSeq
+          drops.add(nLate)
+          val pending =
+            state.getOption.map(_.versions).getOrElse(Seq.empty) ++ fresh
           val sorted = pending.sortBy(v => (v._1, v._2))
           // close every interval whose SUCCESSOR the watermark has passed
           var cut = 0

@@ -24,8 +24,12 @@ final case class CapAdmit(user_id: Long, event_id: Long, us: Long, rnk: Long)
   * [[graft.pipeline.Dedup.contribCap]]): an event stream is throttled
   * so each user contributes at most [[CapK]] events, by EVENT TIME
   * (earliest first), not arrival order — the admitted set is exactly
-  * the batch plan's earliest-K for every arrival order WITHIN the
-  * watermark horizon. Both paths rank on `unix_micros(ts)`, the exact
+  * the batch plan's earliest-K for rows arriving at or above each
+  * batch's EVICTION watermark (slightly stricter than the 1 h lateness
+  * allowance: across consecutive non-idle batches the eviction
+  * watermark runs ahead of the late-events one, and rows in that gap
+  * are dropped — counted on `graft.drops.contrib_cap`). Both paths
+  * rank on `unix_micros(ts)`, the exact
   * tie-break the batch audit uses (whole-second ranking would let two
   * same-second, different-microsecond events disagree with
   * `d_contrib_cap`'s kept set).
@@ -77,7 +81,12 @@ object ContributionCap {
   /** Streaming watermark-gated admission. `events` must carry
     * (ts: timestamp, user_id, event_id); emits one [[CapAdmit]] per
     * admitted event, in rank order per user. */
-  def capStreaming(events: DataFrame): Dataset[CapAdmit] = {
+  def capStreaming(events: DataFrame): Dataset[CapAdmit] =
+    capStreaming(events,
+      StreamDrops.accumulator(events.sparkSession, "contrib_cap"))
+
+  def capStreaming(events: DataFrame, drops: StreamDrops.Counter)
+      : Dataset[CapAdmit] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -88,12 +97,12 @@ object ContributionCap {
       .as[(java.sql.Timestamp, Long, Long, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[CapState, CapAdmit](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(capUpdate)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(capUpdate(drops))
   }
 
   /** The per-key state transition — named so the spec can drive it
     * against a watermark-enforcing [[GroupState]] directly. */
-  private[graft] def capUpdate(
+  private[graft] def capUpdate(drops: StreamDrops.Counter)(
       user: Long, rows: Iterator[(java.sql.Timestamp, Long, Long, Long)],
       state: GroupState[CapState]): Iterator[CapAdmit] = {
           val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -102,9 +111,15 @@ object ContributionCap {
           // time is already below the watermark can no longer be ordered
           // against the admitted prefix (earlier admissions with later
           // event times may exist downstream) — admitting it would break
-          // the earliest-K contract, so it is discarded, documented as
-          // the divergence bound
-          val fresh = rows.map(r => (r._3, r._4)).filter(_._1 >= wmUs)
+          // the earliest-K contract, so it is discarded and counted on
+          // `drops`, documented as the divergence bound
+          var nLate = 0L
+          val fresh = rows.map(r => (r._3, r._4)).filter { e =>
+            val ok = e._1 >= wmUs
+            if (!ok) nLate += 1L
+            ok
+          }.toSeq
+          drops.add(nLate)
           // a capped user keeps no pending list — drop arrivals outright
           // (state stays, pinned at the cap: forgetting a capped user
           // would re-open their budget on a late arrival)

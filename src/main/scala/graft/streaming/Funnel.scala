@@ -121,7 +121,7 @@ object Funnel {
 
   /** The per-key state transition — named so the spec can drive it
     * against a watermark-enforcing [[GroupState]] directly. */
-  private[graft] def funnelUpdate(
+  private[graft] def funnelUpdate(drops: StreamDrops.Counter)(
       user: Long, rows: Iterator[(java.sql.Timestamp, Long, String, Long)],
       state: GroupState[FunnelState]): Iterator[FunnelEpisode] =
     if (state.hasTimedOut) {
@@ -129,28 +129,51 @@ object Funnel {
       state.remove()
       episodesOf(user, evs).iterator
     } else {
-      val buf = state.getOption.map(_.events).getOrElse(Seq.empty) ++
-        rows.map(r => (r._4, r._3))
-      state.update(FunnelState(buf))
-      // flush once the watermark proves no event can extend the newest
-      // buffered episode. The operator drops rows below the LATE-EVENTS
-      // watermark, but a row between the late-events and EVICTION
-      // watermarks (they differ across consecutive non-idle batches)
-      // still reaches here with event time below getCurrentWatermarkMs —
-      // unclamped, max+gap can land at/below the eviction watermark and
-      // setTimeoutTimestamp(<= wm) throws, killing the query. Clamp
-      // forward: the buffer is re-sorted at flush, so firing one
-      // trigger later never changes the emitted episodes.
-      state.setTimeoutTimestamp(
-        math.max((buf.map(_._1).max + EpisodeGapSec) * 1000L,
-          state.getCurrentWatermarkMs() + 1000L))
-      Iterator.empty
+      // rows at/below the EVICTION watermark are DROPPED on entry (the
+      // scd2/cap divergence-bound discipline, r16 ADVICE): a gap-window
+      // straggler for a user whose episode already flushed would
+      // otherwise open fresh state and emit a spurious one-event
+      // episode overlapping the history already written. The drop is
+      // counted on `drops`; batch equality holds for rows arriving
+      // at/above each batch's eviction watermark
+      val wmSec = state.getCurrentWatermarkMs() / 1000L
+      var nLate = 0L
+      val fresh = rows.map(r => (r._4, r._3)).filter { e =>
+        val ok = e._1 > wmSec
+        if (!ok) nLate += 1L
+        ok
+      }.toSeq
+      drops.add(nLate)
+      val buf = state.getOption.map(_.events).getOrElse(Seq.empty) ++ fresh
+      if (buf.isEmpty) Iterator.empty // everything late, nothing buffered
+      else {
+        state.update(FunnelState(buf))
+        // flush once the watermark proves no event can extend the newest
+        // buffered episode. Fresh rows sit above the watermark, but a
+        // PREVIOUSLY-buffered event (admitted under an older watermark)
+        // can sit below it — unclamped, max+gap can land at/below the
+        // eviction watermark and setTimeoutTimestamp(<= wm) throws,
+        // killing the query. Clamp forward: the buffer is re-sorted at
+        // flush, so firing one trigger later never changes the emitted
+        // episodes.
+        state.setTimeoutTimestamp(
+          math.max((buf.map(_._1).max + EpisodeGapSec) * 1000L,
+            state.getCurrentWatermarkMs() + 1000L))
+        Iterator.empty
+      }
     }
 
   /** Streaming path: buffer per user until the watermark proves the
     * episode gap elapsed, then emit every buffered episode and evict.
-    * `events` must carry (ts: timestamp, user_id, event_type). */
-  def streamingFunnel(events: DataFrame): Dataset[FunnelEpisode] = {
+    * `events` must carry (ts: timestamp, user_id, event_type). Late
+    * drops are counted on a named accumulator (`graft.drops.funnel`)
+    * unless the caller supplies its own [[StreamDrops.Counter]]. */
+  def streamingFunnel(events: DataFrame): Dataset[FunnelEpisode] =
+    streamingFunnel(events,
+      StreamDrops.accumulator(events.sparkSession, "funnel"))
+
+  def streamingFunnel(events: DataFrame, drops: StreamDrops.Counter)
+      : Dataset[FunnelEpisode] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -160,7 +183,7 @@ object Funnel {
       .as[(java.sql.Timestamp, Long, String, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[FunnelState, FunnelEpisode](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(funnelUpdate)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(funnelUpdate(drops))
   }
 
   val oracle: Map[String, String] = Map(

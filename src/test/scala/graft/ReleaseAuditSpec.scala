@@ -28,7 +28,26 @@ class ReleaseAuditSpec extends SparkSpec {
     ids.toSet
   }
 
+  /** Monitor signalled by the ContextCleaner each time an RDD's blocks
+    * finish cleaning — the audit waits on REAL cleanup events instead
+    * of GC-poll sleeps (r16 ADVICE: 75 × 200 ms polling was slow and
+    * GC-timing flaky). One listener for the whole suite. */
+  private object cleanedSignal {
+    @volatile private var attached = false
+    def ensureAttached(): Unit = synchronized {
+      if (!attached) {
+        org.apache.spark.GraftCleanerHook.onRddCleaned(spark.sparkContext) {
+          _ => synchronized { notifyAll() }
+        }
+        attached = true
+      }
+    }
+    /** Wait up to `ms` for the next cleanup event (or timeout). */
+    def awaitEvent(ms: Long): Unit = synchronized { wait(ms) }
+  }
+
   private def assertReleased(label: String)(op: => DataFrame): Unit = {
+    cleanedSignal.ensureAttached()
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val out = op
     out.count() // materialize through the caller's action
@@ -37,14 +56,15 @@ class ReleaseAuditSpec extends SparkSpec {
     var leaked = leakedNow()
     // a pin with no live reference (e.g. a kernel-internal checkpoint
     // whose frame went out of scope) is collected by Spark's
-    // ContextCleaner on GC — give it a few cycles so the audit fails
-    // only on LIVE pins, the actual session-lifetime leak class
-    var tries = 0
-    while (leaked.nonEmpty && tries < 75) { // cleaner lag scales with
-      System.gc()                           // suite-wide heap pressure
-      Thread.sleep(200)
+    // ContextCleaner on GC — request a GC and then wait on the
+    // cleaner's OWN rddCleaned events (bounded, but returns the moment
+    // cleanup lands) so the audit fails only on LIVE pins, the actual
+    // session-lifetime leak class
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (leaked.nonEmpty && System.nanoTime() < deadline) {
+      System.gc()
+      cleanedSignal.awaitEvent(500)
       leaked = leakedNow()
-      tries += 1
     }
     assert(leaked.isEmpty,
       s"$label leaves ${leaked.size} LIVE persistent RDDs beyond its own " +

@@ -183,11 +183,12 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming SCD2 closes intervals exactly when the watermark passes the successor") {
     import spark.implicits._
-    import graft.streaming.CdcCompact
+    import graft.streaming.{CdcCompact, StreamDrops}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long, Long, Double)]
+    val drops = StreamDrops.accumulator(spark, "cdc_scd2_test")
     val q = CdcCompact.streamingScd2(
-        stream.toDF.toDF("ts", "user_id", "event_id", "value"))
+        stream.toDF.toDF("ts", "user_id", "event_id", "value"), drops)
       .writeStream.format("memory").queryName("scd2_sink")
       .outputMode("append").start()
     try {
@@ -213,6 +214,18 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table("scd2_sink").filter("user_id = 1").count() == 2,
         "beyond-watermark version is dropped, history never overlaps")
+      // r16 verdict task 3: the divergence drop is OBSERVABLE per
+      // micro-batch. Two layers: Spark's own state-operator metric
+      // counts rows its late-events filter sheds BEFORE the state
+      // function (this planted row — measured, batch in=2 dropped=1);
+      // the operator's graft.drops accumulator counts the residual
+      // class that reaches the function below the EVICTION watermark
+      // (asserted by direct drive in the drop-count test below).
+      val shedByEngine = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(shedByEngine >= 1L,
+        s"the planted late row must appear in numRowsDroppedByWatermark " +
+          s"($shedByEngine); operator counter=${drops.acc.value}")
       // equality with the batch plan's CLOSED intervals on the same rows
       val batchEvents = Seq(
         (ts(0, 10), 1L, 1L, 10.0), (ts(0, 40), 1L, 2L, 20.0), (ts(1, 20), 1L, 3L, 30.0))
@@ -274,51 +287,83 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stateful timeouts clamp ahead of the eviction watermark (r15 ADVICE)") {
-    // The operator drops rows below the LATE-EVENTS watermark, but a row
-    // between the late-events and EVICTION watermarks (consecutive
-    // non-idle batches) reaches the state function with event time below
+    // A key whose STORED state predates the current watermark (buffered
+    // under an older watermark; the entry drop only filters arrivals)
+    // reaches the timeout re-arm with event times below
     // getCurrentWatermarkMs. Unclamped, last+gap lands at/below the
     // watermark and GroupStateImpl.setTimeoutTimestamp throws, killing
     // the whole query. Drive each named state function directly against
     // a GroupState that enforces the real timeout contract.
     import graft.streaming.{Funnel, FunnelState, Sessionize, OpenSession,
-      CdcCompact, KeyVersion}
+      CdcCompact, KeyVersion, StreamDrops}
     val wm = ts(11, 0).getTime // eviction watermark: 11:00
     val sec5 = ts(5, 0).getTime / 1000
     val stF = new WatermarkedGroupState[FunnelState](wm)
-    assert(Funnel.funnelUpdate(5L,
-      Iterator((ts(5, 0), 5L, "view", sec5)), stF).isEmpty)
+    stF.update(FunnelState(Seq((sec5, "view")))) // buffered under an older wm
+    assert(Funnel.funnelUpdate(StreamDrops.Noop)(5L,
+      Iterator((ts(11, 30), 5L, "view", ts(11, 30).getTime / 1000)), stF).isEmpty)
     assert(stF.timeoutMs > wm, "funnel timeout clamps ahead of the watermark")
     val stS = new WatermarkedGroupState[OpenSession](wm)
     assert(Sessionize.sessionUpdate(5L,
       Iterator((ts(5, 0), 5L, sec5)), stS).isEmpty)
     assert(stS.timeoutMs > wm, "session timeout clamps ahead of the watermark")
     val stC = new WatermarkedGroupState[KeyVersion](wm)
-    assert(CdcCompact.compactUpdate(5L,
-      Iterator((ts(5, 0), 5L, sec5, 7L, "click", 1.0)), stC).isEmpty)
+    stC.update(KeyVersion(sec5, 7L, "click", 1.0, 1L)) // live key, old version
+    assert(CdcCompact.compactUpdate(StreamDrops.Noop)(5L,
+      Iterator.empty, stC).isEmpty)
     assert(stC.timeoutMs > wm, "compactor timeout clamps ahead of the watermark")
   }
 
-  test("SCD2 and contribution-cap state functions drop beyond-watermark rows (r15 ADVICE)") {
-    import graft.streaming.{CdcCompact, Scd2State, ContributionCap, CapState}
+  test("state functions drop beyond-watermark rows and count them (r15/r16 ADVICE)") {
+    import graft.streaming.{CdcCompact, Scd2State, KeyVersion, ContributionCap,
+      CapState, Funnel, FunnelState, StreamDrops}
+    class Tally extends StreamDrops.Counter {
+      var n = 0L
+      override def add(x: Long): Unit = n += x
+    }
     val wm = ts(11, 0).getTime
     // a version below the watermark used to re-sort ahead of the open
     // tail and emit an interval overlapping already-written history
     val open = Seq((ts(7, 0).getTime / 1000, 1L, 1.0))
     val stV = new WatermarkedGroupState[Scd2State](wm)
     stV.update(Scd2State(open))
-    val outV = CdcCompact.scd2Update(1L,
+    val tV = new Tally
+    val outV = CdcCompact.scd2Update(tV)(1L,
       Iterator((ts(0, 20), 1L, ts(0, 20).getTime / 1000, 10L, 99.0)), stV).toSeq
     assert(outV.isEmpty, "no overlapping interval is emitted")
     assert(stV.value.versions == open, "the open tail is untouched")
+    assert(tV.n == 1L, "the divergence drop is counted, not silent")
     // a beyond-horizon event for a not-yet-capped user used to be
     // admitted immediately with the next rank, out of event-time order
     val stK = new WatermarkedGroupState[CapState](wm)
     stK.update(CapState(1L, Seq.empty))
-    val outK = ContributionCap.capUpdate(2L,
+    val tK = new Tally
+    val outK = ContributionCap.capUpdate(tK)(2L,
       Iterator((ts(1, 0), 2L, ts(1, 0).getTime * 1000L, 91L)), stK).toSeq
     assert(outK.isEmpty, "beyond-watermark event is dropped, not admitted")
     assert(stK.value.nAdmitted == 1L && stK.value.pending.isEmpty)
+    assert(tK.n == 1L, "the divergence drop is counted, not silent")
+    // r16 ADVICE (medium): a straggler for an already-EVICTED compactor
+    // key used to re-create state from its stale version and, one
+    // trigger later, emit a CompactedRow OLDER than the one already
+    // written — it must drop on entry instead
+    val stC = new WatermarkedGroupState[KeyVersion](wm)
+    val tC = new Tally
+    val outC = CdcCompact.compactUpdate(tC)(5L,
+      Iterator((ts(0, 30), 5L, ts(0, 30).getTime / 1000, 3L, "view", 2.0)), stC).toSeq
+    assert(outC.isEmpty && stC.getOption.isEmpty,
+      "an evicted key's stale straggler must not resurrect state")
+    assert(tC.n == 1L, "the divergence drop is counted, not silent")
+    // r16 ADVICE (low): a gap-window straggler for a user whose episode
+    // already flushed used to open fresh state and emit a spurious
+    // one-event episode — it must drop on entry instead
+    val stE = new WatermarkedGroupState[FunnelState](wm)
+    val tE = new Tally
+    val outE = Funnel.funnelUpdate(tE)(6L,
+      Iterator((ts(0, 30), 6L, "view", ts(0, 30).getTime / 1000)), stE).toSeq
+    assert(outE.isEmpty && stE.getOption.isEmpty,
+      "a flushed user's straggler must not open a spurious episode")
+    assert(tE.n == 1L, "the divergence drop is counted, not silent")
   }
 
   test("windowed top-k: dense ranks per window, streaming sums match the batch kernel") {

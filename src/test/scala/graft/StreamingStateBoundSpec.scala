@@ -64,13 +64,13 @@ class StreamingStateBoundSpec extends AnyFunSuite {
         .map(i => (ts(base + i * 60L), 1L, "click", base + i * 60L))
       st.timedOut = false
       st.wmMs = (base - Funnel.EpisodeGapSec) * 1000L
-      assert(Funnel.funnelUpdate(1L, rows, st).isEmpty)
+      assert(Funnel.funnelUpdate(graft.streaming.StreamDrops.Noop)(1L, rows, st).isEmpty)
       maxBuffered = math.max(maxBuffered, st.value.map(_.events.size).getOrElse(0))
       // the watermark passes the burst's gap: the timeout fires, the
       // buffered episode emits, state evicts
       st.timedOut = true
       st.wmMs = st.timeoutMs + 1
-      episodes += Funnel.funnelUpdate(1L, Iterator.empty, st).size
+      episodes += Funnel.funnelUpdate(graft.streaming.StreamDrops.Noop)(1L, Iterator.empty, st).size
       assert(st.value.isEmpty, s"burst $b: state must evict on flush")
     }
     assert(maxBuffered == burstLen,
@@ -94,7 +94,7 @@ class StreamingStateBoundSpec extends AnyFunSuite {
       // wm trails the batch max by the 1h delay (as the real query's
       // watermark would)
       st.wmMs = (T0 + (batch * 100 + 99) * stepSec - horizonSec) * 1000L
-      val out = CdcCompact.scd2Update(1L, rows, st).toSeq
+      val out = CdcCompact.scd2Update(graft.streaming.StreamDrops.Noop)(1L, rows, st).toSeq
       out.foreach { r =>
         assert(r.valid_from_sec >= prevTo, "emitted history never overlaps")
         prevTo = r.valid_to_sec
@@ -118,9 +118,9 @@ class StreamingStateBoundSpec extends AnyFunSuite {
       val sec = T0 + i * 10L
       (ts(sec), 1L, sec * 1000000L, i.toLong)
     }
-    assert(ContributionCap.capUpdate(1L, first, st).isEmpty, "held until wm")
+    assert(ContributionCap.capUpdate(graft.streaming.StreamDrops.Noop)(1L, first, st).isEmpty, "held until wm")
     st.wmMs = (T0 + 1000L) * 1000L
-    val admits = ContributionCap.capUpdate(1L, Iterator.empty, st).toSeq
+    val admits = ContributionCap.capUpdate(graft.streaming.StreamDrops.Noop)(1L, Iterator.empty, st).toSeq
     assert(admits.map(_.rnk) == Seq(1L, 2L, 3L, 4L, 5L))
     assert(st.value.get.nAdmitted == ContributionCap.CapK)
     // 10 000 further arrivals: all dropped outright, pending stays empty
@@ -130,8 +130,53 @@ class StreamingStateBoundSpec extends AnyFunSuite {
         (ts(sec), 1L, sec * 1000000L, (1000 + batch * 100 + i).toLong)
       }
       st.wmMs = (T0 + 50000L) * 1000L
-      assert(ContributionCap.capUpdate(1L, rows, st).isEmpty)
+      assert(ContributionCap.capUpdate(graft.streaming.StreamDrops.Noop)(1L, rows, st).isEmpty)
       assert(st.value.get.pending.isEmpty, "capped user keeps no pending list")
     }
+  }
+
+  test("simhash screen: a planted mega-dup bucket holds <= cap witnesses at x100 volume") {
+    // r16 verdict task 6: the screens claim state bounded by key-space
+    // CONSTRUCTION (<= cap witnesses per live bucket) — pin it
+    // numerically with 50 000 probes landing in ONE bucket, all within
+    // HammingMax of each other (the mega-dup group that would pile up
+    // state if the cap gated on anything but the store size)
+    import graft.streaming.{FingerprintScreen, BandProbe, BucketWitnesses}
+    val cap = graft.pipeline.Dedup.BandBucketCap
+    val st = new SimState[BucketWitnesses]
+    var maxHitsPerBatch = 0
+    for (batch <- 0 until 100) {
+      val probes = (0 until 500).iterator.map { i =>
+        val id = (batch * 500 + i).toLong
+        // fingerprints within Hamming 1 of each other: bit 0 wiggles
+        BandProbe(0, 7L, id, 0x5555555500000000L | (id & 1L))
+      }
+      val hits = FingerprintScreen.screenBucket(cap)((0, 7L), probes, st).size
+      maxHitsPerBatch = math.max(maxHitsPerBatch, hits)
+      assert(st.value.get.ids.size <= cap,
+        s"batch $batch: witness store exceeded the cap (${st.value.get.ids.size})")
+    }
+    assert(st.value.get.ids.size == cap, "the store fills to exactly the cap")
+    assert(st.value.get.ids == (0L until cap.toLong).toList,
+      "witnesses are the first-arrived prefix — deterministic under replay")
+    // emission is bounded too: <= cap hits per arrival, never quadratic
+    assert(maxHitsPerBatch <= 500 * cap)
+  }
+
+  test("minhash screen: mega-dup bucket state is <= cap signatures at x100 volume") {
+    import graft.streaming.{FingerprintScreen, MinhashProbe, SigWitnesses}
+    val cap = graft.pipeline.Dedup.BandBucketCap
+    val sig: Seq[Long] = Seq.tabulate(graft.pipeline.Dedup.NumPerm)(_.toLong)
+    val st = new SimState[SigWitnesses]
+    for (batch <- 0 until 100) {
+      val probes = (0 until 500).iterator.map { i =>
+        MinhashProbe(0, 7L, (batch * 500 + i).toLong, sig) // identical sigs
+      }
+      FingerprintScreen.minhashScreenBucket(cap)((0, 7L), probes, st)
+        .foreach(h => assert(h.matches == graft.pipeline.Dedup.NumPerm.toLong))
+      assert(st.value.get.ids.size <= cap,
+        s"batch $batch: signature store exceeded the cap (${st.value.get.ids.size})")
+    }
+    assert(st.value.get.ids.size == cap, "the store fills to exactly the cap")
   }
 }
