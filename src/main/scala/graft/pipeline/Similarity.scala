@@ -25,6 +25,7 @@ import graft.Tables
 object Similarity {
 
   import graft.functions.ArrayDotProduct.arrayDot
+  import graft.functions.SignLshBuckets.signLshBuckets
 
   /** Rank the scored candidates and keep the top k per query — the
     * shared native-heap-or-window idiom, see
@@ -42,7 +43,7 @@ object Similarity {
     * native codegen'd Catalyst expression — interpreted higher-order
     * array lambdas cost ~10 µs per 64-dim pair and dominated every
     * pairwise-scoring join before. */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(arrayDot(col("v"), col("v"))))
@@ -171,23 +172,15 @@ object Similarity {
     ((1103515245L * i + 12345L) % HpMod).toDouble / HpMod.toDouble - 0.5
   }
 
-  private def epsPlanes(bits: Int): IndexedSeq[IndexedSeq[Array[Double]]] =
+  private[graft] def epsPlanes(bits: Int): IndexedSeq[IndexedSeq[Array[Double]]] =
     IndexedSeq.tabulate(EpsNumTables)(t => IndexedSeq.tabulate(bits)(j =>
       Array.tabulate(Dim)(d => epsHpComponent(bits, t, j, d))))
 
   /** Per-vector eps-index buckets — [[buckets]] on the eps planes. */
-  private def epsBuckets(v: DataFrame, bits: Int): DataFrame = {
-    val planes = epsPlanes(bits)
-    val tableBuckets = (0 until EpsNumTables).map { t =>
-      val bitCols = (0 until bits).map { j =>
-        val h = array(planes(t)(j).toIndexedSeq.map(lit): _*)
-        when(arrayDot(col("v"), h) > 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("table"), bitCols.reduce(_ + _).as("bucket"))
-    }
-    v.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-  }
+  private[graft] def epsBuckets(v: DataFrame, bits: Int): DataFrame =
+    v.select(col("vec_id"),
+      posexplode(signLshBuckets(col("v"), epsPlanes(bits)))
+        .as(Seq("table", "bucket")))
 
   /** LSH-bucketed eps-pair generation — the 100 TB path of the
     * [[epsPairs]] gate: candidates meet only in a shared eps-index
@@ -203,16 +196,36 @@ object Similarity {
       bits: Int = EpsBitsPerTable): DataFrame = {
     val v = vectors(spark, dir).localCheckpoint(true)
     val b = epsBuckets(v, bits).localCheckpoint(true)
-    val out = knnCandidates(b, cap)
-      .join(v.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na")), Seq("a"))
-      .join(v.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")), Seq("b"))
-      .select(col("a"), col("b"),
-        round(arrayDot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+    val out = rescorePairs(v, knnCandidates(b, cap))
       .filter(col("cos_sim") >= minCos)
       .localCheckpoint(true)
     graft.graph.Algorithms.releaseIterate(v)
     graft.graph.Algorithms.releaseIterate(b)
     out
+  }
+
+  /** Exact cosine rescore of canonical (a, b) candidate pairs — the
+    * shared tail of every bucketed generator: attach each endpoint's
+    * (vector, norm), one codegen'd dot per pair. The CANDIDATE side is
+    * the big one (≈ tables·cap/2·n rows vs n vector rows of ~0.5 KB),
+    * so at or below [[MaxExactVectors]] rows the vector side is
+    * explicitly BROADCAST and the candidate set never shuffles —
+    * measured ×100 §4.14 (200k vectors, 96.8M candidates): the two
+    * shuffle-hash joins moved the pair set twice (the second carrying
+    * 512 B vector payloads) for 210 s of the forced-dbscan wall;
+    * broadcast-attached the identical rescore is ~35 s. Above the
+    * bound the vector table no longer fits an executor and the
+    * shuffle-hash join is the correct cluster shape (candidates and
+    * vectors both hash-partitioned on the id) — the branch a 100 TB
+    * corpus takes, decided by one O(partitions) count of the
+    * already-checkpointed vector table. Same rows either way. */
+  private def rescorePairs(v: DataFrame, cand: DataFrame): DataFrame = {
+    val side = if (v.count() <= MaxExactVectors) broadcast(v) else v
+    cand
+      .join(side.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na")), Seq("a"))
+      .join(side.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(arrayDot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
   }
 
   /** The gated eps-pair layer feeding [[dbscan]] and [[linkageCensus]]
@@ -316,14 +329,7 @@ object Similarity {
     val b = timed("eps_index")(epsBuckets(v, bits))
     val cand = timed("candidates")(knnCandidates(b, EpsBucketCap))
     val pairs = timed("rescore")(
-      cand
-        .join(v.select(col("vec_id").as("a"), col("v").as("va"),
-          col("norm").as("na")), Seq("a"))
-        .join(v.select(col("vec_id").as("b"), col("v").as("vb"),
-          col("norm").as("nb")), Seq("b"))
-        .select(col("a"), col("b"),
-          round(arrayDot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
-            .as("cos_sim"))
+      rescorePairs(v, cand)
         .filter(col("cos_sim") >= epsCos)
         .select(col("a"), col("b")))
     val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -474,17 +480,10 @@ object Similarity {
     * Deliberately does NOT carry the vectors: the bucket index is L
     * rows per vector, and payloads are re-attached only after the
     * candidate pairs are deduped. */
-  private def buckets(v: DataFrame): DataFrame = {
-    val tableBuckets = (0 until NumTables).map { t =>
-      val bits = (0 until BitsPerTable).map { j =>
-        val h = array(hyperplanes(t)(j).toIndexedSeq.map(lit): _*)
-        when(arrayDot(col("v"), h) > 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
-    }
-    v.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-  }
+  private def buckets(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+      posexplode(signLshBuckets(col("v"), hyperplanes))
+        .as(Seq("table", "bucket")))
 
   /** LSH-bucketed approximate top-k: candidates are vectors sharing ≥1
     * (table, bucket) with the query — the join key is (table, bucket),
@@ -611,17 +610,10 @@ object Similarity {
 
   /** Per-vector LSH buckets in the augmented space — [[buckets]] with
     * the [[mipsHyperplanes]]; `va` must be the (Dim+1)-dim vector. */
-  private def mipsBuckets(v: DataFrame): DataFrame = {
-    val tableBuckets = (0 until MipsNumTables).map { t =>
-      val bits = (0 until MipsBitsPerTable).map { j =>
-        val h = array(mipsHyperplanes(t)(j).toIndexedSeq.map(lit): _*)
-        when(arrayDot(col("va"), h) > 0, lit(1L << j)).otherwise(lit(0L))
-      }
-      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
-    }
-    v.select(col("vec_id"), explode(array(tableBuckets: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-  }
+  private def mipsBuckets(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
+      posexplode(signLshBuckets(col("va"), mipsHyperplanes))
+        .as(Seq("table", "bucket")))
 
   /** Norm bands for [[mipsAnn]] — the RangeLSH refinement (Yan et al.
     * 2018, "Norm-ranging LSH for maximum inner product search"): a
@@ -825,11 +817,7 @@ object Similarity {
     * Each unordered pair is scored ONCE, fanned to both directions,
     * ranked through the native [[graft.plans.TopKPerGroup]] heap. */
   private def scoreAndRank(v: DataFrame, cand: DataFrame, k: Int): DataFrame = {
-    val scored = cand
-      .join(v.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na")), Seq("a"))
-      .join(v.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")), Seq("b"))
-      .select(col("a"), col("b"),
-        round(arrayDot(col("va"), col("vb")) / (col("na") * col("nb")), 4).as("cos_sim"))
+    val scored = rescorePairs(v, cand)
       .localCheckpoint(true) // both union branches below read it
     val directed = scored.select(col("a").as("src"), col("b").as("dst"), col("cos_sim"))
       .union(scored.select(col("b").as("src"), col("a").as("dst"), col("cos_sim")))
