@@ -156,9 +156,13 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val matches = (0 until NumPerm)
-      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    // signature verify through the native ArrayEqualCount loop — the
+    // 32-slot when-chain spelling generated a 9,195-byte method that
+    // HotSpot refused to JIT (CodegenSizeSpec); integer count, so the
+    // est_jaccard doubles (dyadic matches/32) are bit-identical
+    val sigA = array((0 until NumPerm).map(i => col(s"sa.mh$i")): _*)
+    val sigB = array((0 until NumPerm).map(i => col(s"sb.mh$i")): _*)
+    val matches = graft.functions.ArrayEqualCount.arrayEqualCount(sigA, sigB)
     cand
       .join(sig.as("sa"), col("a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("b") === col("sb.doc_id"))

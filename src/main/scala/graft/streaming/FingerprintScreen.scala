@@ -128,9 +128,12 @@ object FingerprintScreen {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val matches = (0 until Dedup.NumPerm)
-      .map(i => when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
+    // native in-loop signature verify (the when-chain spelling rode the
+    // JIT-ceiling class CodegenSizeSpec polices; integer count, so the
+    // ≥ MinhashMinMatches cut is bit-identical)
+    val matches = graft.functions.ArrayEqualCount.arrayEqualCount(
+      array((0 until Dedup.NumPerm).map(i => col(s"sa.mh$i")): _*),
+      array((0 until Dedup.NumPerm).map(i => col(s"sb.mh$i")): _*))
     val ver = cand
       .join(sig.as("sa"), col("a") === col("sa.doc_id"))
       .join(sig.as("sb"), col("b") === col("sb.doc_id"))
