@@ -107,12 +107,15 @@ object Bench {
       else ""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"mins":$minsJson,"spreads":$spreadsJson,"gc_sec":$gcJson,"errors":$errJson,"n_errors":${errors.size}$samplesJson,"sf":"$sfDir"}"""
-    // Clean stdout line AND a file: the driver's r1 parse of sbt-noisy
-    // stdout yielded "parsed": null.
+    // Clean stdout line AND a file: the driver's tail parse of sbt-noisy
+    // stdout yielded "parsed": null in r16/r17 because session shutdown
+    // logging landed AFTER the line — stop the session first, then emit
+    // the JSON as the program's LAST stdout line (the committed artifact
+    // of record stays bench_out.json either way).
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line)
-    println(line)
     spark.stop()
+    println(line)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

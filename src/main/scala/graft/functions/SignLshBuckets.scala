@@ -38,6 +38,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 case class SignLshBuckets(child: Expression, planes: Array[Array[Array[Double]]])
     extends UnaryExpression {
 
+  // shared entry for every sign-LSH consumer — fail at CONSTRUCTION, not
+  // with an IndexOutOfBounds at bind time / silent bucket aliasing later
+  // (r17 ADVICE): non-empty tables, one consistent dimensionality, and
+  // ≤ 64 bits per table (the bucket packs bits into one long; a 65th bit
+  // would alias buckets via Java's mod-64 shift semantics)
+  require(planes.nonEmpty && planes.forall(_.nonEmpty),
+    "sign-LSH planes must carry ≥ 1 table with ≥ 1 hyperplane each")
+  require(planes.forall(_.length <= 64),
+    s"sign-LSH buckets pack each table's sign bits into one long — at " +
+      s"most 64 bits per table, got ${planes.map(_.length).max}")
+  require(planes.forall(_.forall(_.length == planes(0)(0).length)),
+    "sign-LSH hyperplanes must share one dimensionality across all tables")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -132,6 +145,22 @@ case class SignLshBuckets(child: Expression, planes: Array[Array[Array[Double]]]
        """.stripMargin,
       isNull = FalseLiteral)
   }
+
+  // the Array-typed field would make case-class equality REFERENCE-based
+  // (and the Column entry point allocates fresh arrays per call), so two
+  // identical signLshBuckets calls would never compare equal — defeating
+  // subexpression elimination and plan canonicalization (r17 ADVICE).
+  // Value-compare the planes instead.
+  override def equals(other: Any): Boolean = other match {
+    case s: SignLshBuckets =>
+      child == s.child && java.util.Arrays.deepEquals(
+        planes.asInstanceOf[Array[AnyRef]], s.planes.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
 
   override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
     copy(child = newChild)

@@ -193,10 +193,10 @@ object Similarity {
     * matches [[embeddingNearDup]]: canonical (a < b, cos_sim). */
   private[graft] def epsPairsBucketed(spark: SparkSession, dir: String,
       minCos: Double, cap: Int = EpsBucketCap,
-      bits: Int = EpsBitsPerTable): DataFrame = {
+      bits: Int = EpsBitsPerTable, nKnown: Long = -1L): DataFrame = {
     val v = vectors(spark, dir).localCheckpoint(true)
     val b = epsBuckets(v, bits).localCheckpoint(true)
-    val out = rescorePairs(v, knnCandidates(b, cap))
+    val out = rescorePairs(v, knnCandidates(b, cap), nKnown)
       .filter(col("cos_sim") >= minCos)
       .localCheckpoint(true)
     graft.graph.Algorithms.releaseIterate(v)
@@ -218,9 +218,21 @@ object Similarity {
     * shuffle-hash join is the correct cluster shape (candidates and
     * vectors both hash-partitioned on the id) — the branch a 100 TB
     * corpus takes, decided by one O(partitions) count of the
-    * already-checkpointed vector table. Same rows either way. */
-  private def rescorePairs(v: DataFrame, cand: DataFrame): DataFrame = {
-    val side = if (v.count() <= MaxExactVectors) broadcast(v) else v
+    * already-checkpointed vector table. Same rows either way.
+    *
+    * `nKnown` ≥ 0: the caller already counted the vector table — the
+    * gate decision reuses it and this helper runs ZERO eager jobs at
+    * plan-construction time (the [[embeddingNearDup]] nKnown contract,
+    * one level down — r17 verdict task 1). `nKnown` < 0 falls back to
+    * counting `v` here, which is only cheap because every fleet caller
+    * passes a localCheckpoint'd frame; a raw-lineage caller would
+    * recompute the whole vector pipeline just to pick a join strategy,
+    * so new callers should count once after their checkpoint and
+    * thread the value through. */
+  private[graft] def rescorePairs(v: DataFrame, cand: DataFrame,
+      nKnown: Long = -1L): DataFrame = {
+    val nVec = if (nKnown >= 0L) nKnown else v.count()
+    val side = if (nVec <= MaxExactVectors) broadcast(v) else v
     cand
       .join(side.select(col("vec_id").as("a"), col("v").as("va"), col("norm").as("na")), Seq("a"))
       .join(side.select(col("vec_id").as("b"), col("v").as("vb"), col("norm").as("nb")), Seq("b"))
@@ -241,7 +253,7 @@ object Similarity {
       maxExact: Long = MaxExactVectors): DataFrame = {
     val n = Tables.embeddings(spark, dir).count()
     if (n <= maxExact) embeddingNearDup(spark, dir, minCos, nKnown = n)
-    else epsPairsBucketed(spark, dir, minCos, bits = epsBitsFor(n))
+    else epsPairsBucketed(spark, dir, minCos, bits = epsBitsFor(n), nKnown = n)
   }
 
   /** DBSCAN over the embedding set, with the eps-neighbourhood defined
@@ -329,7 +341,7 @@ object Similarity {
     val b = timed("eps_index")(epsBuckets(v, bits))
     val cand = timed("candidates")(knnCandidates(b, EpsBucketCap))
     val pairs = timed("rescore")(
-      rescorePairs(v, cand)
+      rescorePairs(v, cand, n)
         .filter(col("cos_sim") >= epsCos)
         .select(col("a"), col("b")))
     val sym = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
@@ -816,8 +828,9 @@ object Similarity {
     * NN-descent round produce from their respective candidate sets.
     * Each unordered pair is scored ONCE, fanned to both directions,
     * ranked through the native [[graft.plans.TopKPerGroup]] heap. */
-  private def scoreAndRank(v: DataFrame, cand: DataFrame, k: Int): DataFrame = {
-    val scored = rescorePairs(v, cand)
+  private def scoreAndRank(v: DataFrame, cand: DataFrame, k: Int,
+      nKnown: Long = -1L): DataFrame = {
+    val scored = rescorePairs(v, cand, nKnown)
       .localCheckpoint(true) // both union branches below read it
     val directed = scored.select(col("a").as("src"), col("b").as("dst"), col("cos_sim"))
       .union(scored.select(col("b").as("src"), col("a").as("dst"), col("cos_sim")))
@@ -844,8 +857,11 @@ object Similarity {
   def knnGraph(spark: SparkSession, dir: String, k: Int = 5,
                cap: Int = KnnBucketCap): DataFrame = {
     val v = vectors(spark, dir).localCheckpoint(true)
+    // count the checkpointed blocks ONCE and thread it into the rescore
+    // broadcast gate (r17 verdict task 1 — no per-helper re-scan)
+    val n = v.count()
     val b = buckets(v).localCheckpoint(true)
-    val out = mutualize(scoreAndRank(v, knnCandidates(b, cap), k))
+    val out = mutualize(scoreAndRank(v, knnCandidates(b, cap), k, n))
     // the mutual edge set is checkpoint-rooted: the vector and index
     // pins are dead
     graft.graph.Algorithms.releaseIterate(v)
@@ -873,8 +889,11 @@ object Similarity {
   def nnDescentGraph(spark: SparkSession, dir: String, k: Int = 5,
                      cap: Int = KnnBucketCap): DataFrame = {
     val v = vectors(spark, dir).localCheckpoint(true)
+    // one count feeds BOTH rounds' rescore gates (pre-r18 each round
+    // re-counted the identical checkpointed frame)
+    val n = v.count()
     val b = buckets(v).localCheckpoint(true)
-    val baseRaw = scoreAndRank(v, knnCandidates(b, cap), k)
+    val baseRaw = scoreAndRank(v, knnCandidates(b, cap), k, n)
     val base = baseRaw.localCheckpoint(true) // und (×2) + pair carry-over
     graft.graph.Algorithms.releaseIterate(baseRaw) // scored pin superseded
     val und = base.select(col("src").as("u"), col("dst").as("nb"))
@@ -888,7 +907,7 @@ object Similarity {
       .union(base.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")))
       .distinct()
-    val out = mutualize(scoreAndRank(v, cand, k))
+    val out = mutualize(scoreAndRank(v, cand, k, n))
     // out is checkpoint-rooted (mutualize) — every intermediate pin of
     // the seed round and the wedge pass is dead
     Seq(v, b, base, und).foreach(graft.graph.Algorithms.releaseIterate)

@@ -68,6 +68,67 @@ class ExactTwinSpec extends SparkSpec {
       "below the bound every node starts a walk (byte-identical r16 plan)")
   }
 
+  test("rescorePairs' broadcast gate trusts the caller-threaded count (nKnown only skips the re-count)") {
+    val v = Similarity.vectors(spark, SF).localCheckpoint(true)
+    val n = v.count()
+    // consecutive-id candidate pairs — tiny, both endpoints exist
+    val cand = v.select(col("vec_id").as("a"), (col("vec_id") + 1L).as("b"))
+      .filter(col("b") < n)
+    def jobsSeen(): Int =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // the status store is fed asynchronously — read a STABLE job count
+    // (unchanged across several polls) so in-flight events from earlier
+    // actions can't skew the baseline or the assertion
+    def settled(): Int = {
+      var cur = jobsSeen()
+      var same = 0
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (same < 6 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val nxt = jobsSeen()
+        if (nxt == cur) same += 1 else { cur = nxt; same = 0 }
+      }
+      cur
+    }
+    // calibrate the barrier action's own job count (AQE may split one
+    // action into several jobs) before using it to bracket the claims
+    val base = settled()
+    spark.range(1).count()
+    val barrierJobs = settled() - base
+    val before = settled()
+    val threaded = Similarity.rescorePairs(v, cand, n)
+    spark.range(1).count() // ordering barrier
+    assert(settled() == before + barrierJobs,
+      "plan construction with nKnown must launch ZERO Spark jobs")
+    val mid = settled()
+    val counted = Similarity.rescorePairs(v, cand)
+    spark.range(1).count() // barrier again
+    assert(settled() > mid + barrierJobs,
+      "the nKnown-less fallback pays the count scan at construction")
+    // nKnown only skips the re-count: identical rows either way
+    assert(threaded.collect().toSeq == counted.collect().toSeq,
+      "threaded and re-counted rescores must produce identical pairs")
+    // and the threaded value IS what the gate reads: at/below the bound
+    // the vector side carries the broadcast HINT; above it the hint is
+    // withheld and the planner decides from stats (which on a tiny
+    // checkpointed corpus may still pick broadcast — the hint is the
+    // gate's output, the physical join is the planner's)
+    def hasBroadcastHint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+            if h.hints.strategy.contains(
+              org.apache.spark.sql.catalyst.plans.logical.BROADCAST) => h
+      }.nonEmpty
+    assert(hasBroadcastHint(threaded),
+      "at/below the bound the vector side is hint-broadcast")
+    val shuffled = Similarity.rescorePairs(v, cand,
+      Similarity.MaxExactVectors + 1)
+    assert(!hasBroadcastHint(shuffled),
+      "an above-bound count must withhold the broadcast hint " +
+        "(the shuffle-join cluster shape)")
+    graph.Algorithms.releaseIterate(v)
+  }
+
   test("the brute-force ANN truth arm is bounded by construction: nQueries x k rows") {
     val nQ = 3
     val k = 4
