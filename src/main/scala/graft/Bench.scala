@@ -14,6 +14,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // hash-impl A/B knob (SPARK_GRAFT_HASH=xxhash64): swaps the fleet's
+    // 60-bit hash to the production impl — see graft.Hashing.hash60.
+    // Oracle comparisons only hold in the md5 default; this knob exists
+    // for the same-window perf A/B protocol.
+    sys.env.get("SPARK_GRAFT_HASH").foreach(h =>
+      spark.conf.set("graft.hash.impl", h))
     // JIT warmup at the smallest SF (~15 s): first-run timings were
     // dominated by JVM compilation (observed 2× swings on the iterative
     // loops); steady-state is what a long-running cluster job sees.

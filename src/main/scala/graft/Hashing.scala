@@ -10,14 +10,42 @@ import org.apache.spark.sql.functions._
   * md5 is bit-identical in every engine, and 15 hex digits stay under
   * 2^60 so signed-long arithmetic never overflows. A DuckDB oracle
   * replays it as a seeded fold over the hex digits ([[hexFoldSql]]).
-  * Swapping in xxhash64 (same call shape, ~5× faster on long strings,
-  * but with no SQL-engine equivalent) is a one-line production change.
+  *
+  * [[hash60]] is the fleet entry point and adds the PRODUCTION switch
+  * (r17 verdict task 3): session conf `graft.hash.impl=xxhash64` swaps
+  * every call site to Spark's native codegen'd xxhash64 (masked to the
+  * same 60-bit nonnegative range — every downstream `pmod` / `/2^60`
+  * consumer is range-compatible). md5 computes a full cryptographic
+  * digest over an allocated UTF-8 copy then string-formats it —
+  * measured ~3-4× xxhash64's cost per row on short strings, pure
+  * per-row tax at 100 TB. xxhash64 has no DuckDB replay, so the
+  * ORACLE GATE runs the md5 default; the conf is for deployments,
+  * where cross-engine replayability is not part of the job. Sampling /
+  * banding / bucketing semantics are hash-DISTRIBUTION properties, so
+  * both impls satisfy every operator contract; only the concrete
+  * sampled sets differ between modes.
   */
 object Hashing {
+
+  private val Mask60 = (1L << 60) - 1
 
   /** 60-bit md5-prefix hash of a column (see object docs). */
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit xxhash64 hash — the production impl behind [[hash60]]. */
+  def xxHash60(c: Column): Column =
+    xxhash64(c).bitwiseAND(lit(Mask60))
+
+  /** The fleet's 60-bit hash, conf-gated: `graft.hash.impl=xxhash64`
+    * selects [[xxHash60]], anything else (or unset) the DuckDB-
+    * replayable [[md5Hash60]] default. Read at PLAN-CONSTRUCTION time
+    * from the active session's SQLConf — all call sites build Columns
+    * on the driver. */
+  def hash60(c: Column): Column =
+    if (org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.hash.impl", "md5") == "xxhash64") xxHash60(c)
+    else md5Hash60(c)
 
   /** DuckDB rendering of [[md5Hash60]]: parse the 15-char md5 prefix as
     * base-16 via a seeded list fold (list_reduce has no init argument in

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.debug
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** In-loop codegen METHOD-SIZE audit — the [[CodegenSizeSpec]] JIT-gap
+  * gate extended into the iterative kernels (r17 verdict task 2).
+  *
+  * HotSpot never JIT-compiles a method larger than 8,000 bytecode bytes
+  * (`-XX:DontCompileHugeMethods`, on by default), while Spark only
+  * abandons whole-stage codegen above 65,535 — a generated method in
+  * the gap silently runs INTERPRETED (the r17 class that cost the
+  * sign-LSH index build two orders of magnitude). `CodegenSizeSpec`
+  * sweeps every registered key's FINAL plan, but an iterative kernel's
+  * per-round stages only ever exist as transient plans materialized by
+  * in-loop `localCheckpoint`/`count` actions and root their outputs at
+  * checkpoints — a static sweep never sees them, so the next 59 KB
+  * method could hide in a loop body and read as "host drift" for
+  * rounds.
+  *
+  * This listener rides Spark's own action hook: EVERY Dataset action —
+  * including each round's eager `localCheckpoint`, the exact seam the
+  * loops materialize through — fires `QueryExecutionListener.onSuccess`
+  * with the executed plan (for AQE queries, `debug.codegenStringSeq`
+  * descends into the resolved adaptive subtrees). Each plan is
+  * recompiled with the same generator the executor used and any
+  * whole-stage subtree whose largest generated method exceeds the JIT
+  * ceiling is recorded. Recompiling every round's plan is measurement
+  * overhead, not something a production session pays — so the audit is
+  * opt-in: `SPARK_GRAFT_JIT_AUDIT=1` on [[ScaleBench]]/[[ScaleBenchC]]
+  * (run once per round at the 15k/×10 point per SURVEY §4.13/§4.14),
+  * and [[JitAuditSpec]] drives the loop kernels under it in CI.
+  */
+object JitAudit {
+
+  /** HotSpot's DontCompileHugeMethods ceiling (bytecode bytes). */
+  val JitCeiling = 8000
+
+  final case class Offender(action: String, maxMethodBytes: Int, subtree: String)
+
+  final class Listener extends QueryExecutionListener {
+    private val offendersBuf =
+      new java.util.concurrent.ConcurrentLinkedQueue[Offender]
+    private val inspectedCount = new java.util.concurrent.atomic.AtomicLong
+    private val failedCount = new java.util.concurrent.atomic.AtomicLong
+
+    /** Plans inspected so far (listener-bus-async — poll for stability
+      * before reading a final value). */
+    def inspected: Long = inspectedCount.get
+
+    /** Plans whose codegen inspection itself threw (should stay 0; a
+      * nonzero count means the audit has a blind spot, not the fleet). */
+    def failed: Long = failedCount.get
+
+    def offenders: Seq[Offender] = {
+      import scala.jdk.CollectionConverters._
+      offendersBuf.iterator().asScala.toSeq
+    }
+
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = {
+      try {
+        inspect(qe.executedPlan, funcName).foreach(offendersBuf.add)
+        inspectedCount.incrementAndGet()
+      } catch {
+        case scala.util.control.NonFatal(_) => failedCount.incrementAndGet()
+      }
+    }
+
+    override def onFailure(funcName: String, qe: QueryExecution,
+        exception: Exception): Unit = ()
+  }
+
+  /** Max-method audit of one physical plan (AQE subtrees included via
+    * Spark's own debug traversal). */
+  def inspect(plan: SparkPlan, action: String): Seq[Offender] =
+    debug.codegenStringSeq(plan).collect {
+      case (subtree, _, stats) if stats.maxMethodCodeSize > JitCeiling =>
+        Offender(action, stats.maxMethodCodeSize,
+          subtree.linesIterator.find(_.nonEmpty).getOrElse("").take(120))
+    }
+
+  /** Attach a fresh audit listener to the session when `enabled`;
+    * returns it for the caller's end-of-run report. */
+  def attachIf(enabled: Boolean, spark: SparkSession): Option[Listener] =
+    if (!enabled) None
+    else {
+      val l = new Listener
+      spark.listenerManager.register(l)
+      Some(l)
+    }
+
+  /** Wait for the async listener feed to go quiet (inspected count
+    * stable across polls), then report: JSON fragment for the bench
+    * line + per-offender stderr lines. Returns the offender count. */
+  def report(l: Listener): (String, Int) = {
+    var cur = l.inspected
+    var same = 0
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (same < 6 && System.nanoTime() < deadline) {
+      Thread.sleep(100)
+      val nxt = l.inspected
+      if (nxt == cur) same += 1 else { cur = nxt; same = 0 }
+    }
+    val off = l.offenders
+    off.foreach(o => System.err.println(
+      s"[jit-audit] OFFENDER ${o.maxMethodBytes} bytes in action " +
+        s"'${o.action}': ${o.subtree}"))
+    (s""""jit_audit":{"inspected":${l.inspected},""" +
+      s""""failed":${l.failed},"offenders":${off.size}}""", off.size)
+  }
+}

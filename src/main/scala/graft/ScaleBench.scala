@@ -57,6 +57,11 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_LOG_LEVEL", "WARN"))
+    // SPARK_GRAFT_JIT_AUDIT=1: recompile every action's executed plan
+    // (incl. each loop round's localCheckpoint) and fail on methods in
+    // HotSpot's interpreted-but-not-fallback gap — see [[JitAudit]]
+    val jit = JitAudit.attachIf(
+      sys.env.get("SPARK_GRAFT_JIT_AUDIT").contains("1"), spark)
 
     val nodes = spark.range(n).select(col("id")).localCheckpoint(true)
     val t0 = System.nanoTime()
@@ -261,8 +266,13 @@ object ScaleBench {
     }
     val qs = times.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
+    val (jitJson, nOffend) = jit.map(JitAudit.report) match {
+      case Some((j, n0)) => ("," + j, n0)
+      case None => ("", 0)
+    }
     println(s"""{"metric":"scale_graph","n_nodes":$n,"n_edges":$nEdges,""" +
-      s""""build_sec":$buildSec,"kernels":$qs}""")
+      s""""build_sec":$buildSec,"kernels":$qs$jitJson}""")
     spark.stop()
+    if (nOffend > 0) sys.exit(3)
   }
 }

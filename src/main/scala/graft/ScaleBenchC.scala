@@ -132,6 +132,10 @@ object ScaleBenchC {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_JIT_AUDIT=1: per-action generated-method-size audit
+    // over every in-loop stage — see [[JitAudit]]
+    val jit = JitAudit.attachIf(
+      sys.env.get("SPARK_GRAFT_JIT_AUDIT").contains("1"), spark)
 
     val nEvents = 100000L * factor
     val nearDupMod = sys.env.getOrElse("SPARK_GRAFT_SCALE_NEARDUP_MOD", "10").toLong
@@ -235,8 +239,13 @@ object ScaleBenchC {
     val qs = times.map { case (k, v) =>
       Json.q(k) + ":" + f"$v%.1f" }.mkString("{", ",", "}")
     val rs = rows.map { case (k, v) => Json.q(k) + ":" + v }.mkString("{", ",", "}")
+    val (jitJson, nOffend) = jit.map(JitAudit.report) match {
+      case Some((j, n0)) => ("," + j, n0)
+      case None => ("", 0)
+    }
     println(s"""{"metric":"scale_cblock","factor":$factor,""" +
-      s""""n_docs":$nDocs,"n_vecs":$nVecs,"sec":$qs,"rows":$rs}""")
+      s""""n_docs":$nDocs,"n_vecs":$nVecs,"sec":$qs,"rows":$rs$jitJson}""")
     spark.stop()
+    if (nOffend > 0) sys.exit(3)
   }
 }

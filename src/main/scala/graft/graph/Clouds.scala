@@ -430,7 +430,7 @@ object Clouds {
   private[graft] def cappedCandidates(nbrs: DataFrame, cap: Int): DataFrame = {
     val capped = graft.plans.TopKPerGroup.rankTopK(
         nbrs.withColumn("hkey",
-          graft.Hashing.md5Hash60(concat_ws("|", col("nbr"), col("node")))),
+          graft.Hashing.hash60(concat_ws("|", col("nbr"), col("node")))),
         Seq("nbr"), Seq("hkey" -> false, "node" -> false), cap)
       .select(col("node"), col("nbr"))
     capped.as("x")
@@ -1381,7 +1381,7 @@ object Clouds {
   private[graft] def cappedAdjacency(und: DataFrame, cap: Int): DataFrame =
     graft.plans.TopKPerGroup.rankTopK(
         und.withColumn("hkey",
-          graft.Hashing.md5Hash60(concat_ws("|", col("u"), col("v")))),
+          graft.Hashing.hash60(concat_ws("|", col("u"), col("v")))),
         Seq("u"), Seq("hkey" -> false, "v" -> false), cap)
       .select(col("u"), col("v"))
 
@@ -1415,7 +1415,7 @@ object Clouds {
     // mod = 1 leaves the production plan byte-identical
     val starts =
       if (sampleMod <= 1L) g.nodes
-      else g.nodes.filter(pmod(graft.Hashing.md5Hash60(
+      else g.nodes.filter(pmod(graft.Hashing.hash60(
         concat_ws("|", col("id"), lit("wsample"))), lit(sampleMod)) === 0)
     var cur = starts.select(col("id").as("walk_id"), col("id").as("node"))
       .localCheckpoint(true)
@@ -1423,7 +1423,7 @@ object Clouds {
     val steps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     steps += cur.withColumn("step", lit(0))
     for (s <- 1 to len) {
-      val hkey = graft.Hashing.md5Hash60(
+      val hkey = graft.Hashing.hash60(
         concat_ws("|", col("walk_id"), lit(s), col("v")))
       cur = cur.join(und, col("node") === col("u"))
         .select(col("walk_id"), col("v"), hkey.as("hk"))
@@ -1519,7 +1519,7 @@ object Clouds {
     val steps = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     steps += cur.withColumn("step", lit(0))
     for (s <- 1 to len) {
-      val hkey = graft.Hashing.md5Hash60(
+      val hkey = graft.Hashing.hash60(
         concat_ws("|", col("walk_id"), lit(s), col("v")))
       val u01 = (hkey + lit(1L)).cast("double") / lit(twoPow60)
       val w = when(col("v") === col("prev"), lit(1.0 / p))

@@ -69,10 +69,12 @@ object Dedup {
   val NumBands = 8 // × 4 rows/band
   private val RowsPerBand = NumPerm / NumBands
 
-  /** The cross-engine 60-bit md5-prefix hash + its DuckDB replay — see
-    * [[graft.Hashing]] (shared with the graph operators). */
+  /** The fleet 60-bit hash + the md5 default's DuckDB replay — see
+    * [[graft.Hashing]] (shared with the graph operators; the name keeps
+    * the md5 oracle contract visible — `graft.hash.impl=xxhash64` swaps
+    * the impl fleet-wide for production runs). */
   private[pipeline] def md5Hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    graft.Hashing.md5Hash60(c)
+    graft.Hashing.hash60(c)
 
   private[pipeline] def hexFoldSql(expr: String): String =
     graft.Hashing.hexFoldSql(expr)
@@ -914,7 +916,7 @@ object Dedup {
         col("n_docs").cast("double")))
     val withF = perSrc.join(broadcast(tot))
       .select(col("source"), col("n_docs"), f.as("f"))
-    val u = graft.Hashing.md5Hash60(
+    val u = graft.Hashing.hash60(
         concat_ws("|", col("doc_id"), lit("epoch"))).cast("double") /
       lit(math.pow(2.0, 60))
     docs.join(broadcast(withF), Seq("source"))

@@ -780,7 +780,7 @@ object Similarity {
     * the bound structurally. */
   private[graft] def cappedBuckets(b: DataFrame, cap: Int): DataFrame =
     graft.plans.TopKPerGroup.rankTopK(
-        b.withColumn("hkey", graft.Hashing.md5Hash60(
+        b.withColumn("hkey", graft.Hashing.hash60(
           concat_ws("|", col("table"), col("bucket"), col("vec_id")))),
         Seq("table", "bucket"), Seq("hkey" -> false, "vec_id" -> false), cap)
       .select(col("vec_id"), col("table"), col("bucket"))

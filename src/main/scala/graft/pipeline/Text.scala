@@ -93,7 +93,7 @@ object Text {
         explode(sequence(lit(0L), col("n_chunks") - 1)).as("span_id"))
       .select(col("doc_id"), col("span_id"),
         (col("span_id") * SpanChunk +
-          pmod(graft.Hashing.md5Hash60(
+          pmod(graft.Hashing.hash60(
             concat_ws("|", col("doc_id"), col("span_id"), lit("mask"))),
             lit((SpanChunk - SpanLen + 1).toLong))).as("start_tok"),
         col("toks"))

@@ -387,7 +387,7 @@ object Tpch {
     * column expressions on top. */
   private[relational] def partsupp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def h(salt: String) = graft.Hashing.md5Hash60(
+    def h(salt: String) = graft.Hashing.hash60(
       concat_ws("|", lit(salt), $"ps_partkey", $"ps_suppkey"))
     Tables.lineitem(spark, dir)
       .select($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
@@ -769,7 +769,7 @@ object Tpch {
     val items = graft.plans.TopKPerGroup.rankTopK(
         Tables.lineitem(spark, dir)
           .select($"l_orderkey", $"l_partkey").distinct()
-          .withColumn("hkey", graft.Hashing.md5Hash60(
+          .withColumn("hkey", graft.Hashing.hash60(
             concat_ws("|", $"l_orderkey", $"l_partkey"))),
         Seq("l_orderkey"), Seq("hkey" -> false, "l_partkey" -> false), cap)
       .select($"l_orderkey", $"l_partkey")
