@@ -39,9 +39,18 @@ object Hashing {
 
   /** The fleet's 60-bit hash, conf-gated: `graft.hash.impl=xxhash64`
     * selects [[xxHash60]], anything else (or unset) the DuckDB-
-    * replayable [[md5Hash60]] default. Read at PLAN-CONSTRUCTION time
-    * from the active session's SQLConf — all call sites build Columns
-    * on the driver. */
+    * replayable [[md5Hash60]] default.
+    *
+    * Resolution contract: the conf is read at PLAN-CONSTRUCTION time
+    * from the THREAD-ACTIVE session's SQLConf (`SQLConf.get` — the
+    * same thread-local channel Spark's own construction-time confs
+    * like `spark.sql.session.timeZone` use; a Column carries no
+    * session). A single-session app — the normal deployment — always
+    * satisfies this. Multi-session drivers must build plans with the
+    * target session active on the thread; [[SparkEntry.queries]] pins
+    * the passed session active per entry, so every registry key is
+    * safe by construction, and tests that hand-build columns use an
+    * explicit set/clear (HashingSpec.withActive). */
   def hash60(c: Column): Column =
     if (org.apache.spark.sql.internal.SQLConf.get
         .getConfString("graft.hash.impl", "md5") == "xxhash64") xxHash60(c)

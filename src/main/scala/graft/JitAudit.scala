@@ -74,10 +74,15 @@ object JitAudit {
   }
 
   /** Max-method audit of one physical plan (AQE subtrees included via
-    * Spark's own debug traversal). */
+    * Spark's own debug traversal). A subtree whose generated code
+    * FAILED to compile reports ByteCodeStats.UNAVAILABLE (-1) — that
+    * is strictly worse than the JIT gap (Spark falls back to the
+    * interpreted path for it), so the sentinel is flagged, never
+    * silently passed as under-ceiling. */
   def inspect(plan: SparkPlan, action: String): Seq[Offender] =
     debug.codegenStringSeq(plan).collect {
-      case (subtree, _, stats) if stats.maxMethodCodeSize > JitCeiling =>
+      case (subtree, _, stats)
+          if stats.maxMethodCodeSize > JitCeiling || stats.maxMethodCodeSize < 0 =>
         Offender(action, stats.maxMethodCodeSize,
           subtree.linesIterator.find(_.nonEmpty).getOrElse("").take(120))
     }
@@ -92,18 +97,32 @@ object JitAudit {
       Some(l)
     }
 
-  /** Wait for the async listener feed to go quiet (inspected count
-    * stable across polls), then report: JSON fragment for the bench
-    * line + per-offender stderr lines. Returns the offender count. */
-  def report(l: Listener): (String, Int) = {
-    var cur = l.inspected
+  /** Wait for an async counter feed to go quiet: returns once `read`
+    * has been stable for `quietPolls` consecutive `pollMs` sleeps (or
+    * the deadline passes). Shared by [[report]] and the spec settles —
+    * one stabilization loop, not three hand-copies. */
+  def awaitStable(read: () => Long, quietPolls: Int = 6, pollMs: Long = 100,
+      deadlineSec: Long = 60): Long = {
+    var cur = read()
     var same = 0
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (same < 6 && System.nanoTime() < deadline) {
-      Thread.sleep(100)
-      val nxt = l.inspected
+    val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
+    while (same < quietPolls && System.nanoTime() < deadline) {
+      Thread.sleep(pollMs)
+      val nxt = read()
       if (nxt == cur) same += 1 else { cur = nxt; same = 0 }
     }
+    cur
+  }
+
+  /** Wait for the async listener feed to go quiet (inspected count
+    * stable across polls), then report: JSON fragment for the bench
+    * line + per-offender stderr lines. Returns the offender count.
+    * The quiet window is 3 s of no movement: a single in-flight
+    * inspection is a codegen recompile that can take hundreds of ms,
+    * so a sub-second window could read the feed as done while the
+    * last (often largest) plan is still being inspected. */
+  def report(l: Listener): (String, Int) = {
+    awaitStable(() => l.inspected, quietPolls = 10, pollMs = 300)
     val off = l.offenders
     off.foreach(o => System.err.println(
       s"[jit-audit] OFFENDER ${o.maxMethodBytes} bytes in action " +

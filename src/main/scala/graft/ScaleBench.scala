@@ -270,9 +270,12 @@ object ScaleBench {
       case Some((j, n0)) => ("," + j, n0)
       case None => ("", 0)
     }
+    // stop FIRST, then print: session-shutdown logging after the JSON
+    // line is what corrupted the driver's stdout-tail parse of Bench
+    // in r16/r17 (same emit-last-line rule here)
+    spark.stop()
     println(s"""{"metric":"scale_graph","n_nodes":$n,"n_edges":$nEdges,""" +
       s""""build_sec":$buildSec,"kernels":$qs$jitJson}""")
-    spark.stop()
     if (nOffend > 0) sys.exit(3)
   }
 }

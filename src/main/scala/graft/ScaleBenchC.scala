@@ -243,9 +243,10 @@ object ScaleBenchC {
       case Some((j, n0)) => ("," + j, n0)
       case None => ("", 0)
     }
+    // stop FIRST, then print — the Bench emit-last-line rule
+    spark.stop()
     println(s"""{"metric":"scale_cblock","factor":$factor,""" +
       s""""n_docs":$nDocs,"n_vecs":$nVecs,"sec":$qs,"rows":$rs$jitJson}""")
-    spark.stop()
     if (nOffend > 0) sys.exit(3)
   }
 }

@@ -29,9 +29,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     relational.Tpch.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Each entry pins the PASSED session as the thread's active session
+    * before building its plan: session-conf-gated plan decisions
+    * (graft.hash.impl — [[Hashing.hash60]]) resolve through the
+    * thread-local `SQLConf.get` at Column-construction time, and
+    * without this seam a caller invoking a key with session A from a
+    * thread whose active session is B would silently build A's plan
+    * under B's conf. One wrapper here covers the whole registry. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.map(_._1).reduce(_ ++ _)
+    modules.map(_._1).reduce(_ ++ _).map { case (k, fn) =>
+      k -> ((s: SparkSession, dir: String) => {
+        SparkSession.setActiveSession(s)
+        fn(s, dir)
+      })
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */

@@ -150,17 +150,25 @@ case class SignLshBuckets(child: Expression, planes: Array[Array[Array[Double]]]
   // (and the Column entry point allocates fresh arrays per call), so two
   // identical signLshBuckets calls would never compare equal — defeating
   // subexpression elimination and plan canonicalization (r17 ADVICE).
-  // Value-compare the planes instead.
+  // Value-compare the planes instead. Expression equality/hashCode run
+  // many times per optimizer batch (ExpressionSet, CSE maps,
+  // canonicalization), so the O(tables·bits·dim) tensor walk is cached
+  // (plane hash) and pre-filtered (reference, then hash) — the deep
+  // element compare only runs for distinct-reference, hash-equal pairs.
+  @transient private lazy val planesHash: Int =
+    java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+
   override def equals(other: Any): Boolean = other match {
     case s: SignLshBuckets =>
-      child == s.child && java.util.Arrays.deepEquals(
-        planes.asInstanceOf[Array[AnyRef]], s.planes.asInstanceOf[Array[AnyRef]])
+      child == s.child &&
+        ((planes eq s.planes) ||
+          (planesHash == s.planesHash && java.util.Arrays.deepEquals(
+            planes.asInstanceOf[Array[AnyRef]],
+            s.planes.asInstanceOf[Array[AnyRef]])))
     case _ => false
   }
 
-  override def hashCode(): Int =
-    31 * child.hashCode() +
-      java.util.Arrays.deepHashCode(planes.asInstanceOf[Array[AnyRef]])
+  override def hashCode(): Int = 31 * child.hashCode() + planesHash
 
   override protected def withNewChildInternal(newChild: Expression): SignLshBuckets =
     copy(child = newChild)

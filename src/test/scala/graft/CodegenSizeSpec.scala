@@ -70,7 +70,10 @@ class CodegenSizeSpec extends SparkSpec {
         catch { case e: Throwable => fail(s"$key failed to build: ${e.getMessage}") }
       maxMethodSize(df).foreach { case (subtree, size) =>
         audited += 1
-        if (size > JitCeiling) offenders += f"$key%-28s $size%6d  $subtree"
+        // size < 0 = ByteCodeStats.UNAVAILABLE: the generated code
+        // failed to compile at all — flag it, never pass it as clean
+        if (size > JitCeiling || size < 0)
+          offenders += f"$key%-28s $size%6d  $subtree"
       }
       // iterative kernels may pin checkpoints in their returned plan;
       // release so the 196-key sweep doesn't accumulate blocks
@@ -95,7 +98,7 @@ class CodegenSizeSpec extends SparkSpec {
     // SF, so force the bucketed generator the way a >MaxExactVectors
     // corpus would reach it (the branch that regressed pre-r17)
     val eps = pipeline.Similarity.epsPairsBucketed(auditSession, SF, 0.3)
-    val big = maxMethodSize(eps).filter(_._2 > JitCeiling)
+    val big = maxMethodSize(eps).filter(s => s._2 > JitCeiling || s._2 < 0)
     graph.Algorithms.releaseIterate(eps)
     assert(big.isEmpty,
       s"forced eps layer generates interpreted-only methods:\n" +

@@ -78,18 +78,10 @@ class ExactTwinSpec extends SparkSpec {
       spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     // the status store is fed asynchronously — read a STABLE job count
     // (unchanged across several polls) so in-flight events from earlier
-    // actions can't skew the baseline or the assertion
-    def settled(): Int = {
-      var cur = jobsSeen()
-      var same = 0
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (same < 6 && System.nanoTime() < deadline) {
-        Thread.sleep(50)
-        val nxt = jobsSeen()
-        if (nxt == cur) same += 1 else { cur = nxt; same = 0 }
-      }
-      cur
-    }
+    // actions can't skew the baseline or the assertion (the shared
+    // stabilization loop from JitAudit)
+    def settled(): Long =
+      JitAudit.awaitStable(() => jobsSeen().toLong, pollMs = 50)
     // calibrate the barrier action's own job count (AQE may split one
     // action into several jobs) before using it to bracket the claims
     val base = settled()

@@ -18,7 +18,12 @@ class HashingSpec extends SparkSpec {
   private def withActive[T](s: SparkSession)(f: => T): T = {
     val prev = SparkSession.getActiveSession
     SparkSession.setActiveSession(s)
-    try f finally prev.foreach(SparkSession.setActiveSession)
+    try f finally prev match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      // no previous active session on this thread: CLEAR rather than
+      // leak the xxhash64 session into later tests on the same thread
+      case None => SparkSession.clearActiveSession()
+    }
   }
 
   private lazy val xxSession: SparkSession = {

@@ -11,18 +11,12 @@ import org.apache.spark.sql.functions._
   * caught, not skipped. */
 class JitAuditSpec extends SparkSpec {
 
-  /** Poll the async listener feed until the inspected count is stable. */
-  private def settle(l: JitAudit.Listener): Long = {
-    var cur = l.inspected
-    var same = 0
-    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (same < 6 && System.nanoTime() < deadline) {
-      Thread.sleep(100)
-      val nxt = l.inspected
-      if (nxt == cur) same += 1 else { cur = nxt; same = 0 }
-    }
-    cur
-  }
+  /** Poll the async listener feed until the inspected count is stable
+    * (the shared [[JitAudit.awaitStable]] loop, at report()'s 3 s
+    * quiet window — one in-flight inspection is a codegen recompile
+    * that can take hundreds of ms). */
+  private def settle(l: JitAudit.Listener): Long =
+    JitAudit.awaitStable(() => l.inspected, quietPolls = 10, pollMs = 300)
 
   test("the listener audits every in-loop stage of the iterative kernels") {
     val s = spark.newSession()
