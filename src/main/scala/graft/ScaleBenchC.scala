@@ -132,6 +132,12 @@ object ScaleBenchC {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_HASH=xxhash64: the Bench hash A/B knob (the fleet
+    // operators resolve graft.hash.impl at plan construction; the
+    // SYNTHETIC DATA above stays md5 either way, so A/B corpora are
+    // mode-identical — only the operators' internal hashing switches)
+    sys.env.get("SPARK_GRAFT_HASH").foreach(h =>
+      spark.conf.set("graft.hash.impl", h))
     // SPARK_GRAFT_JIT_AUDIT=1: per-action generated-method-size audit
     // over every in-loop stage — see [[JitAudit]]
     val jit = JitAudit.attachIf(
