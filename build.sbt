@@ -15,6 +15,16 @@ run / fork := true
 // with "[info] " prefixes: the driver parses the ONE bench JSON line
 // from stdout, and the prefix broke that parse in rounds 1-3.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and sbt's own "[success] Total time: ..." banner must not land
+// AFTER that JSON line: the driver tail-parses stdout, and the banner
+// made it read "parsed": null in r16-r18 even once Bench printed the
+// JSON last (BENCH_r18.json tail shows exactly this). Suppressing the
+// banner at the build level fixes every sbt-mediated invocation — the
+// program's own last stdout line is now the process's last stdout line.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not by another task —
+// exclude it from the unused-key lint so batch output stays clean
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -34,4 +44,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // GC A/B knob for bench-variance hunts (e.g. SPARK_GRAFT_GC=Parallel/G1/Z)
   sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq ++
-  sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq
+  sys.env.get("SPARK_GRAFT_GC_LOG").map(f => s"-Xlog:gc:$f").toSeq ++
+  // arbitrary extra JVM flags for measured harness A/Bs (e.g. the
+  // GCLocker retry-count repro — SURVEY §4.13 r18 note)
+  sys.env.get("SPARK_GRAFT_JVM_EXTRA").toSeq
+    .flatMap(_.split(' ').filter(_.nonEmpty))

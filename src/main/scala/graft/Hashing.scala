@@ -33,9 +33,20 @@ object Hashing {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** 60-bit xxhash64 hash — the production impl behind [[hash60]]. */
+  /** 60-bit xxhash64 hash — the production impl behind [[hash60]].
+    *
+    * NULL-PRESERVING to match the md5 default: Spark's raw `xxhash64`
+    * is non-nullable (a NULL child is skipped and the seed hash comes
+    * back) while `md5(NULL)` is NULL — and fleet call sites hash bare
+    * nullable columns (gram/token/text), where the md5 mode's NULL
+    * propagates through `pmod`/filters and DROPS the row. Without the
+    * guard a NULL row would get a real bucket/gate value in xxhash64
+    * mode only, breaking the "both impls satisfy every operator
+    * contract" claim. `when` without `otherwise` yields NULL on the
+    * miss branch; codegen subexpression elimination shares the
+    * duplicated child reference. */
   def xxHash60(c: Column): Column =
-    xxhash64(c).bitwiseAND(lit(Mask60))
+    when(c.isNotNull, xxhash64(c).bitwiseAND(lit(Mask60)))
 
   /** The fleet's 60-bit hash, conf-gated: `graft.hash.impl=xxhash64`
     * selects [[xxHash60]], anything else (or unset) the DuckDB-

@@ -102,7 +102,15 @@ object JitAudit {
     * the deadline passes). Shared by [[report]] and the spec settles —
     * one stabilization loop, not three hand-copies. */
   def awaitStable(read: () => Long, quietPolls: Int = 6, pollMs: Long = 100,
-      deadlineSec: Long = 60): Long = {
+      deadlineSec: Long = 60): Long =
+    awaitStableChecked(read, quietPolls, pollMs, deadlineSec)._1
+
+  /** [[awaitStable]] plus an honest second return: `true` when the
+    * quiet window was actually observed, `false` when the DEADLINE cut
+    * the wait short (the feed was still moving — whatever was read is
+    * a lower bound, not a settled value). */
+  def awaitStableChecked(read: () => Long, quietPolls: Int = 6,
+      pollMs: Long = 100, deadlineSec: Long = 60): (Long, Boolean) = {
     var cur = read()
     var same = 0
     val deadline = System.nanoTime() + deadlineSec * 1000 * 1000 * 1000
@@ -111,23 +119,52 @@ object JitAudit {
       val nxt = read()
       if (nxt == cur) same += 1 else { cur = nxt; same = 0 }
     }
-    cur
+    (cur, same >= quietPolls)
   }
+
+  /** End-of-run audit verdict: the offender count plus whether the run
+    * can be CERTIFIED clean at all — a pass claim needs every executed
+    * plan inspected, and three things break that claim without putting
+    * anything in `offenders`: an inspection that threw (`failed`), a
+    * stabilization wait that hit its deadline while the feed was still
+    * moving, and listener-bus queue overflow silently dropping events
+    * before the listener ever saw them (the GC-heavy 150k runs are
+    * exactly where the bounded shared queue lags — ADVICE r18). */
+  final case class Verdict(json: String, offenders: Int, certified: Boolean)
 
   /** Wait for the async listener feed to go quiet (inspected count
     * stable across polls), then report: JSON fragment for the bench
-    * line + per-offender stderr lines. Returns the offender count.
+    * line + per-offender stderr lines, plus the certification verdict.
     * The quiet window is 3 s of no movement: a single in-flight
     * inspection is a codegen recompile that can take hundreds of ms,
     * so a sub-second window could read the feed as done while the
-    * last (often largest) plan is still being inspected. */
-  def report(l: Listener): (String, Int) = {
-    awaitStable(() => l.inspected, quietPolls = 10, pollMs = 300)
+    * last (often largest) plan is still being inspected. `spark` is
+    * read for the bus's dropped-event counters (a dropped event is an
+    * uninspected plan — uncertifiable, though invisible to `failed`). */
+  def report(l: Listener, spark: SparkSession): Verdict = {
+    val (_, settled) = awaitStableChecked(() => l.inspected,
+      quietPolls = 10, pollMs = 300)
+    val dropped = org.apache.spark.sql.graft.bridge.listenerEventsDropped(spark)
     val off = l.offenders
     off.foreach(o => System.err.println(
       s"[jit-audit] OFFENDER ${o.maxMethodBytes} bytes in action " +
         s"'${o.action}': ${o.subtree}"))
-    (s""""jit_audit":{"inspected":${l.inspected},""" +
-      s""""failed":${l.failed},"offenders":${off.size}}""", off.size)
+    if (!settled) System.err.println(
+      "[jit-audit] WARNING: inspected-count feed still moving at the " +
+        "stabilization deadline — the audit may have concluded before " +
+        "the last plans were delivered; treat this run as UNCERTIFIED")
+    if (dropped > 0) System.err.println(
+      s"[jit-audit] WARNING: listener bus dropped $dropped events — " +
+        "plans may have been executed that the audit never saw; " +
+        "treat this run as UNCERTIFIED")
+    if (l.failed > 0) System.err.println(
+      s"[jit-audit] WARNING: ${l.failed} plan inspections threw — " +
+        "an uninspected plan cannot be certified under-ceiling")
+    val certified = settled && dropped == 0 && l.failed == 0
+    Verdict(
+      s""""jit_audit":{"inspected":${l.inspected},""" +
+        s""""failed":${l.failed},"offenders":${off.size},""" +
+        s""""bus_dropped":$dropped,"certified":$certified}""",
+      off.size, certified)
   }
 }

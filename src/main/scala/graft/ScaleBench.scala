@@ -266,16 +266,21 @@ object ScaleBench {
     }
     val qs = times.map { case (k, v) => Json.q(k) + ":" + v }
       .mkString("{", ",", "}")
-    val (jitJson, nOffend) = jit.map(JitAudit.report) match {
-      case Some((j, n0)) => ("," + j, n0)
-      case None => ("", 0)
-    }
+    // the report must read the bus counters BEFORE the session stops
+    val verdict = jit.map(JitAudit.report(_, spark))
+    val jitJson = verdict.map("," + _.json).getOrElse("")
     // stop FIRST, then print: session-shutdown logging after the JSON
     // line is what corrupted the driver's stdout-tail parse of Bench
     // in r16/r17 (same emit-last-line rule here)
     spark.stop()
     println(s"""{"metric":"scale_graph","n_nodes":$n,"n_edges":$nEdges,""" +
       s""""build_sec":$buildSec,"kernels":$qs$jitJson}""")
-    if (nOffend > 0) sys.exit(3)
+    // exit 3 = offenders found; exit 4 = the audit itself is
+    // UNCERTIFIED (a thrown inspection, a starved feed, or dropped bus
+    // events — an uninspected plan cannot be certified under-ceiling)
+    verdict.foreach { v =>
+      if (v.offenders > 0) sys.exit(3)
+      if (!v.certified) sys.exit(4)
+    }
   }
 }

@@ -245,14 +245,18 @@ object ScaleBenchC {
     val qs = times.map { case (k, v) =>
       Json.q(k) + ":" + f"$v%.1f" }.mkString("{", ",", "}")
     val rs = rows.map { case (k, v) => Json.q(k) + ":" + v }.mkString("{", ",", "}")
-    val (jitJson, nOffend) = jit.map(JitAudit.report) match {
-      case Some((j, n0)) => ("," + j, n0)
-      case None => ("", 0)
-    }
+    // the report must read the bus counters BEFORE the session stops
+    val verdict = jit.map(JitAudit.report(_, spark))
+    val jitJson = verdict.map("," + _.json).getOrElse("")
     // stop FIRST, then print — the Bench emit-last-line rule
     spark.stop()
     println(s"""{"metric":"scale_cblock","factor":$factor,""" +
       s""""n_docs":$nDocs,"n_vecs":$nVecs,"sec":$qs,"rows":$rs$jitJson}""")
-    if (nOffend > 0) sys.exit(3)
+    // exit 3 = offenders; exit 4 = uncertified audit (thrown
+    // inspection, starved feed, or dropped bus events) — see ScaleBench
+    verdict.foreach { v =>
+      if (v.offenders > 0) sys.exit(3)
+      if (!v.certified) sys.exit(4)
+    }
   }
 }

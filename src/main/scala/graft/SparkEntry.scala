@@ -37,12 +37,24 @@ object SparkEntry {
     * thread-local `SQLConf.get` at Column-construction time, and
     * without this seam a caller invoking a key with session A from a
     * thread whose active session is B would silently build A's plan
-    * under B's conf. One wrapper here covers the whole registry. */
+    * under B's conf. One wrapper here covers the whole registry.
+    *
+    * The pin is SCOPED: the caller's previously-active session is
+    * restored (or, when there was none, cleared) in a finally — the
+    * plan decisions resolve during `fn`, and leaving the key's session
+    * active after the call would hand a multi-session driver the wrong
+    * conf for its OWN next plan on the same thread (the exact hazard
+    * this wrapper exists to prevent, r18 verdict nit 1). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.map(_._1).reduce(_ ++ _).map { case (k, fn) =>
       k -> ((s: SparkSession, dir: String) => {
+        val prev = SparkSession.getActiveSession
         SparkSession.setActiveSession(s)
-        fn(s, dir)
+        try fn(s, dir)
+        finally prev match {
+          case Some(p) => SparkSession.setActiveSession(p)
+          case None => SparkSession.clearActiveSession()
+        }
       })
     }
 

@@ -53,6 +53,22 @@ object bridge {
       case _ => df
     }
 
+  /** Total events DROPPED by the async listener bus's bounded queues
+    * since session start (each `AsyncEventQueue` counts its own drops;
+    * this sums them all). A `QueryExecutionListener` — e.g.
+    * `graft.JitAudit` — rides the shared queue of this bus, so a
+    * nonzero dropped count means its feed is LOSSY and an "every
+    * executed plan was inspected" claim cannot be certified; reading
+    * the counter turns a silently-starved feed into a visible signal
+    * (the bus internals are `private[spark]`, hence this bridge). */
+  def listenerEventsDropped(spark: org.apache.spark.sql.SparkSession): Long = {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.listenerBus.metrics.metricRegistry
+      .getCounters.asScala
+      .collect { case (name, c) if name.endsWith("numDroppedEvents") => c.getCount }
+      .sum
+  }
+
   /** Is the given planner strategy registered in this session? Lets
     * operators with a custom physical plan degrade gracefully to a
     * built-in formulation in sessions built without GraftExtensions. */

@@ -61,6 +61,61 @@ class HashingSpec extends SparkSpec {
       "masked xxhash64 must satisfy the fleet's [0, 2^60) range contract")
   }
 
+  test("both impls are NULL-preserving: hash60(NULL) is NULL in either mode") {
+    // Spark's raw xxhash64 is NON-nullable (a NULL child is skipped and
+    // the seed hash returned) while md5(NULL) is NULL; fleet call sites
+    // hash bare nullable columns (gram/token/text), where the NULL
+    // propagates through pmod/filters and DROPS the row — so the
+    // production impl must preserve NULL or the two modes diverge on
+    // the operator CONTRACT, not just on sampled sets (ADVICE r18).
+    val nullStr = lit(null).cast("string")
+    val md5Row = spark.range(1).select(
+      Hashing.hash60(nullStr).as("h"), Hashing.md5Hash60(nullStr).as("m")).head()
+    assert(md5Row.isNullAt(0) && md5Row.isNullAt(1),
+      "md5 mode must propagate NULL input to NULL hash")
+    val xxRow = withActive(xxSession) {
+      xxSession.range(1).select(
+        Hashing.hash60(nullStr).as("h"), Hashing.xxHash60(nullStr).as("x")).head()
+    }
+    assert(xxRow.isNullAt(0) && xxRow.isNullAt(1),
+      "xxhash64 mode must ALSO propagate NULL input to NULL hash")
+    // and non-null inputs are untouched by the guard
+    val live = withActive(xxSession) {
+      xxSession.range(1).select(Hashing.xxHash60(lit("graft")).as("x")).head()
+    }
+    assert(!live.isNullAt(0), "non-null input must still hash")
+  }
+
+  test("a registry call restores the caller's previously-active session") {
+    // the SparkEntry wrapper pins the invoked key's session active for
+    // plan construction; it must NOT leak it — a multi-session driver
+    // building its own conf-gated columns next on the same thread would
+    // silently inherit the key's conf (r18 verdict nit 1)
+    withActive(spark) { // caller's thread-active session: the md5 one
+      SparkEntry.queries("d_shuffle_index")(xxSession, SF).count()
+      assert(SparkSession.getActiveSession.contains(spark),
+        "after a registry call the CALLER's active session must be back")
+      // and the caller's next conf-gated column resolves under ITS conf
+      val row = spark.range(1).select(
+        Hashing.hash60(lit("graft")).as("h"),
+        Hashing.md5Hash60(lit("graft")).as("m")).head()
+      assert(row.getLong(0) == row.getLong(1),
+        "the caller's md5-mode conf must survive the registry call")
+    }
+    // a thread with NO previous active session comes back clear, not
+    // with the key's session leaked into its active slot
+    val t = new Thread(() => {
+      SparkSession.clearActiveSession()
+      SparkEntry.queries("d_shuffle_index")(xxSession, SF).count()
+      assert(SparkSession.getActiveSession.isEmpty,
+        "no-previous-session threads must come back CLEARED")
+    })
+    var err: Option[Throwable] = None
+    t.setUncaughtExceptionHandler((_, e) => err = Some(e))
+    t.start(); t.join()
+    err.foreach(throw _)
+  }
+
   test("a hash-heavy key runs end-to-end in xxhash64 mode (production path)") {
     // d_shuffle_index emits one row per document regardless of hash
     // impl (it is a hash-ordered permutation), so row-count equality

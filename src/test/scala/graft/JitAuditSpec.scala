@@ -38,6 +38,18 @@ class JitAuditSpec extends SparkSpec {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
+  test("the stabilization wait reports its deadline path honestly") {
+    // an always-moving feed must hit the deadline and say so — report()
+    // turns that into an UNCERTIFIED verdict instead of a silent pass
+    // (the r18 ADVICE starved-feed blind spot)
+    val c = new java.util.concurrent.atomic.AtomicLong
+    val (_, settled) = JitAudit.awaitStableChecked(
+      () => c.incrementAndGet(), quietPolls = 3, pollMs = 10, deadlineSec = 1)
+    assert(!settled, "an always-moving feed must come back unsettled")
+    val (v, ok) = JitAudit.awaitStableChecked(() => 7L, quietPolls = 3, pollMs = 10)
+    assert(ok && v == 7L, "a quiet feed settles at its value")
+  }
+
   test("a planted method in the JIT gap is caught by the in-loop audit") {
     // replicate the exact r17 offender shape: the per-bit sign-LSH
     // spelling inlines tables x bits unrolled 64-dim dots into ONE
