@@ -41,6 +41,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK17 G1's GCLocker-starved allocation path retries only
+  // GCLockerRetryAllocationCount (=2) times before throwing OOM — the
+  // measured §4.13 failure mode for humongous allocations under a
+  // pinned multi-GB cache ("Retried waiting for GCLocker too often" in
+  // r18's 150k CC+coreness session; intermittent — the same session
+  // ran green in r19). Raising the bound turns a lost race into
+  // bounded extra waiting and costs nothing when no race occurs.
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=64",
 ) ++
   // GC A/B knob for bench-variance hunts (e.g. SPARK_GRAFT_GC=Parallel/G1/Z)
   sys.env.get("SPARK_GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq ++

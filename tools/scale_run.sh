@@ -26,7 +26,9 @@ fi
 echo "=== $MAIN kernels=$KERNELS heap=$HEAP extra=$* $(date -u +%H:%M:%S) ===" >&2
 # shellcheck disable=SC2086
 java $AO -Xmx"$HEAP" -Dspark.ui.enabled=false \
-  -Dspark.sql.session.timeZone=UTC "$@" -cp "$CP" "$MAIN"
+  -Dspark.sql.session.timeZone=UTC \
+  -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 \
+  "$@" -cp "$CP" "$MAIN"
 rc=$?
 echo "=== EXIT=$rc kernels=$KERNELS $(date -u +%H:%M:%S) ===" >&2
 exit $rc
