@@ -113,15 +113,26 @@ object Bench {
       else ""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"queries":$qs,"mins":$minsJson,"spreads":$spreadsJson,"gc_sec":$gcJson,"errors":$errJson,"n_errors":${errors.size}$samplesJson,"sf":"$sfDir"}"""
-    // Clean stdout line AND a file: the driver's tail parse of sbt-noisy
+    // Clean stdout AND a file: the driver's tail parse of sbt-noisy
     // stdout yielded "parsed": null in r16/r17 because session shutdown
-    // logging landed AFTER the line — stop the session first, then emit
-    // the JSON as the program's LAST stdout line (the committed artifact
-    // of record stays bench_out.json either way).
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line)
+    // logging landed AFTER the line — stop the session first, then print
+    // (the committed artifact of record stays bench_out.json either way).
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), line)
     spark.stop()
     println(line)
+    // The driver captures only a 2,000-char stdout TAIL: the full
+    // 196-key line is ~22 KB, so even as the last line it arrives
+    // decapitated and parses null (r19 nit #1 — even a mins-only map
+    // is 4.3 KB). The LAST line is therefore a compact headline that
+    // fits the window whole — total + min-sum + run shape + a pointer
+    // to the full artifact; per-query data lives in the file and in the
+    // full line above for anyone parsing complete stdout.
+    val minSum = keys.filterNot(errors.contains).map(samples(_).min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""min_sum":$minSum,"runs":$runs,"n_queries":${keys.size},""" +
+      s""""n_errors":${errors.size},"sf":${Json.q(sfDir)},""" +
+      s""""artifact":${Json.q(artifact)}}""")
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -44,7 +44,15 @@ object Hashing {
     * mode only, breaking the "both impls satisfy every operator
     * contract" claim. `when` without `otherwise` yields NULL on the
     * miss branch; codegen subexpression elimination shares the
-    * duplicated child reference. */
+    * duplicated child reference.
+    *
+    * Input must be DETERMINISTIC: `c` appears twice (guard + hash), and
+    * subexpression elimination does not apply to non-deterministic
+    * children — a `rand()`-derived column could be null-checked on one
+    * evaluation and hashed on another (ADVICE r19). Every fleet call
+    * site passes deterministic columns (parquet fields and pure
+    * functions of them); a future non-deterministic caller must
+    * pre-project the column into a named attribute first. */
   def xxHash60(c: Column): Column =
     when(c.isNotNull, xxhash64(c).bitwiseAND(lit(Mask60)))
 

@@ -144,7 +144,11 @@ object JitAudit {
   def report(l: Listener, spark: SparkSession): Verdict = {
     val (_, settled) = awaitStableChecked(() => l.inspected,
       quietPolls = 10, pollMs = 300)
+    // certification reads the SHARED queue only — the one this listener
+    // rides; drops elsewhere (appStatus etc.) are reported, not fatal
     val dropped = org.apache.spark.sql.graft.bridge.listenerEventsDropped(spark)
+    val droppedOther =
+      org.apache.spark.sql.graft.bridge.listenerEventsDroppedElsewhere(spark)
     val off = l.offenders
     off.foreach(o => System.err.println(
       s"[jit-audit] OFFENDER ${o.maxMethodBytes} bytes in action " +
@@ -154,9 +158,13 @@ object JitAudit {
         "stabilization deadline — the audit may have concluded before " +
         "the last plans were delivered; treat this run as UNCERTIFIED")
     if (dropped > 0) System.err.println(
-      s"[jit-audit] WARNING: listener bus dropped $dropped events — " +
-        "plans may have been executed that the audit never saw; " +
+      s"[jit-audit] WARNING: listener bus SHARED queue dropped $dropped " +
+        "events — plans may have been executed that the audit never saw; " +
         "treat this run as UNCERTIFIED")
+    if (droppedOther > 0) System.err.println(
+      s"[jit-audit] note: $droppedOther events dropped on non-shared " +
+        "listener queues (appStatus/executorManagement/eventLog) — no " +
+        "QueryExecutionListener rides those, so certification is unaffected")
     if (l.failed > 0) System.err.println(
       s"[jit-audit] WARNING: ${l.failed} plan inspections threw — " +
         "an uninspected plan cannot be certified under-ceiling")
@@ -164,7 +172,8 @@ object JitAudit {
     Verdict(
       s""""jit_audit":{"inspected":${l.inspected},""" +
         s""""failed":${l.failed},"offenders":${off.size},""" +
-        s""""bus_dropped":$dropped,"certified":$certified}""",
+        s""""bus_dropped":$dropped,"bus_dropped_other":$droppedOther,""" +
+        s""""certified":$certified}""",
       off.size, certified)
   }
 }

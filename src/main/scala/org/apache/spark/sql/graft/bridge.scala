@@ -53,20 +53,41 @@ object bridge {
       case _ => df
     }
 
-  /** Total events DROPPED by the async listener bus's bounded queues
-    * since session start (each `AsyncEventQueue` counts its own drops;
-    * this sums them all). A `QueryExecutionListener` — e.g.
-    * `graft.JitAudit` — rides the shared queue of this bus, so a
-    * nonzero dropped count means its feed is LOSSY and an "every
-    * executed plan was inspected" claim cannot be certified; reading
-    * the counter turns a silently-starved feed into a visible signal
-    * (the bus internals are `private[spark]`, hence this bridge). */
-  def listenerEventsDropped(spark: org.apache.spark.sql.SparkSession): Long = {
+  /** Events DROPPED by the listener bus's SHARED queue since session
+    * start. A `QueryExecutionListener` — e.g. `graft.JitAudit` — rides
+    * ONLY the shared `AsyncEventQueue` of this bus, so a nonzero shared
+    * dropped count means its feed is LOSSY and an "every executed plan
+    * was inspected" claim cannot be certified; reading the counter
+    * turns a silently-starved feed into a visible signal (the bus
+    * internals are `private[spark]`, hence this bridge). Drops on the
+    * OTHER bounded queues (appStatus, executorManagement, eventLog —
+    * the likeliest droppers in GC-heavy runs) never starve a
+    * QueryExecutionListener, so counting them would spuriously
+    * de-certify a fully-inspected run (ADVICE r19); they are summed
+    * separately by [[listenerEventsDroppedElsewhere]] for reporting. */
+  def listenerEventsDropped(spark: org.apache.spark.sql.SparkSession): Long =
+    droppedCounts(spark).collect {
+      case (name, n) if name.startsWith("queue.shared.") => n
+    }.sum
+
+  /** Drops on every listener-bus queue EXCEPT the shared one (see
+    * [[listenerEventsDropped]]) — report-only, never a certification
+    * input. */
+  def listenerEventsDroppedElsewhere(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    droppedCounts(spark).collect {
+      case (name, n) if !name.startsWith("queue.shared.") => n
+    }.sum
+
+  /** Per-queue dropped-event counters (`queue.<name>.numDroppedEvents`)
+    * from the bus's metric registry. */
+  private def droppedCounts(
+      spark: org.apache.spark.sql.SparkSession): Seq[(String, Long)] = {
     import scala.jdk.CollectionConverters._
     spark.sparkContext.listenerBus.metrics.metricRegistry
-      .getCounters.asScala
-      .collect { case (name, c) if name.endsWith("numDroppedEvents") => c.getCount }
-      .sum
+      .getCounters.asScala.toSeq
+      .collect { case (name, c) if name.endsWith("numDroppedEvents") =>
+        (name, c.getCount) }
   }
 
   /** Is the given planner strategy registered in this session? Lets

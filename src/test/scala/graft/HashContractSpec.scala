@@ -142,6 +142,127 @@ class HashContractSpec extends SparkSpec {
     }
   }
 
+  // ---- r20: the remaining hash-GATED decision families (r19 verdict
+  // task 5) — every operator whose KEPT SET or SCHEDULE depends on the
+  // hash gets a mode-independent contract. ----
+
+  test("d_sample_mix gate is rate-consistent with sane per-lang fractions in both modes") {
+    // per-lang corpus totals are hash-independent — compute once
+    val totals = graft.pipeline.Docs.docs(spark, SF)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = Dedup.MixRates.toMap
+    bothModes("d_sample_mix") { (mode, rows) =>
+      rows.foreach { r =>
+        val (lang, b, rate) = (r.getAs[String]("lang"),
+          r.getAs[Long]("mix_bucket"), r.getAs[Long]("keep_rate"))
+        assert(rate == rates(lang).toLong,
+          s"[$mode] keep_rate must be the MixRates entry for $lang")
+        assert(b >= 0 && b < rate,
+          s"[$mode] kept doc's mix_bucket $b must sit under its rate $rate")
+      }
+      // realized per-lang keep fraction ≈ rate, binomial tolerance
+      val kept = rows.groupBy(_.getAs[String]("lang")).view.mapValues(_.size)
+      totals.foreach { case (lang, n) =>
+        val p = rates(lang) / 100.0
+        val tol = 4 * math.sqrt(p * (1 - p) / n) + 1.0 / n
+        val got = kept.getOrElse(lang, 0).toDouble / n
+        assert(math.abs(got - p) <= tol,
+          s"[$mode] $lang keep fraction $got vs rate $p (n=$n, tol=$tol)")
+      }
+    }
+  }
+
+  test("d_sample_mix keeps or drops exact duplicates identically in both modes") {
+    // planted identical texts under a 25%-rate lang: the content-hash
+    // gate must treat both members of each dup pair identically —
+    // consistency with dedup is the reason the gate is content-hashed
+    val fixture = TestSession.docsFixture(
+      (0L until 40L).map { i =>
+        val base = Seq(3L -> 1L, 17L -> 9L, 33L -> 24L).toMap.getOrElse(i, i)
+        val text = (0 until 30).map(j => s"d${base}w$j").mkString(" ")
+        (i, text, "zh", "src0", text.length.toLong)
+      })
+    bothModes("d_sample_mix", fixture) { (mode, rows) =>
+      val kept = rows.map(_.getAs[Long]("doc_id")).toSet
+      val bucket = rows.map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Long]("mix_bucket")).toMap
+      Seq((1L, 3L), (9L, 17L), (24L, 33L)).foreach { case (a, b) =>
+        assert(kept(a) == kept(b),
+          s"[$mode] identical texts $a/$b must be kept or dropped together")
+        if (kept(a)) assert(bucket(a) == bucket(b),
+          s"[$mode] identical texts must land in the same mix bucket")
+      }
+    }
+  }
+
+  test("d_epoch_schedule stochastic rounding is bounded and unbiased in both modes") {
+    bothModes("d_epoch_schedule") { (mode, rows) =>
+      assert(rows.nonEmpty, s"[$mode] empty schedule")
+      rows.foreach { r =>
+        val (n, f, reps) = (r.getAs[Long]("n_docs"),
+          r.getAs[Double]("epoch_factor"), r.getAs[Long]("n_repeats"))
+        assert(f >= Dedup.EpochMinFactor && f <= Dedup.EpochMaxFactor,
+          s"[$mode] epoch factor $f outside the clamp")
+        // hard bound: every doc repeats ⌊f⌋ or ⌈f⌉ times
+        assert(reps >= math.floor(f).toLong * n && reps <= math.ceil(f).toLong * n,
+          s"[$mode] n_repeats $reps outside [⌊f⌋n, ⌈f⌉n] for f=$f n=$n")
+        // unbiasedness: realized factor within binomial tolerance of f
+        val q = f - math.floor(f)
+        val tol = 4 * math.sqrt(q * (1 - q) / n) + 2e-4 // + 4dp rounding slack
+        val realized = r.getAs[Double]("realized_factor")
+        assert(math.abs(realized - f) <= tol,
+          s"[$mode] realized factor $realized vs f=$f (n=$n, tol=$tol)")
+      }
+    }
+  }
+
+  test("d_span_mask offsets stay inside their chunk (non-overlap by construction) in both modes") {
+    val chunk = graft.pipeline.Text.SpanChunk
+    val len = graft.pipeline.Text.SpanLen
+    bothModes("d_span_mask") { (mode, rows) =>
+      assert(rows.nonEmpty, s"[$mode] empty mask schedule")
+      rows.foreach { r =>
+        val (sid, start) =
+          (r.getAs[Long]("span_id"), r.getAs[Long]("start_tok"))
+        assert(r.getAs[Long]("span_len") == len.toLong,
+          s"[$mode] span_len must be $len")
+        assert(start >= sid * chunk && start + len <= (sid + 1) * chunk,
+          s"[$mode] span $sid at $start leaves its chunk — overlap possible")
+        assert(r.getAs[String]("masked").split(" ").length == len,
+          s"[$mode] masked target must carry exactly $len tokens")
+      }
+      // schedule completeness: per doc, span ids are exactly 0..nChunks-1
+      rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (d, rs) =>
+        val ids = rs.map(_.getAs[Long]("span_id")).sorted
+        assert(ids == (0L until ids.size).toList,
+          s"[$mode] doc $d span ids must be consecutive from 0")
+      }
+    }
+  }
+
+  test("d_importance_weights resample keep tracks min(1, weight) in both modes") {
+    bothModes("d_importance_weights") { (mode, rows) =>
+      assert(rows.nonEmpty, s"[$mode] empty weights")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("doc_id") >= Dedup.DsirTargetDocs,
+          s"[$mode] only raw-domain docs are scored")
+        val w = r.getAs[Double]("weight")
+        assert(w >= 0.0, s"[$mode] weight must be nonnegative")
+        // deterministic in EVERY mode: weight ≥ 1 ⇒ the 10^6 gate always passes
+        if (w >= 1.0) assert(r.getAs[Int]("keep") == 1,
+          s"[$mode] weight ≥ 1 must always be kept")
+      }
+      // realized keep count ≈ Σ min(1, w): Poisson-binomial tolerance
+      val ps = rows.map(r => math.min(1.0, r.getAs[Double]("weight")))
+      val expected = ps.sum
+      val sigma = math.sqrt(ps.map(p => p * (1 - p)).sum)
+      val got = rows.map(_.getAs[Int]("keep").toLong).sum.toDouble
+      assert(math.abs(got - expected) <= 4 * sigma + 1,
+        s"[$mode] kept $got vs expected $expected (σ=$sigma)")
+    }
+  }
+
   test("d_substring_dedup dup shares are well-formed and min-id owns itself in both modes") {
     bothModes("d_substring_dedup") { (mode, rows) =>
       val minDoc = rows.map(_.getAs[Long]("doc_id")).min
