@@ -119,6 +119,65 @@ object Algorithms {
   private[graft] def loopCheckpoint(df: DataFrame): DataFrame =
     org.apache.spark.sql.graft.bridge.scrubOriginStats(df.localCheckpoint(true))
 
+  /** Materialize a checkpoint AND answer its convergence probe in ONE
+    * Spark job — the r20 generalization of the SSSP/BFS "lazy
+    * checkpoint + count" idiom ([[shortestPaths]]/[[hopDistances]],
+    * whose comments already note it halves the per-round action tax).
+    * A LAZY local checkpoint's first action computes and pins every
+    * partition, so a full count over it doubles as the materialization
+    * pass; the eager `localCheckpoint(true)` runs the identical
+    * internal `rdd.count()` and throws the number away, after which
+    * every loop kernel paid a SECOND job per round to re-learn it
+    * (eager checkpoint, then count/isEmpty/anti-join probe). Measured
+    * at sf0.1/local[32] before this change: g_mst executed 459 jobs
+    * for 21 s of summed task time in 29.6 s of wall, g_threshold_sweep
+    * 644 jobs — the loop family is round-TAX-dominated, and each
+    * eliminated job is an eliminated driver barrier + scheduler
+    * round-trip per iteration at any scale (guide §1.2 step 1 / §2.4:
+    * remove whole passes, not per-task cost). The probe must be a FULL
+    * count (a `limit(1)` short-circuit might leave partitions
+    * uncomputed and the checkpoint half-pinned). */
+  private[graft] def checkpointCounted(df: DataFrame,
+      level: Option[org.apache.spark.storage.StorageLevel] = None)
+      : (DataFrame, Long) = {
+    val ck = level match {
+      case Some(l) => df.localCheckpoint(false, l)
+      case None => df.localCheckpoint(false)
+    }
+    // toRdd.count(), not Dataset.count(): the Dataset count is an
+    // AQE-staged aggregate — its exchange makes it TWO scheduler jobs
+    // (shuffle query stage + result stage), which on the round-tax-
+    // bound kernels gives back half of what the fusion saved. The raw
+    // physical-RDD count is ONE job whose compute pass materializes
+    // (and pins) every partition of the marked checkpoint RDD.
+    (ck, ck.queryExecution.toRdd.count())
+  }
+
+  /** [[checkpointCounted]] returning the count of rows matching `pred`
+    * instead of all rows (changed-row / improved-row probes). The
+    * filtered count still computes — and therefore pins — every
+    * partition of the checkpoint (a codegen'd filter over the scan,
+    * counted at the RDD layer in the same single job). */
+  private[graft] def checkpointPredCounted(df: DataFrame,
+      pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val ck = df.localCheckpoint(false)
+    (ck, ck.filter(pred).queryExecution.toRdd.count())
+  }
+
+  /** [[checkpointCounted]] with the carried origin stats scrubbed —
+    * the counted twin of [[loopCheckpoint]]. */
+  private[graft] def loopCheckpointCounted(df: DataFrame): (DataFrame, Long) = {
+    val (ck, n) = checkpointCounted(df)
+    (org.apache.spark.sql.graft.bridge.scrubOriginStats(ck), n)
+  }
+
+  /** [[checkpointPredCounted]] with the carried origin stats scrubbed. */
+  private[graft] def loopCheckpointPredCounted(df: DataFrame,
+      pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val (ck, n) = checkpointPredCounted(df, pred)
+    (org.apache.spark.sql.graft.bridge.scrubOriginStats(ck), n)
+  }
+
   /** Release the executor blocks behind a SUPERSEDED loop iterate.
     * Eager `localCheckpoint(true)` pins each iterate's partitions in
     * executor storage; without explicit release a k-round loop holds k
@@ -227,8 +286,9 @@ object Algorithms {
       nodes: DataFrame, sym: DataFrame, maxIter: Int = 64,
       cyclesPerRound: Int = CcCyclesPerRound): DataFrame = {
 
-    var labels = loopCheckpoint(
+    val (labels0, nLabels) = loopCheckpointCounted(
       nodes.select(col("id"), col("id").as("comp"), lit(true).as("changed")))
+    var labels = labels0
     // |V|-row per-cycle frames broadcast into the edge-scale gather
     // below the shared ceiling — the frontier delta and the gathered
     // min table are both ≤ |V| rows, and without the hint the
@@ -245,7 +305,7 @@ object Algorithms {
     // AGGREGATE_OUT_OF_MEMORY in round 1 at the 150k/85M single-JVM
     // point, while below [[WidenRows]] the hints only help. Both gate
     // probes are cached scans of already-materialized checkpoints.
-    val bcOk = labels.count() <= IterateBroadcastMaxRows &&
+    val bcOk = nLabels <= IterateBroadcastMaxRows &&
       sym.count() < WidenRows
 
     // one hash-to-min + pointer-jump cycle: (id, comp, changed) in,
@@ -284,9 +344,12 @@ object Algorithms {
       // argument as the SSSP round batching. loopCheckpoint (not plain
       // localCheckpoint): the cycle references `labels` three times, so
       // carried stats would compound ~×4 per round and hang long runs.
-      val jumped = loopCheckpoint(
-        (1 to cyclesPerRound).foldLeft(labels)((d, _) => cycle(d)))
-      done = jumped.filter(col("changed")).limit(1).count() == 0
+      // ONE job: the changed-count probe materializes the lazy iterate
+      // checkpoint ([[checkpointPredCounted]] — the SSSP idiom)
+      val (jumped, nChanged) = loopCheckpointPredCounted(
+        (1 to cyclesPerRound).foldLeft(labels)((d, _) => cycle(d)),
+        col("changed"))
+      done = nChanged == 0
       releaseIterate(labels) // superseded: jumped is materialized, labels is dead
       labels = jumped
       iter += 1
@@ -333,16 +396,16 @@ object Algorithms {
         .join(members.select(col("id").as("u")), Seq("u"), "left_semi")
         .join(members.select(col("id").as("v")), Seq("v"), "left_semi")
         .groupBy(col("u").as("id")).agg(count(lit(1)).as("core_deg"))
-    var members = nodes.select(col("id")).localCheckpoint(true)
-    var size = members.count()
+    val (members0, size0) = checkpointCounted(nodes.select(col("id")))
+    var members = members0
+    var size = size0
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
-      val next = coreDegrees(members)
+      // ONE job: the count materializes the lazy checkpoint
+      val (next, m) = checkpointCounted(coreDegrees(members)
         .filter(col("core_deg") >= k)
-        .select(col("id"))
-        .localCheckpoint(true)
-      val m = next.count()
+        .select(col("id")))
       done = m == size // monotone: equal size ⇒ identical set ⇒ fixpoint
       releaseIterate(members)
       members = next
@@ -419,11 +482,10 @@ object Algorithms {
     while (!done && round < maxRounds) {
       st = t0
       val (sup, bc) = edgeSupportImg(surv, 2 * size)
-      val next = sup
+      // ONE job: the count materializes the lazy (serialized) checkpoint
+      val (next, m) = checkpointCounted(sup
         .filter(col("support") >= k - 2)
-        .select(col("u"), col("v"))
-        .localCheckpoint(true, ser)
-      val m = next.count()
+        .select(col("u"), col("v")), Some(ser))
       lap(st, s"round $round support+peel ($m survive)")
       // next is materialized: this round's adjacency image and the
       // superseded survivor checkpoint can go immediately (block-manager
@@ -830,9 +892,9 @@ object Algorithms {
     // and skip the sizing pass entirely
     val (sess, sym) = bigSymCheckpoint(symPlan,
       if (nSymHint >= 0) nSymHint else symPlan.count(), "v")
-    val ids = (if (sess ne nodes.sparkSession)
+    val (ids, nV) = checkpointCounted(if (sess ne nodes.sparkSession)
         rebase(sess, nodes.select(col("id")))
-      else nodes.select(col("id"))).localCheckpoint(true)
+      else nodes.select(col("id")))
     // WIDE inputs: materialized alone before the join — fed lazily
     // into it, the |E|-wide count's map stage runs concurrently with
     // the ids-side shuffle and the combined sorter pressure can starve
@@ -847,7 +909,7 @@ object Algorithms {
     var c = loopCheckpoint(ids.join(deg, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("c"), lit(0L)).as("c")))
     if (wide) releaseIterate(deg) // folded into the first iterate
-    val nV = ids.count() // cached scan — gates frontier + broadcast below
+    // nV came with the checkpoint — gates frontier + broadcast below
     // |V|-row frames (the value iterate, the per-round H table, the
     // frontier sets) are BROADCAST into the edge-scale joins while |V|
     // is small enough to collect — see [[IterateBroadcastMaxRows]] for
@@ -902,12 +964,11 @@ object Algorithms {
         .select(col("id"), coalesce(col("h"), col("oldc")).as("c"),
           (col("h").isNotNull && col("h") =!= col("oldc")).as("changed"))
       if (CorenessLog && r == 1) prePlan.explain("formatted")
-      val next = loopCheckpoint(prePlan)
-      // the probe is a cached scan over the just-checkpointed iterate
-      // (the kCore count() idiom); the changed COUNT both certifies the
-      // fixpoint (0 ⇒ every later round is a no-op ⇒ early exit equals
-      // the oracle's full-budget unroll) and sizes next round's path
-      val nChanged = next.filter(col("changed")).count()
+      // ONE job: the changed-count probe materializes the lazy iterate;
+      // the count both certifies the fixpoint (0 ⇒ every later round is
+      // a no-op ⇒ early exit equals the oracle's full-budget unroll)
+      // and sizes next round's path
+      val (next, nChanged) = loopCheckpointPredCounted(prePlan, col("changed"))
       live = nChanged > 0
       if (CorenessLog) System.err.println(
         f"[coreness] round ${r + 1}: changed=$nChanged/$nV " +
@@ -1003,7 +1064,14 @@ object Algorithms {
         .repartition(col("u"))
         .groupBy(col("u").as("id"), col("nlbl"))
         .agg(count(lit(1)).as("c"))
-      // argmax count with min-label tiebreak: max(struct(c, -lbl))
+      // argmax count with min-label tiebreak: max(struct(c, -lbl)).
+      // Deliberately NOT the top1PerGroup heap: this argmax output is
+      // BROADCAST into the adopt join, and an r20 A/B measured the
+      // heap-under-BroadcastExchange shape 3-4× SLOWER wall on the
+      // louvain family at identical task time and job count (driver-
+      // side AQE stage latency per round), while the aggregate's
+      // struct-max sort fallback costs nothing measurable here
+      // (g_label_prop 3.43 → 3.55 s min-of-5 with the heap).
       val best = gathered
         .groupBy(col("id"))
         .agg(max(struct(col("c"), (-col("nlbl")).as("neg"))).as("b"))
@@ -1184,10 +1252,9 @@ object Algorithms {
         when(col("u") === col("v"), col("w") * 2).otherwise(col("w")).as("kw"))
       .groupBy(col("id")).agg(sum(col("kw")).cast(dec).as("k"))
     val deg = if (wideLvl) degPlan.localCheckpoint(true) else degPlan
-    val ids = idsIn
+    val (ids, nIds) = checkpointCounted(idsIn
       .join(deg, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("k"), lit(0).cast(dec)).as("k"))
-      .localCheckpoint(true)
+      .select(col("id"), coalesce(col("k"), lit(0).cast(dec)).as("k")))
     if (wideLvl) releaseIterate(deg) // folded into ids; why pin twice
     // the iterate carries k alongside the label: sigma becomes a plain
     // aggregate (no per-round ids join) and the score chain reads
@@ -1203,7 +1270,7 @@ object Algorithms {
     // Edge-gated ([[WidenRows]], nSym already counted) like the other
     // kernels: hinted rounds fuse aggregates into big-cache scan
     // stages — the single-JVM OOM shape the pageRank gate documents.
-    val bcOk = ids.count() <= IterateBroadcastMaxRows && nSym < WidenRows
+    val bcOk = nIds <= IterateBroadcastMaxRows && nSym < WidenRows
     // early exit needs TWO consecutive zero-move rounds: a round where
     // the gated parity class stands pat says nothing about the OTHER
     // class, whose argmax was computed but not applied — only
@@ -1254,16 +1321,27 @@ object Algorithms {
             col("k") * (col("st") -
               when(col("c") === col("cur"), col("k"))
                 .otherwise(lit(0).cast(dec)))).as("score"))
+      // ΔQ argmax with min-community tiebreak. Deliberately NOT the
+      // top1PerGroup heap: `best` is BROADCAST into the adopt join
+      // below, and the r20 A/B measured the heap-under-
+      // BroadcastExchange round shape at +311% / +338% / +240% wall
+      // (g_louvain 10.3 → 42.5 s, louvain_weighted 9.2 → 40.4,
+      // community_refine 13.7 → 46.6, min-of-5 same window) at
+      // IDENTICAL task time (29.6 vs 28.3 s) and job count — the cost
+      // is driver-side AQE stage scheduling per round, not compute —
+      // while the same swap won 14-17% where the heap output is joined,
+      // not broadcast (kmeans/IVF/PQ assigns).
       val best = scored.groupBy(col("id"))
         .agg(max(struct(col("score"), (-col("c")).as("neg"))).as("b"))
         .select(col("id"), (-col("b.neg")).as("blbl"))
       // parity gate: only id % 2 == r % 2 adopts its argmax this round
-      val next = lbl.join(bcIf(bcOk, best), Seq("id"))
-        .select(col("id"), col("k"), col("lbl").as("old"),
-          when(pmod(col("id"), lit(2)) === lit(r % 2), col("blbl"))
-            .otherwise(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      val moved = next.filter(col("lbl") =!= col("old")).count()
+      // ONE job: the moved-count probe materializes the lazy checkpoint
+      val (next, moved) = checkpointPredCounted(
+        lbl.join(bcIf(bcOk, best), Seq("id"))
+          .select(col("id"), col("k"), col("lbl").as("old"),
+            when(pmod(col("id"), lit(2)) === lit(r % 2), col("blbl"))
+              .otherwise(col("lbl")).as("lbl")),
+        col("lbl") =!= col("old"))
       stillRounds = if (moved == 0) stillRounds + 1 else 0
       releaseIterate(lbl)
       lbl = next.select(col("id"), col("k"), col("lbl"))
@@ -1417,7 +1495,7 @@ object Algorithms {
     * so carried stats stay flat. */
   def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
                               maxRounds: Int = StarMaxRounds): DataFrame = {
-    var e = loopCheckpoint(
+    var (e, eCnt) = loopCheckpointCounted(
       edges.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b")).distinct()
@@ -1432,11 +1510,22 @@ object Algorithms {
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val m = sym.groupBy(col("u"))
         .agg(least(min(col("v")), col("u").cast("long")).as("m"))
+      // large-star output, UNMATERIALIZED: `large` is referenced twice
+      // (m2's aggregate and the small-star join), but its repeated
+      // subtree is deduped by AQE's runtime exchange reuse — the same
+      // measured trade as the CC pointer-jump self-join ("the extra
+      // per-round action costs more than the reuse saves"): dropping
+      // the eager checkpoint here fuses each round's large+small stars
+      // into ONE materialization job (r20 A/B in the scaladoc).
+      // the distinct is LOAD-BEARING beyond set semantics: its exchange
+      // is the boundary AQE's runtime exchange reuse dedups the twice-
+      // referenced subtree at (r20 A/B: dropping it re-executed the
+      // sym+m+join subtree per reference — g_mst 19.0 → 26.2 s wall,
+      // task time +25%)
       val large = sym.join(m, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
       // small-star: per node u (over the large-star output, already
       // child→smaller oriented), neighbors ≤ u and u itself attach to m
       val m2 = large.groupBy(col("u"))
@@ -1448,18 +1537,23 @@ object Algorithms {
         .select(greatest(col("p.x"), col("p.y")).as("u"),
           least(col("p.x"), col("p.y")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
-      val next = loopCheckpoint(small)
-      // `next` is materialized, so the round's intermediate `large`
-      // checkpoint is superseded too — release it here or a k-round run
-      // pins k edge-list-sized block sets (the eviction-thrash shape
-      // releaseIterate exists to prevent)
-      releaseIterate(large)
+      // ONE job materializes `next` AND yields its row count — which
+      // carries most of the fixpoint answer (below)
+      val (next, nCnt) = loopCheckpointCounted(small)
       // fixpoint: the edge list is a stable star forest when the round
-      // leaves it unchanged (same canonical pair set)
-      live = next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0 ||
-        e.join(next, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      // leaves it unchanged (same canonical pair set). Both iterates
+      // are DISTINCT sets, so |next| ≠ |e| already proves change with
+      // zero extra jobs (the count fell out of the materialization),
+      // and |next| = |e| ∧ next∖e = ∅ proves equality — ONE anti-join
+      // probe on the rare equal-count rounds replaces the former
+      // unconditional two (the per-round job count is the loop
+      // family's dominant cost at sf0.1, and a driver barrier per
+      // round at any scale).
+      live = nCnt != eCnt ||
+        next.join(e, Seq("u", "v"), "left_anti").limit(1).count() > 0
       releaseIterate(e)
       e = next
+      eCnt = nCnt
       r += 1
     }
     if (live) throw new IllegalStateException(
@@ -1526,9 +1620,10 @@ object Algorithms {
     s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       (1 << 26).toString)
     val edges = rebase(s, edgesIn.select(col("u"), col("v"), col("w")))
-    var comp = rebase(s, nodesIn.select(col("id")))
-      .select(col("id"), col("id").as("c"))
-      .localCheckpoint(true)
+    // ONE job: the broadcast-gate count below materializes the checkpoint
+    val (comp0, nComp) = checkpointCounted(rebase(s, nodesIn.select(col("id")))
+      .select(col("id"), col("id").as("c")))
+    var comp = comp0
     // the shrinking component table broadcast into the per-round edge
     // relabel (two joins over the FULL edge set otherwise sort-merge
     // re-sorted every round under the iterate's scrubbed stats) —
@@ -1538,7 +1633,7 @@ object Algorithms {
     // sf0.1 A/B: NEUTRAL within the min-of-5 spread (the pick's
     // ObjectHashAggregate dominates the round, not the joins) — kept
     // for the plan shape: two fewer full-edge sorts per round.
-    val bcOk = comp.count() <= IterateBroadcastMaxRows &&
+    val bcOk = nComp <= IterateBroadcastMaxRows &&
       edges.count() < WidenRows
     val empty = edges.limit(0).localCheckpoint(true)
     var forest = empty
@@ -1562,13 +1657,14 @@ object Algorithms {
         struct(col("cv").as("cc"),
           struct(col("w"), col("u"), col("v"), col("cu").as("o")).as("e"))))
         .as("x")).select(col("x.cc").as("cc"), col("x.e").as("e"))
-      // ONE action per round: the pick checkpoint materializes the
-      // aggregate; the emptiness probe reads the cached result
-      val pick = out.groupBy(col("cc")).agg(min(col("e")).as("e"))
-        .select(col("cc"), col("e.w").as("w"), col("e.u").as("u"),
-          col("e.v").as("v"), col("e.o").as("o"))
-        .localCheckpoint(true)
-      if (pick.isEmpty) {
+      // ONE job for the pick: the count materializes the lazy
+      // checkpoint AND is the emptiness probe (the former eager
+      // checkpoint + isEmpty pair was two jobs per round)
+      val (pick, nPick) = checkpointCounted(
+        out.groupBy(col("cc")).agg(min(col("e")).as("e"))
+          .select(col("cc"), col("e.w").as("w"), col("e.u").as("u"),
+            col("e.v").as("v"), col("e.o").as("o")))
+      if (nPick == 0) {
         // the terminal probe's checkpoint never joins the forest union
         // — release it or every run leaves one pinned empty iterate
         releaseIterate(pick)
@@ -1762,10 +1858,9 @@ object Algorithms {
       .select(col("e.u").as("u"), col("e.v").as("v"))
     val (sess, sym) = bigSymCheckpoint(symPlan,
       if (nSymHint >= 0) nSymHint else symPlan.count(), "v")
-    val ids = (if (sess ne nodes.sparkSession)
+    val (ids, nV) = checkpointCounted((if (sess ne nodes.sparkSession)
         rebase(sess, nodes.select(col("id")))
-      else nodes.select(col("id"))).distinct().localCheckpoint(true)
-    val nV = ids.count()
+      else nodes.select(col("id"))).distinct())
     // the |V|-row iterate broadcasts into the edge-scale gather at all
     // edge sizes — the bigSymCheckpoint layout keeps the fused per-task
     // state small, the same contract [[coreness]] runs green on
@@ -1947,10 +2042,12 @@ object Algorithms {
       val cand = frontier.join(e, frontier("id") === e("src"))
         .select(col("seed"), col("dst").as("id"), (col("d") + 1).as("d"))
         .groupBy(col("seed"), col("id")).agg(min(col("d")).as("d"))
-      val newly = cand
-        .join(dist.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
-        .localCheckpoint(false)
-      live = newly.count() > 0 // materializes newly AND the lazy iterate
+      // one-job count + materialization ([[checkpointCounted]] — this
+      // loop pioneered the fused idiom; the helper upgrades its count
+      // from an AQE-staged aggregate to a single RDD job)
+      val (newly, nNew) = checkpointCounted(cand
+        .join(dist.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti"))
+      live = nNew > 0 // the count job materialized newly AND the lazy iterate
       // `dist` is materialized now; the iterate two rounds back can no
       // longer be read by anything live
       if (older ne null) { releaseIterate(older); older = null }
@@ -2005,10 +2102,10 @@ object Algorithms {
           col("sigma"))
         .groupBy(col("seed"), col("id"))
         .agg(min(col("d")).as("d"), sum(col("sigma")).cast(dec0).as("sigma"))
-      val newly = cand
-        .join(dist.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti")
-        .localCheckpoint(false)
-      live = newly.count() > 0 // materializes newly AND the lazy iterate
+      // one-job count + materialization (see hopDistances)
+      val (newly, nNew) = checkpointCounted(cand
+        .join(dist.select(col("seed"), col("id")), Seq("seed", "id"), "left_anti"))
+      live = nNew > 0 // the count job materialized newly AND the lazy iterate
       if (older ne null) { releaseIterate(older); older = null }
       if (live) {
         older = dist
@@ -2092,8 +2189,8 @@ object Algorithms {
       // AND its convergence answer cost ONE action instead of the former
       // two (eager checkpoint, then a limit-1 frontier probe) — at
       // sf0.1 the loop is round-tax-dominated, so this halves the tax
-      val chk = lastJoined.localCheckpoint(false)
-      val improvedCnt = chk.filter(col("improved")).count()
+      val (chk, improvedCnt) =
+        checkpointPredCounted(lastJoined, col("improved"))
       releaseIterate(prevChk) // this round read it; now superseded
       roundChk = chk
       dist = chk.select(col("id"),

@@ -1425,11 +1425,15 @@ object Clouds {
     for (s <- 1 to len) {
       val hkey = graft.Hashing.hash60(
         concat_ws("|", col("walk_id"), lit(s), col("v")))
-      cur = cur.join(und, col("node") === col("u"))
-        .select(col("walk_id"), col("v"), hkey.as("hk"))
-        .groupBy(col("walk_id"))
-        .agg(min(struct(col("hk"), col("v"))).as("best"))
-        .select(col("walk_id"), col("best.v").as("node"))
+      // per-walk argmin through the native top-1 heap: the struct-min
+      // aggregate fell back to EXTERNAL SORTS of the full candidate
+      // stream past 128 walk_ids per task (see TopKPerGroup
+      // .top1PerGroup) — same rows, same (hk, v) total order
+      cur = graft.plans.TopKPerGroup.top1PerGroup(
+          cur.join(und, col("node") === col("u"))
+            .select(col("walk_id"), col("v"), hkey.as("hk")),
+          Seq("walk_id"), Seq("hk" -> false, "v" -> false))
+        .select(col("walk_id"), col("v").as("node"))
         .localCheckpoint(true) // referenced by output AND the next step
       stepCks += cur
       steps += cur.withColumn("step", lit(s))
@@ -1528,18 +1532,22 @@ object Clouds {
       val key =
         if (s == 1) col("hk") // uniform: no prev yet (randomWalks step)
         else (-log(col("u01"))) / col("w")
-      cur = hinted(cur).join(und, col("node") === col("u"))
-        .join(canonBc,
-          least(col("prev"), col("v")) === col("eu") &&
-            greatest(col("prev"), col("v")) === col("ev"),
-          "left_outer")
-        .select(col("walk_id"), col("node").as("from_node"), col("v"),
-          hkey.as("hk"), u01.as("u01"), w.as("w"))
-        .select(col("walk_id"), col("from_node"), col("v"), key.as("key"))
-        .groupBy(col("walk_id"))
-        .agg(min(struct(col("key"), col("v"), col("from_node"))).as("best"))
-        .select(col("walk_id"), col("best.from_node").as("prev"),
-          col("best.v").as("node"))
+      // per-walk argmin through the native top-1 heap (see randomWalks:
+      // the struct-min ObjectHashAggregate external-sorts past 128
+      // groups/task); (key, v) is total per walk — v is unique among a
+      // node's candidates — and from_node rides as payload
+      cur = graft.plans.TopKPerGroup.top1PerGroup(
+          hinted(cur).join(und, col("node") === col("u"))
+            .join(canonBc,
+              least(col("prev"), col("v")) === col("eu") &&
+                greatest(col("prev"), col("v")) === col("ev"),
+              "left_outer")
+            .select(col("walk_id"), col("node").as("from_node"), col("v"),
+              hkey.as("hk"), u01.as("u01"), w.as("w"))
+            .select(col("walk_id"), col("from_node"), col("v"), key.as("key")),
+          Seq("walk_id"), Seq("key" -> false, "v" -> false))
+        .select(col("walk_id"), col("from_node").as("prev"),
+          col("v").as("node"))
         .localCheckpoint(true) // referenced by output AND the next step
       stepCks += cur
       steps += cur.withColumn("step", lit(s))

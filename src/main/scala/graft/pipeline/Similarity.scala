@@ -451,8 +451,15 @@ object Similarity {
     * the k nearest other vectors. The query side is a fixed small set →
     * broadcast is size-safe by construction; the candidate side streams.
     * `s_cosine_topk`. */
-  def cosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val v = vectors(spark, dir)
+  def cosineTopK(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame =
+    cosineTopKOnV(vectors(spark, dir), nQueries, k)
+
+  /** [[cosineTopK]] over a caller-supplied vectors frame — the
+    * shared-input seam of the ANN-ladder audits (see [[lazyLadder]]):
+    * the ladder materializes ONE vectors checkpoint and feeds all five
+    * families instead of each family re-scanning + re-materializing
+    * the table. Values are unchanged (same rows, same math). */
+  private[graft] def cosineTopKOnV(v: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
@@ -506,8 +513,12 @@ object Similarity {
     * `dot > 0` agrees because both engines fold the 64 doubles in
     * element order). ScalaTest additionally asserts recall vs the
     * brute-force baseline. */
-  def lshAnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val v = vectors(spark, dir).localCheckpoint(true)
+  def lshAnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame =
+    lshAnnOnV(vectors(spark, dir).localCheckpoint(true), nQueries, k)
+
+  /** [[lshAnn]] over a caller-checkpointed vectors frame (the
+    * [[lazyLadder]] shared-input seam — see [[cosineTopKOnV]]). */
+  private[graft] def lshAnnOnV(v: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val b = buckets(v).localCheckpoint(true)
     // dedup candidates on the (query, candidate) ID pair FIRST — a
     // distinct over rows carrying the vectors would shuffle the payload;
@@ -725,17 +736,23 @@ object Similarity {
     * search plan). Assignment and probe selection order by the 4-dp
     * ROUNDED cosine with a centroid-id tiebreak, so the DuckDB oracle
     * replays both bit-for-bit. `s_ivf_ann`. */
-  def ivfAnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val v = vectors(spark, dir).localCheckpoint(true)
+  def ivfAnn(spark: SparkSession, dir: String, nQueries: Int = 10, k: Int = 5): DataFrame =
+    ivfAnnOnV(vectors(spark, dir).localCheckpoint(true), nQueries, k)
+
+  /** [[ivfAnn]] over a caller-checkpointed vectors frame (the
+    * [[lazyLadder]] shared-input seam — see [[cosineTopKOnV]]). */
+  private[graft] def ivfAnnOnV(v: DataFrame, nQueries: Int, k: Int): DataFrame = {
     val c = v.filter(col("vec_id") < NumLists)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     val simToC = round(arrayDot(col("v"), col("cv")) / (col("norm") * col("cn")), 4)
     // struct-max = (best sim, then lowest cid): one map-side-combined agg
-    val assign = v.join(broadcast(c))
-      .select(col("vec_id"), col("cid"), simToC.as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
-      .select(col("vec_id"), (-col("best.negcid")).as("cid"))
+    // nearest-list argmax through the native top-1 heap (the struct-max
+    // fallback external-sorts past 128 groups/task — top1PerGroup)
+    val assign = graft.plans.TopKPerGroup.top1PerGroup(
+        v.join(broadcast(c))
+          .select(col("vec_id"), col("cid"), simToC.as("sim")),
+        Seq("vec_id"), Seq("sim" -> true, "cid" -> false))
+      .select(col("vec_id"), col("cid"))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val probes = q.join(broadcast(c))
@@ -978,12 +995,14 @@ object Similarity {
       .select(col("s"), col("vec_id").as("cid"), col("vs").as("cvs"))
       .localCheckpoint(true)
     for (_ <- 1 until iters) {
-      val assign = slices.join(broadcast(cb), Seq("s"))
-        .select(col("vec_id"), col("s"),
-          round(arrayDot(col("vs"), col("cvs")), 4).as("sim"), col("cid"))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
-        .select(col("vec_id"), col("s"), (-col("best.negcid")).as("cid"))
+      // nearest-codeword argmax through the native top-1 heap (the
+      // struct-max fallback external-sorts past 128 groups/task)
+      val assign = graft.plans.TopKPerGroup.top1PerGroup(
+          slices.join(broadcast(cb), Seq("s"))
+            .select(col("vec_id"), col("s"),
+              round(arrayDot(col("vs"), col("cvs")), 4).as("sim"), col("cid")),
+          Seq("vec_id", "s"), Seq("sim" -> true, "cid" -> false))
+        .select(col("vec_id"), col("s"), col("cid"))
       val comp = assign.join(slices, Seq("vec_id", "s"))
         .select(col("s"), col("cid"), posexplode(col("vs")).as(Seq("d", "x")))
       val means = comp.groupBy(col("s"), col("cid"), col("d"))
@@ -1027,13 +1046,24 @@ object Similarity {
             iters: Int = PqIters): DataFrame = {
     val v = vectors(spark, dir).localCheckpoint(true)
     val slices = pqSlices(v).localCheckpoint(true) // training + encode + dt
-    val cb = pqCodebook(slices, iters)
-    val enc = slices.join(broadcast(cb), Seq("s"))
-      .select(col("vec_id"), col("s"),
-        round(arrayDot(col("vs"), col("cvs")), 4).as("sim"), col("cid"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
-      .select(col("vec_id"), col("s"), (-col("best.negcid")).as("code"))
+    pqAnnOn(v, slices, pqCodebook(slices, iters), nQueries, k)
+  }
+
+  /** [[pqAnn]] over caller-supplied (checkpointed vectors, checkpointed
+    * slices, trained codebook) — the [[lazyLadder]] shared-input seam:
+    * inside the ladder the SAME codebook training (and slices pass)
+    * feeds both the PQ and IVF×PQ families instead of running twice. */
+  private[graft] def pqAnnOn(v: DataFrame, slices: DataFrame, cb: DataFrame,
+                             nQueries: Int, k: Int): DataFrame = {
+    // nearest-codeword argmax through the native top-1 heap: the
+    // struct-max ObjectHashAggregate external-sorts past 128 groups
+    // per task (graft.plans.TopKPerGroup.top1PerGroup); same row
+    val enc = graft.plans.TopKPerGroup.top1PerGroup(
+        slices.join(broadcast(cb), Seq("s"))
+          .select(col("vec_id"), col("s"),
+            round(arrayDot(col("vs"), col("cvs")), 4).as("sim"), col("cid")),
+        Seq("vec_id", "s"), Seq("sim" -> true, "cid" -> false))
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
     val dt = slices.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("s"), col("vs").as("qs"))
       .join(broadcast(cb), Seq("s"))
@@ -1078,15 +1108,25 @@ object Similarity {
   def ivfPqAnn(spark: SparkSession, dir: String, nQueries: Int = 10,
                k: Int = 5): DataFrame = {
     val v = vectors(spark, dir).localCheckpoint(true)
+    val slices = pqSlices(v).localCheckpoint(true)
+    ivfPqAnnOn(v, slices, pqCodebook(slices, PqIters), nQueries, k)
+  }
+
+  /** [[ivfPqAnn]] over caller-supplied (vectors, slices, codebook) —
+    * the [[lazyLadder]] shared-input seam (see [[pqAnnOn]]). */
+  private[graft] def ivfPqAnnOn(v: DataFrame, slices: DataFrame, cb: DataFrame,
+                                nQueries: Int, k: Int): DataFrame = {
     // coarse quantizer (identical to ivfAnn's)
     val c = v.filter(col("vec_id") < NumLists)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
     val simToC = round(arrayDot(col("v"), col("cv")) / (col("norm") * col("cn")), 4)
-    val assign = v.join(broadcast(c))
-      .select(col("vec_id"), col("cid"), simToC.as("sim"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
-      .select(col("vec_id"), (-col("best.negcid")).as("cid"))
+    // nearest-list argmax through the native top-1 heap (the struct-max
+    // fallback external-sorts past 128 groups/task — top1PerGroup)
+    val assign = graft.plans.TopKPerGroup.top1PerGroup(
+        v.join(broadcast(c))
+          .select(col("vec_id"), col("cid"), simToC.as("sim")),
+        Seq("vec_id"), Seq("sim" -> true, "cid" -> false))
+      .select(col("vec_id"), col("cid"))
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
     val probes = q.join(broadcast(c))
@@ -1098,15 +1138,16 @@ object Similarity {
     val candIds = probes.join(assign, Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
-    // PQ side (identical to pqAnn's)
-    val slices = pqSlices(v).localCheckpoint(true)
-    val cb = pqCodebook(slices, PqIters)
-    val enc = slices.join(broadcast(cb), Seq("s"))
-      .select(col("vec_id"), col("s"),
-        round(arrayDot(col("vs"), col("cvs")), 4).as("sim"), col("cid"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
-      .select(col("vec_id"), col("s"), (-col("best.negcid")).as("code"))
+    // PQ side (identical to pqAnn's; slices + codebook are parameters)
+    // nearest-codeword argmax through the native top-1 heap: the
+    // struct-max ObjectHashAggregate external-sorts past 128 groups
+    // per task (graft.plans.TopKPerGroup.top1PerGroup); same row
+    val enc = graft.plans.TopKPerGroup.top1PerGroup(
+        slices.join(broadcast(cb), Seq("s"))
+          .select(col("vec_id"), col("s"),
+            round(arrayDot(col("vs"), col("cvs")), 4).as("sim"), col("cid")),
+        Seq("vec_id", "s"), Seq("sim" -> true, "cid" -> false))
+      .select(col("vec_id"), col("s"), col("cid").as("code"))
     val dt = slices.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("s"), col("vs").as("qs"))
       .join(broadcast(cb), Seq("s"))
@@ -1170,13 +1211,18 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("norm").as("cn"))
       .localCheckpoint(true)
     def assignTo(c: DataFrame): DataFrame =
-      v.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("cid"), col("v"),
-          round(arrayDot(col("v"), col("cv")) / (col("norm") * col("cn")), 4).as("sim"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("sim"), (-col("cid")).as("negcid"))).as("best"))
-        .select(col("vec_id"), (-col("best.negcid")).as("cluster_id"),
-          col("best.sim").as("sim"))
+      // nearest-centroid argmax through the native top-1 heap (the
+      // struct-max fallback external-sorts past 128 groups/task); the
+      // vector column is projected away BEFORE the heap — the heap
+      // carries whole rows, and unlike an aggregate no column pruning
+      // saves it from shuffling the 64-double array per candidate
+      graft.plans.TopKPerGroup.top1PerGroup(
+          v.crossJoin(broadcast(c))
+            .select(col("vec_id"), col("cid"),
+              round(arrayDot(col("v"), col("cv")) / (col("norm") * col("cn")), 4)
+                .as("sim")),
+          Seq("vec_id"), Seq("sim" -> true, "cid" -> false))
+        .select(col("vec_id"), col("cid").as("cluster_id"), col("sim"))
     var assign = assignTo(cent)
     for (_ <- 1 until iters) {
       // per-(cluster, dimension) decimal-exact mean, re-packed into the
@@ -1324,12 +1370,25 @@ object Similarity {
     * THIS shape; [[ladderLayer]] is the materialize-once production
     * contract, and the composition spec proves both agree. */
   private def lazyLadder(spark: SparkSession, dir: String,
-                         nQueries: Int, k: Int): Seq[(String, DataFrame)] = Seq(
-    "truth" -> cosineTopK(spark, dir, nQueries, k).localCheckpoint(true),
-    "lsh"   -> lshAnn(spark, dir, nQueries, k),
-    "ivf"   -> ivfAnn(spark, dir, nQueries, k),
-    "pq"    -> pqAnn(spark, dir, nQueries, k),
-    "ivfpq" -> ivfPqAnn(spark, dir, nQueries, k))
+                         nQueries: Int, k: Int): Seq[(String, DataFrame)] = {
+    // r20: ONE vectors checkpoint, ONE slices checkpoint and ONE
+    // codebook training shared by every family through the *On seams —
+    // the family keys run standalone each rebuild their own, but inside
+    // one ladder query the four families were re-scanning and
+    // re-materializing the identical vectors table (4×), slicing it
+    // twice and Lloyd-training the identical codebook twice. Values
+    // are unchanged (same math on the same rows), so the oracle SQL
+    // replays bit-for-bit.
+    val v = vectors(spark, dir).localCheckpoint(true)
+    val slices = pqSlices(v).localCheckpoint(true)
+    val cb = pqCodebook(slices, PqIters)
+    Seq(
+      "truth" -> cosineTopKOnV(v, nQueries, k).localCheckpoint(true),
+      "lsh"   -> lshAnnOnV(v, nQueries, k),
+      "ivf"   -> ivfAnnOnV(v, nQueries, k),
+      "pq"    -> pqAnnOn(v, slices, cb, nQueries, k),
+      "ivfpq" -> ivfPqAnnOn(v, slices, cb, nQueries, k))
+  }
 
   def recallCurve(spark: SparkSession, dir: String,
                   nQueries: Int = 10, k: Int = 5): DataFrame =

@@ -119,6 +119,32 @@ object TopKPerGroup {
       TopKPerGroup(group.map(attr), orders, k, child))
   }
 
+  /** The k = 1 case — each group's single BEST row under the total
+    * (orderBy + tiebreak) order, skipping [[rankTopK]]'s window: the
+    * native two-phase heap already returns exactly one row per group,
+    * and that row IS the argmin/argmax. Exists to replace
+    * `groupBy(g).agg(min(struct(o…)))` / `max(struct(…))` argmins: a
+    * struct-typed Min/Max has no mutable UnsafeRow buffer, so it plans
+    * as ObjectHashAggregate, whose sort-based fallback kicks in past
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * (default 128) distinct groups per task — i.e. every |V|-group or
+    * |corpus|-group argmin EXTERNALLY SORTS the full candidate stream
+    * on both sides of its exchange (the degradation
+    * [[graft.graph.Algorithms.boruvkaMst]] documents and dodges with a
+    * child-session conf; this operator dodges it structurally). The
+    * heap pass is O(n) with O(groups) state and shuffles ≤ 1 row per
+    * (group, map partition) — the same volume as the aggregate's
+    * partial. Callers must pass a TOTAL order (orderBy ∪ tiebreak
+    * unique within each group), same contract as every top-k site;
+    * results are bit-identical to the struct-aggregate formulation.
+    * Without the strategy, degrades to the windowed rank (identical
+    * rows). */
+  def top1PerGroup(df: DataFrame, group: Seq[String],
+                   orderBy: Seq[(String, Boolean)]): DataFrame =
+    if (bridge.hasStrategy(df.sparkSession, TopKStrategy))
+      topKPerGroup(df, group, orderBy, 1)
+    else rankTopK(df, group, orderBy, 1).drop("rnk")
+
   /** The prune-or-degrade idiom shared by every top-k call site: when
     * the session has [[TopKStrategy]] registered, cut the input down
     * with the native two-phase heap operator first (bounded k-heaps,

@@ -45,6 +45,35 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(all == 3)
   }
 
+  test("top1PerGroup equals the struct-min argmin on a many-group input") {
+    // 900 groups across 7 partitions — far past the 128-group
+    // ObjectHashAggregate fallback the heap exists to dodge, so this
+    // pins value-equality exactly where the two plans diverge most
+    val rng = new scala.util.Random(7)
+    val df = (1 to 4000)
+      .map(i => (rng.nextInt(900).toLong, i.toLong, rng.nextInt(50).toDouble))
+      .toDF("g", "id", "score").repartition(7)
+    val viaHeap = TopKPerGroup.top1PerGroup(
+        df, Seq("g"), Seq("score" -> false, "id" -> false))
+      .select(col("g"), col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaAgg = df.groupBy(col("g"))
+      .agg(min(struct(col("score"), col("id"))).as("m"))
+      .select(col("g"), col("m.id"), col("m.score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaHeap == viaAgg)
+    // and the descending (argmax) orientation against max(struct)
+    val viaHeapMax = TopKPerGroup.top1PerGroup(
+        df, Seq("g"), Seq("score" -> true, "id" -> false))
+      .select(col("g"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaAggMax = df.groupBy(col("g"))
+      .agg(max(struct(col("score"), (-col("id")).as("neg"))).as("m"))
+      .select(col("g"), (-col("m.neg")).as("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaHeapMax == viaAggMax)
+  }
+
   test("similarity top-k uses the native operator under the extension session") {
     val plan = graft.pipeline.Similarity.cosineTopK(spark, SF)
       .queryExecution.executedPlan.toString
